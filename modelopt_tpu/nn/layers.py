@@ -1,0 +1,209 @@
+"""Quantization-aware linen layers.
+
+The reference swaps nn.Module classes in place via a registry
+(reference: modelopt/torch/quantization/nn/modules/quant_linear.py:38,
+conversion.py:213 replace_quant_module). In JAX graph surgery is unnecessary:
+models in this framework are built from these layers, whose quantizer
+submodules are *identity until a QuantizeConfig is active* — an unquantized
+model and its quantized version share one architecture and one params pytree.
+
+Sharding: pass logical axis names via ``kernel_axes`` — they become flax
+logical partitioning metadata consumed by ``parallel.mesh`` when sharding
+over a device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .quantizer import TensorQuantizer
+
+Dtype = Any
+default_kernel_init = nn.initializers.lecun_normal()
+
+
+def _maybe_partition(init: Callable, axes: Optional[tuple]):
+    return nn.with_logical_partitioning(init, axes) if axes else init
+
+
+class QuantDense(nn.Module):
+    """Linear layer with input/weight/output quantization points.
+
+    Kernel layout is JAX-convention ``[in_features, out_features]``.
+    (reference: nn/modules/quant_linear.py QuantLinear)
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = default_kernel_init
+    bias_init: Callable = nn.initializers.zeros_init()
+    kernel_axes: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            _maybe_partition(self.kernel_init, self.kernel_axes),
+            (in_features, self.features),
+            self.param_dtype,
+        )
+        x = TensorQuantizer(name="input_quantizer")(x)
+        kernel = TensorQuantizer(name="weight_quantizer")(kernel)
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                _maybe_partition(self.bias_init, (self.kernel_axes[-1],) if self.kernel_axes else None),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(dtype)
+        return TensorQuantizer(name="output_quantizer")(y)
+
+
+class QuantEinsum(nn.Module):
+    """Einsum layer with quantization points — covers fused QKV, attention
+    output projections and MoE expert weights (a kernel with a leading expert
+    dim gets per-expert scales simply by keeping that dim in ``axis``/blocks,
+    the functional equivalent of the reference's GroupedQuantizer,
+    reference: tensor_quantizer.py:1865)."""
+
+    einsum_str: str
+    kernel_shape: Sequence[int]
+    use_bias: bool = False
+    bias_shape: Optional[Sequence[int]] = None
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = default_kernel_init
+    kernel_axes: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            _maybe_partition(self.kernel_init, self.kernel_axes),
+            tuple(self.kernel_shape),
+            self.param_dtype,
+        )
+        x = TensorQuantizer(name="input_quantizer")(x)
+        kernel = TensorQuantizer(name="weight_quantizer")(kernel)
+        dtype = self.dtype or x.dtype
+        y = jnp.einsum(self.einsum_str, x.astype(dtype), kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), tuple(self.bias_shape), self.param_dtype
+            )
+            y = y + bias.astype(dtype)
+        return TensorQuantizer(name="output_quantizer")(y)
+
+
+class QuantEmbed(nn.Module):
+    """Embedding with optional weight quantization
+    (reference: nn/modules/quant_embedding.py)."""
+
+    num_embeddings: int
+    features: int
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+    embedding_init: Callable = nn.initializers.normal(stddev=0.02)
+    embedding_axes: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, ids):
+        emb = self.param(
+            "embedding",
+            _maybe_partition(self.embedding_init, self.embedding_axes),
+            (self.num_embeddings, self.features),
+            self.param_dtype,
+        )
+        emb = TensorQuantizer(name="weight_quantizer")(emb)
+        out = jnp.take(emb, ids, axis=0)
+        return out.astype(self.dtype) if self.dtype else out
+
+    def attend(self, query, variables_emb):
+        return jnp.dot(query, variables_emb.T)
+
+
+class QuantConv(nn.Module):
+    """N-D convolution with quantization points (feature-last layout),
+    covering the reference's QuantConv1d/2d/3d
+    (reference: nn/modules/quant_conv.py)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Optional[Sequence[int]] = None
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        ndim = len(self.kernel_size)
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (*self.kernel_size, in_features, self.features),
+            self.param_dtype,
+        )
+        x = TensorQuantizer(name="input_quantizer")(x)
+        kernel = TensorQuantizer(name="weight_quantizer")(kernel)
+        dtype = self.dtype or x.dtype
+        if ndim == 2:
+            y = lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype),
+                window_strides=tuple(self.strides or (1,) * ndim),
+                padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        elif ndim == 1:
+            y = lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype),
+                window_strides=tuple(self.strides or (1,)),
+                padding=self.padding,
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype),
+                window_strides=tuple(self.strides or (1,) * ndim),
+                padding=self.padding,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
+            y = y + bias.astype(dtype)
+        return TensorQuantizer(name="output_quantizer")(y)
+
+
+class RMSNorm(nn.Module):
+    """RMSNorm (no quantization points; norms stay high-precision on TPU)."""
+
+    epsilon: float = 1e-6
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+    scale_axes: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param(
+            "scale",
+            _maybe_partition(nn.initializers.ones_init(), self.scale_axes),
+            (x.shape[-1],),
+            self.param_dtype,
+        )
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale).astype(self.dtype or x.dtype)

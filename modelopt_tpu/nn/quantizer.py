@@ -1,0 +1,168 @@
+"""TensorQuantizer as a linen module + trace-time quantization contexts.
+
+The functional re-architecture of the reference's universal quantizer
+(reference: modelopt/torch/quantization/nn/modules/tensor_quantizer.py:136).
+Where the reference stores amax/pre_quant_scale as buffers on a mutated
+nn.Module, here they are entries in the model's ``'quant'`` variable
+collection, and the quantizer's *behavior* (collect vs. quantize vs. off) is
+chosen by a trace-time phase:
+
+    PHASE_CALIB: pass through unquantized, max-update the calib statistics
+                 (mutable=['quant'] apply). Under pjit/GSPMD on a sharded
+                 mesh, jnp.max over a sharded tensor is a *global* max, so the
+                 reference's entire DP/TP/EP amax all-reduce machinery
+                 (model_calib.py:390-498) collapses into ordinary reductions.
+    PHASE_QUANT: fake-quantize with the calibrated statistics.
+    PHASE_OFF:   identity.
+
+The active QuantizeConfig is bound with ``quantization_active`` — a static,
+trace-time context: jitted entry points must be built per (config, phase)
+(ModelBundle.make_fn does this).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..core.bundle import PHASE_CALIB, PHASE_OFF, PHASE_QUANT
+from ..quant.config import QuantizeConfig
+from ..quant.fake_quant import _blocked, fake_quantize, reduce_amax
+from ..quant.qspec import QuantizerSpec
+
+_ACTIVE_CFG: contextvars.ContextVar = contextvars.ContextVar("quant_cfg", default=None)
+_PHASE: contextvars.ContextVar = contextvars.ContextVar("quant_phase", default=PHASE_QUANT)
+# When set to a list, quantizers record (path, resolved_specs) at trace time
+# — used by print_quant_summary and the search algorithms.
+_CAPTURE: contextvars.ContextVar = contextvars.ContextVar("quant_capture", default=None)
+
+
+@contextlib.contextmanager
+def quantization_active(cfg: QuantizeConfig, phase: str = PHASE_QUANT):
+    t1 = _ACTIVE_CFG.set(cfg)
+    t2 = _PHASE.set(phase)
+    try:
+        yield
+    finally:
+        _ACTIVE_CFG.reset(t1)
+        _PHASE.reset(t2)
+
+
+def active_quant_config() -> Optional[QuantizeConfig]:
+    return _ACTIVE_CFG.get()
+
+
+def current_phase() -> str:
+    return _PHASE.get()
+
+
+def _needs_static_amax(spec: QuantizerSpec) -> bool:
+    if spec.dynamic:
+        return False
+    if spec.block is None:
+        return True
+    if not spec.block.dynamic:
+        return True  # static per-block scales
+    return spec.block.two_level  # dynamic blocks but calibrated tensor amax
+
+
+def _stat_shape_and_value(x, spec: QuantizerSpec):
+    """Calibration statistic for one batch: (value, kind)."""
+    if spec.block is not None:
+        if spec.block.dynamic:  # two-level: per-tensor amax only
+            return jnp.max(jnp.abs(x)).astype(jnp.float32), "scalar"
+        xb, _, baxes = _blocked(x.astype(jnp.float32), spec.block)
+        return jnp.max(jnp.abs(xb), axis=baxes, keepdims=True), "block"
+    if spec.axis is None:
+        return jnp.max(jnp.abs(x)).astype(jnp.float32), "scalar"
+    # keep trailing axes; store without leading singleton dims
+    keep = tuple(a % x.ndim for a in spec.axis)
+    if any(a < x.ndim - len(keep) for a in keep):
+        # non-trailing kept axes: store full keepdims shape (weights only —
+        # their shape is stable across calls)
+        return reduce_amax(x.astype(jnp.float32), spec.axis, keepdims=True), "keepdims"
+    red = tuple(i for i in range(x.ndim) if i not in keep)
+    return jnp.max(jnp.abs(x.astype(jnp.float32)), axis=red), "trailing"
+
+
+def _broadcast_amax(amax, x):
+    if amax.ndim < x.ndim:
+        amax = amax.reshape((1,) * (x.ndim - amax.ndim) + amax.shape)
+    return amax
+
+
+class TensorQuantizer(nn.Module):
+    """Quantization point. Instantiated by Quant* layers under canonical names
+    (``input_quantizer`` / ``weight_quantizer`` / ``output_quantizer`` /
+    ``k_quantizer`` / ``v_quantizer``) so wildcard configs written against the
+    reference's naming carry over (reference: nn/modules/quant_linear.py:38).
+
+    ``fixed_spec`` bypasses config resolution (used by techniques that pin a
+    format, e.g. KV-cache quantizers created with an explicit spec).
+    """
+
+    fixed_spec: Optional[QuantizerSpec] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = active_quant_config()
+        phase = current_phase()
+        if phase == PHASE_OFF:
+            return x
+        if self.fixed_spec is not None:
+            specs = (self.fixed_spec,)
+        else:
+            if cfg is None:
+                return x
+            specs = cfg.resolve("/".join(self.path))
+        cap = _CAPTURE.get()
+        if cap is not None:
+            cap.append(("/".join(self.path), specs))
+        if not specs:
+            return x
+
+        # pre-quant scale (SmoothQuant / AWQ): created by calibration
+        # algorithms, applied before any quantization
+        # (reference: tensor_quantizer.py forward pre_quant_scale path).
+        if self.has_variable("quant", "pre_quant_scale"):
+            pqs = self.get_variable("quant", "pre_quant_scale")
+            x = (x * pqs).astype(x.dtype)
+
+        for i, spec in enumerate(specs):
+            if not spec.enable:
+                continue
+            x = self._apply_one(x, spec, "amax" if i == 0 else f"amax_{i}", phase)
+        return x
+
+    def _apply_one(self, x, spec: QuantizerSpec, amax_name: str, phase: str):
+        needs_amax = _needs_static_amax(spec)
+        if phase == PHASE_CALIB:
+            if needs_amax and not self.is_initializing():
+                stat, _ = _stat_shape_and_value(x, spec)
+                var = self.variable(
+                    "quant", amax_name, lambda: jnp.zeros(stat.shape, jnp.float32)
+                )
+                var.value = jnp.maximum(var.value, stat)
+            return x
+
+        # PHASE_QUANT
+        amax = None
+        tensor_amax = None
+        if needs_amax:
+            if not self.has_variable("quant", amax_name):
+                raise ValueError(
+                    f"Quantizer {'/'.join(self.path)} has no calibrated "
+                    f"'{amax_name}'. Run calibrate() first (or use a dynamic spec)."
+                )
+            a = self.get_variable("quant", amax_name)
+            if spec.block is not None and spec.block.dynamic:
+                tensor_amax = a  # two-level: calibrated per-tensor amax
+            elif spec.block is not None:
+                amax = a  # static per-block amax (already keepdims-shaped)
+            else:
+                amax = _broadcast_amax(a, x)
+        return fake_quantize(x, spec, amax=amax, tensor_amax=tensor_amax)

@@ -78,24 +78,46 @@ def _blocked(x, block: BlockSpec):
     """
     sizes = block.sizes_dict
     shape = x.shape
-    new_shape = []
-    block_axes = []
+    # Zero-pad non-divisible dims up to a block multiple (the reference pads
+    # too); zeros never dominate a block amax so scales are unaffected.
+    pads = [(0, 0)] * x.ndim
+    padded_shape = list(shape)
+    need_pad = False
+    bs_per_dim = [None] * x.ndim
     for i, d in enumerate(shape):
         bs = None
         for ax, s in sizes.items():
             if ax % x.ndim == i:
                 bs = s
         if bs is None:
+            continue
+        if bs <= 0:
+            bs = d  # size 0 = the whole dim (per-token / per-row scales)
+        bs = min(bs, max(d, 1))
+        bs_per_dim[i] = bs
+        if d % bs != 0:
+            pad = bs - d % bs
+            pads[i] = (0, pad)
+            padded_shape[i] = d + pad
+            need_pad = True
+    if need_pad:
+        x = jnp.pad(x, pads)
+    new_shape = []
+    block_axes = []
+    for i, d in enumerate(padded_shape):
+        bs = bs_per_dim[i]
+        if bs is None:
             new_shape.append(d)
         else:
-            if d % bs != 0:
-                raise ValueError(f"dim {i} of size {d} not divisible by block {bs}")
             new_shape.extend([d // bs, bs])
             block_axes.append(len(new_shape) - 1)
     xb = x.reshape(new_shape)
 
     def unblock(y):
-        return y.reshape(shape)
+        y = y.reshape(padded_shape)
+        if need_pad:
+            y = y[tuple(slice(0, s) for s in shape)]
+        return y
 
     return xb, unblock, tuple(block_axes)
 
@@ -153,9 +175,10 @@ def _block_scales_e8m0(block_amax, elem_max: float):
     amax = jnp.maximum(block_amax, _TINY)
     import math
 
+    from .formats import exp2_int, floor_log2
+
     emax_elem = math.floor(math.log2(elem_max))
-    e = jnp.floor(jnp.log2(amax)) - emax_elem
-    return jnp.exp2(jnp.clip(e, -127.0, 127.0))
+    return exp2_int(floor_log2(amax) - emax_elem)
 
 
 def fake_quant_block(x, spec: QuantizerSpec, amax=None, tensor_amax=None):

@@ -95,6 +95,21 @@ def parse_format(name_or_tuple) -> FPFormat:
     raise ValueError(f"Unrecognized FP format spec: {name_or_tuple!r}")
 
 
+def exp2_int(e: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2^e for integer-valued e in [-126, 127], by assembling the
+    float32 exponent field. (XLA's exp2 is a polynomial approximation —
+    exp2(13.0) != 8192 exactly on some backends, which corrupts quantization
+    grids; bit assembly is both exact and cheaper.)"""
+    e = jnp.clip(e.astype(jnp.int32), -126, 127)
+    return jax.lax.bitcast_convert_type((e + 127) << 23, jnp.float32)
+
+
+def floor_log2(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact floor(log2(|x|)) for normal float32 x, via the exponent field."""
+    bits = jax.lax.bitcast_convert_type(jnp.abs(x).astype(jnp.float32), jnp.int32)
+    return ((bits >> 23) & 0xFF) - 127
+
+
 def cast_to_fp(x: jnp.ndarray, fmt: FPFormat) -> jnp.ndarray:
     """Round ``x`` to the nearest representable value of ``fmt`` (RNE), saturating.
 
@@ -127,8 +142,8 @@ def cast_to_fp(x: jnp.ndarray, fmt: FPFormat) -> jnp.ndarray:
     bits = jax.lax.bitcast_convert_type(mag, jnp.int32)
     fe = ((bits >> 23) & 0xFF) - 127
     e = jnp.clip(fe, fmt.min_normal_exp, fmt.emax)
-    # Quantization step for this exponent bucket: 2^(e - M).
-    step = jnp.exp2((e - fmt.man_bits).astype(jnp.float32))
+    # Quantization step for this exponent bucket: 2^(e - M), exact.
+    step = exp2_int(e - fmt.man_bits)
     q = jnp.round(xf / step) * step  # jnp.round is round-half-to-even
     q = jnp.clip(q, -fmt.maxval, fmt.maxval)
     return jnp.where(mag == 0, 0.0, q).astype(orig_dtype)

@@ -75,6 +75,8 @@ class QuantizerSpec:
     narrow_range: bool = False
     enable: bool = True
     fake: bool = True
+    # dynamic=True: compute amax per call (no calibration) for non-block specs
+    dynamic: bool = False
     bias_mode: Optional[str] = None
     rotate: bool = False
     calibrator: str = "max"

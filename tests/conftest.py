@@ -6,14 +6,24 @@ the JAX analogue of the reference's gloo-on-CPU multiprocess trick
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before the backend is initialized. NOTE: this environment's
+# sitecustomize force-registers the axon TPU platform and overrides
+# JAX_PLATFORMS, so the env-var alone is NOT enough — we must also update
+# jax.config before first device use.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+assert jax.default_backend() == "cpu", "unit tests must run on CPU"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture
