@@ -9,6 +9,9 @@ a pure ``bundle -> bundle`` transform. Replayability falls out of purity.
 """
 
 from .bundle import (
+    PHASE_CALIB,
+    PHASE_OFF,
+    PHASE_QUANT,
     ModelBundle,
     apply_mode,
     modelopt_state,
@@ -19,6 +22,9 @@ from .bundle import (
 from .mode import ModeDescriptor, ModeRegistry, get_mode
 
 __all__ = [
+    "PHASE_CALIB",
+    "PHASE_OFF",
+    "PHASE_QUANT",
     "ModelBundle",
     "ModeDescriptor",
     "ModeRegistry",

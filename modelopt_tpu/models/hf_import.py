@@ -1,0 +1,208 @@
+"""Import Hugging Face torch checkpoints into native linen decoders.
+
+The reference wraps HF torch models in place; this framework instead converts
+their weights into its own TPU-native modules (models/transformer.py). Covers
+the GPT-2, Llama/TinyLlama/Mistral, and Mixtral families
+(reference counterpart: the per-architecture HF plugins,
+modelopt/torch/quantization/plugins/huggingface.py).
+
+All functions accept either a live ``transformers`` model or a
+``state_dict``-like mapping of numpy/torch tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.bundle import ModelBundle
+from .transformer import Decoder, DecoderConfig
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _sd(model_or_sd) -> Mapping[str, Any]:
+    if hasattr(model_or_sd, "state_dict"):
+        return model_or_sd.state_dict()
+    return model_or_sd
+
+
+def config_from_hf(hf_config) -> DecoderConfig:
+    """Map an HF config object/dict to a DecoderConfig."""
+    get = (lambda k, d=None: getattr(hf_config, k, d)) if not isinstance(
+        hf_config, dict
+    ) else (lambda k, d=None: hf_config.get(k, d))
+    mt = (get("model_type") or "").lower()
+    if mt == "gpt2":
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("n_embd"),
+            num_layers=get("n_layer"), num_heads=get("n_head"),
+            intermediate_size=(get("n_inner") or 4 * get("n_embd")),
+            activation="gelu", norm="layernorm", positions="learned",
+            max_position_embeddings=get("n_positions", 1024), attn_bias=True,
+            mlp_bias=True, tie_word_embeddings=True,
+            norm_eps=get("layer_norm_epsilon", 1e-5),
+        )
+    if mt in ("llama", "mistral", "qwen2", "tinyllama"):
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
+            num_layers=get("num_hidden_layers"), num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads"),
+            head_dim=get("head_dim"),
+            intermediate_size=get("intermediate_size"),
+            activation="silu_glu", norm="rmsnorm", positions="rope",
+            rope_theta=get("rope_theta", 10000.0),
+            max_position_embeddings=get("max_position_embeddings", 4096),
+            attn_bias=bool(get("attention_bias", False)),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            norm_eps=get("rms_norm_eps", 1e-5),
+        )
+    if mt == "mixtral":
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
+            num_layers=get("num_hidden_layers"), num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads"),
+            intermediate_size=get("intermediate_size"),
+            activation="silu_glu", norm="rmsnorm", positions="rope",
+            rope_theta=get("rope_theta", 1e6),
+            max_position_embeddings=get("max_position_embeddings", 4096),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            norm_eps=get("rms_norm_eps", 1e-5),
+            num_experts=get("num_local_experts", 8),
+            experts_per_token=get("num_experts_per_tok", 2),
+        )
+    raise ValueError(f"Unsupported HF model_type: {mt!r}")
+
+
+def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.") -> dict:
+    p: dict = {}
+    p["embed_tokens"] = {"embedding": _np(sd[f"{prefix}embed_tokens.weight"])}
+    for i in range(cfg.num_layers):
+        L = f"{prefix}layers.{i}."
+        layer: dict = {
+            "input_norm": {"scale": _np(sd[L + "input_layernorm.weight"])},
+            "post_attn_norm": {"scale": _np(sd[L + "post_attention_layernorm.weight"])},
+        }
+        attn = {}
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            attn[name] = {"kernel": _np(sd[L + f"self_attn.{name}.weight"]).T}
+            if cfg.attn_bias and L + f"self_attn.{name}.bias" in sd:
+                attn[name]["bias"] = _np(sd[L + f"self_attn.{name}.bias"])
+        layer["attn"] = attn
+        if cfg.num_experts > 0:
+            E = cfg.num_experts
+            moe = {
+                "router": {"kernel": _np(sd[L + "block_sparse_moe.gate.weight"]).T},
+                "gate_proj": {"kernel": np.stack([
+                    _np(sd[L + f"block_sparse_moe.experts.{e}.w1.weight"]).T for e in range(E)
+                ])},
+                "up_proj": {"kernel": np.stack([
+                    _np(sd[L + f"block_sparse_moe.experts.{e}.w3.weight"]).T for e in range(E)
+                ])},
+                "down_proj": {"kernel": np.stack([
+                    _np(sd[L + f"block_sparse_moe.experts.{e}.w2.weight"]).T for e in range(E)
+                ])},
+            }
+            layer["moe"] = moe
+        else:
+            layer["mlp"] = {
+                name: {"kernel": _np(sd[L + f"mlp.{name}.weight"]).T}
+                for name in ("gate_proj", "up_proj", "down_proj")
+            }
+        p[f"layers_{i}"] = layer
+    p["final_norm"] = {"scale": _np(sd[f"{prefix}norm.weight"])}
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = {"kernel": _np(sd["lm_head.weight"]).T}
+    return p
+
+
+def _gpt2_params(sd, cfg: DecoderConfig) -> dict:
+    pre = "transformer." if any(k.startswith("transformer.") for k in sd) else ""
+    p: dict = {
+        "embed_tokens": {"embedding": _np(sd[pre + "wte.weight"])},
+        "embed_positions": {"embedding": _np(sd[pre + "wpe.weight"])},
+    }
+    H = cfg.hidden_size
+    for i in range(cfg.num_layers):
+        L = f"{pre}h.{i}."
+        # HF GPT2 uses Conv1D: weights already [in, out]
+        ca_w = _np(sd[L + "attn.c_attn.weight"])  # [H, 3H]
+        ca_b = _np(sd[L + "attn.c_attn.bias"])
+        qw, kw, vw = np.split(ca_w, 3, axis=1)
+        qb, kb, vb = np.split(ca_b, 3)
+        layer = {
+            "input_norm": {
+                "scale": _np(sd[L + "ln_1.weight"]), "bias": _np(sd[L + "ln_1.bias"])
+            },
+            "post_attn_norm": {
+                "scale": _np(sd[L + "ln_2.weight"]), "bias": _np(sd[L + "ln_2.bias"])
+            },
+            "attn": {
+                "q_proj": {"kernel": qw, "bias": qb},
+                "k_proj": {"kernel": kw, "bias": kb},
+                "v_proj": {"kernel": vw, "bias": vb},
+                "o_proj": {
+                    "kernel": _np(sd[L + "attn.c_proj.weight"]),
+                    "bias": _np(sd[L + "attn.c_proj.bias"]),
+                },
+            },
+            "mlp": {
+                "fc_in": {
+                    "kernel": _np(sd[L + "mlp.c_fc.weight"]),
+                    "bias": _np(sd[L + "mlp.c_fc.bias"]),
+                },
+                "fc_out": {
+                    "kernel": _np(sd[L + "mlp.c_proj.weight"]),
+                    "bias": _np(sd[L + "mlp.c_proj.bias"]),
+                },
+            },
+        }
+        p[f"layers_{i}"] = layer
+    p["final_norm"] = {
+        "scale": _np(sd[pre + "ln_f.weight"]), "bias": _np(sd[pre + "ln_f.bias"])
+    }
+    return p
+
+
+def from_hf(model, hf_config=None, example_len: int = 8) -> ModelBundle:
+    """Convert an HF torch model (or (state_dict, config)) into a ModelBundle."""
+    if hf_config is None:
+        hf_config = model.config
+    cfg = config_from_hf(hf_config)
+    sd = _sd(model)
+    sd = {k: v for k, v in sd.items()}
+    mt = (hf_config.model_type if not isinstance(hf_config, dict) else hf_config["model_type"]).lower()
+    if mt == "gpt2":
+        params = _gpt2_params(sd, cfg)
+    else:
+        params = _llama_like_params(sd, cfg)
+    params = {k: _to_jnp(v) for k, v in params.items()}
+    module = Decoder(cfg)
+    ids = jnp.zeros((1, example_len), jnp.int32)
+    return ModelBundle(
+        module=module,
+        variables={"params": params},
+        example_inputs=(ids,),
+        metadata={"hf_config": _config_dict(hf_config), "model_type": mt},
+    )
+
+
+def _to_jnp(tree):
+    if isinstance(tree, dict):
+        return {k: _to_jnp(v) for k, v in tree.items()}
+    return jnp.asarray(tree)
+
+
+def _config_dict(hf_config):
+    if isinstance(hf_config, dict):
+        return hf_config
+    try:
+        return hf_config.to_dict()
+    except Exception:
+        return {}

@@ -1,0 +1,343 @@
+"""Generic quantization-aware decoder-only transformer.
+
+One implementation covers the reference's main LLM model families via config:
+GPT-2 (LayerNorm / learned positions / GELU), Llama & TinyLlama & Qwen-style
+(RMSNorm / RoPE / SwiGLU / GQA), and Mixtral-style MoE. The reference
+operates on HF torch models in place; here the architectures are native
+linen modules built from Quant* layers, and HF checkpoints are imported into
+them (models/hf_import.py).
+
+TPU-first choices:
+  * static-shape KV cache (decode updates via dynamic_update_slice) so the
+    whole decode step jits to one XLA program;
+  * attention in einsum form with fp32 softmax — XLA maps the matmuls to the
+    MXU; a Pallas flash/quantized-KV kernel can be swapped in via
+    ``attn_impl`` (kernels/fp8_attention.py);
+  * KV quantization points named ``k_quantizer``/``v_quantizer`` on the
+    attention (reference: plugins/attention.py:45 KV bmm quantizers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import QuantDense, QuantEmbed, RMSNorm
+from ..nn.quantizer import TensorQuantizer  # noqa: F401 (re-export for models)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    num_layers: int = 16
+    num_heads: int = 16
+    num_kv_heads: Optional[int] = None  # None = MHA
+    head_dim: Optional[int] = None
+    intermediate_size: int = 5632
+    activation: str = "silu_glu"  # "silu_glu" | "gelu"
+    norm: str = "rmsnorm"  # "rmsnorm" | "layernorm"
+    positions: str = "rope"  # "rope" | "learned"
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    attn_bias: bool = False
+    mlp_bias: bool = False
+    tie_word_embeddings: bool = False
+    norm_eps: float = 1e-5
+    # MoE (Mixtral-style); 0 experts = dense MLP
+    num_experts: int = 0
+    experts_per_token: int = 2
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def dims_per_head(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+
+def make_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
+    """Allocate a static-shape KV cache pytree."""
+    shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.dims_per_head)
+    dtype = dtype or cfg.dtype
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "index": jnp.zeros((), jnp.int32),
+    }
+
+
+def _rope(x, positions, theta):
+    """Rotary embeddings, interleaved-pair convention (Llama)."""
+    d = x.shape[-1]
+    half = d // 2
+    freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions[..., None].astype(jnp.float32) * freq  # [B,T,half]
+    cos = jnp.cos(angles)[:, :, None, :]  # [B,T,1,half]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask, cache_kv=None):
+        """cache_kv: None or (k_cache, v_cache, index) with static shapes.
+        Returns (out, new_kv) where new_kv is None without cache."""
+        cfg = self.cfg
+        H, KH, D = cfg.num_heads, cfg.kv_heads, cfg.dims_per_head
+        B, T, _ = x.shape
+        dense = lambda feats, name: QuantDense(  # noqa: E731
+            feats, use_bias=cfg.attn_bias, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name=name,
+        )
+        q = dense(H * D, "q_proj")(x).reshape(B, T, H, D)
+        k = dense(KH * D, "k_proj")(x).reshape(B, T, KH, D)
+        v = dense(KH * D, "v_proj")(x).reshape(B, T, KH, D)
+
+        if cfg.positions == "rope":
+            q = _rope(q, positions, cfg.rope_theta)
+            k = _rope(k, positions, cfg.rope_theta)
+
+        # KV-cache quantization points: quantize before the cache / BMMs
+        q = TensorQuantizer(name="q_quantizer")(q)
+        k = TensorQuantizer(name="k_quantizer")(k)
+        v = TensorQuantizer(name="v_quantizer")(v)
+
+        new_kv = None
+        if cache_kv is not None:
+            ck, cv, index = cache_kv
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, index, 0, 0))
+            k, v = ck, cv  # [B, S_max, KH, D]
+            new_kv = (ck, cv)
+
+        S = k.shape[1]
+        G = H // KH
+        qg = q.reshape(B, T, KH, G, D)
+        scores = jnp.einsum(
+            "btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(D).astype(jnp.float32)
+        scores = scores + mask[:, None, None, :, :S]
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+        out = jnp.einsum("bkgts,bskd->btkgd", probs, v.astype(cfg.dtype))
+        out = out.reshape(B, T, H * D)
+        out = dense(cfg.hidden_size, "o_proj")(out)
+        return out, new_kv
+
+
+class MLP(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        dense = lambda feats, name: QuantDense(  # noqa: E731
+            feats, use_bias=cfg.mlp_bias, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name=name,
+        )
+        if cfg.activation == "silu_glu":
+            gate = dense(cfg.intermediate_size, "gate_proj")(x)
+            up = dense(cfg.intermediate_size, "up_proj")(x)
+            return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
+        h = dense(cfg.intermediate_size, "fc_in")(x)
+        return dense(cfg.hidden_size, "fc_out")(nn.gelu(h))
+
+
+class MoEBlock(nn.Module):
+    """Mixtral-style sparse MoE. Router stays unquantized (reference skips
+    routers too). Compute is dense-over-experts, masked by top-k routing —
+    the XLA-friendly formulation for small/medium expert counts; the serving
+    engine uses a gathered/sharded path for scale."""
+
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        B, T, Hd = x.shape
+        E, K = cfg.num_experts, cfg.experts_per_token
+        router = nn.Dense(E, use_bias=False, dtype=jnp.float32,
+                          param_dtype=cfg.param_dtype, name="router")
+        logits = router(x.astype(jnp.float32))  # [B,T,E]
+        weights, sel = jax.lax.top_k(logits, K)
+        weights = jax.nn.softmax(weights, axis=-1)  # [B,T,K]
+        gates = jnp.zeros_like(logits).at[
+            jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], sel
+        ].set(weights)  # [B,T,E] sparse gate matrix
+
+        from ..nn.layers import QuantEinsum
+
+        def expert_einsum(shape, name):
+            return QuantEinsum(
+                einsum_str="btd,edf->btef" if shape[1] == Hd else "btef,efd->bted",
+                kernel_shape=shape, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                name=name,
+            )
+
+        I = cfg.intermediate_size
+        gate_out = expert_einsum((E, Hd, I), "gate_proj")(x)
+        up_out = expert_einsum((E, Hd, I), "up_proj")(x)
+        h = nn.silu(gate_out) * up_out  # [B,T,E,I]
+        down = QuantEinsum(
+            einsum_str="bteo,eod->bted", kernel_shape=(E, I, Hd),
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="down_proj",
+        )(h)  # [B,T,E,Hd]
+        return jnp.einsum("bted,bte->btd", down, gates.astype(cfg.dtype))
+
+
+class Block(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask, cache_kv=None):
+        cfg = self.cfg
+        norm = (
+            (lambda name: RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name=name))
+            if cfg.norm == "rmsnorm"
+            else (lambda name: nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
+                                            param_dtype=cfg.param_dtype, name=name))
+        )
+        h, new_kv = Attention(cfg, name="attn")(norm("input_norm")(x), positions, mask, cache_kv)
+        x = x + h
+        mlp_in = norm("post_attn_norm")(x)
+        if cfg.num_experts > 0:
+            x = x + MoEBlock(cfg, name="moe")(mlp_in)
+        else:
+            x = x + MLP(cfg, name="mlp")(mlp_in)
+        return x, new_kv
+
+
+class Decoder(nn.Module):
+    """Full causal LM. __call__(ids, cache=None, positions=None) ->
+    (logits, new_cache)."""
+
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, cache=None, positions=None):
+        cfg = self.cfg
+        B, T = input_ids.shape
+        if positions is None:
+            start = cache["index"] if cache is not None else 0
+            positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
+            positions = jnp.broadcast_to(positions, (B, T))
+
+        embed = QuantEmbed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+                           param_dtype=cfg.param_dtype, name="embed_tokens")
+        x = embed(input_ids)
+        if cfg.positions == "learned":
+            pos_emb = QuantEmbed(cfg.max_position_embeddings, cfg.hidden_size,
+                                 dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                                 name="embed_positions")(positions)
+            x = x + pos_emb
+
+        if cache is not None:
+            S = cache["k"].shape[2]
+            key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, :]  # [1,1,S]
+            valid = key_pos <= positions[:, :, None]
+            mask = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)  # [B,T,S]
+        else:
+            q_pos = positions[:, :, None]
+            k_pos = positions[:, None, :]
+            mask = jnp.where(k_pos <= q_pos, 0.0, -1e9).astype(jnp.float32)
+
+        new_cache = None
+        ks, vs = [], []
+        for i in range(cfg.num_layers):
+            cache_kv = None
+            if cache is not None:
+                cache_kv = (cache["k"][i], cache["v"][i], cache["index"])
+            x, new_kv = Block(cfg, name=f"layers_{i}")(x, positions, mask, cache_kv)
+            if new_kv is not None:
+                ks.append(new_kv[0])
+                vs.append(new_kv[1])
+        if cache is not None:
+            new_cache = {
+                "k": jnp.stack(ks),
+                "v": jnp.stack(vs),
+                "index": cache["index"] + T,
+            }
+
+        x = (
+            RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="final_norm")(x)
+            if cfg.norm == "rmsnorm"
+            else nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
+                              param_dtype=cfg.param_dtype, name="final_norm")(x)
+        )
+        if cfg.tie_word_embeddings:
+            logits = embed.attend(x)
+        else:
+            logits = QuantDense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
+                                param_dtype=cfg.param_dtype, name="lm_head")(x)
+        return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Named configurations (model zoo entries; weights come from hf_import)
+# ---------------------------------------------------------------------------
+def gpt2_config(**overrides) -> DecoderConfig:
+    base = dict(
+        vocab_size=50257, hidden_size=768, num_layers=12, num_heads=12,
+        intermediate_size=3072, activation="gelu", norm="layernorm",
+        positions="learned", max_position_embeddings=1024, attn_bias=True,
+        mlp_bias=True, tie_word_embeddings=True, num_kv_heads=None,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def llama_config(**overrides) -> DecoderConfig:
+    base = dict(
+        vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=8, intermediate_size=11008, activation="silu_glu",
+        norm="rmsnorm", positions="rope", rope_theta=10000.0,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def llama3_8b_config(**overrides) -> DecoderConfig:
+    return llama_config(
+        vocab_size=128256, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=8, intermediate_size=14336, rope_theta=500000.0,
+        max_position_embeddings=8192, **overrides,
+    )
+
+
+def tinyllama_config(**overrides) -> DecoderConfig:
+    return llama_config(
+        vocab_size=32000, hidden_size=2048, num_layers=22, num_heads=32,
+        num_kv_heads=4, intermediate_size=5632, **overrides,
+    )
+
+
+def mixtral_config(**overrides) -> DecoderConfig:
+    base = dict(
+        vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=8, intermediate_size=14336, activation="silu_glu",
+        norm="rmsnorm", positions="rope", rope_theta=1e6,
+        num_experts=8, experts_per_token=2,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def tiny_test_config(**overrides) -> DecoderConfig:
+    """Small config for tests: 2 layers, GQA, RoPE."""
+    base = dict(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=128, max_position_embeddings=128,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)

@@ -108,7 +108,8 @@ class QuantEinsum(nn.Module):
 
 class QuantEmbed(nn.Module):
     """Embedding with optional weight quantization
-    (reference: nn/modules/quant_embedding.py)."""
+    (reference: nn/modules/quant_embedding.py). ``attend`` reuses the
+    embedding as a tied LM head with its own quantization point."""
 
     num_embeddings: int
     features: int
@@ -117,20 +118,24 @@ class QuantEmbed(nn.Module):
     embedding_init: Callable = nn.initializers.normal(stddev=0.02)
     embedding_axes: Optional[tuple] = None
 
-    @nn.compact
-    def __call__(self, ids):
-        emb = self.param(
+    def setup(self):
+        self.embedding = self.param(
             "embedding",
             _maybe_partition(self.embedding_init, self.embedding_axes),
             (self.num_embeddings, self.features),
             self.param_dtype,
         )
-        emb = TensorQuantizer(name="weight_quantizer")(emb)
+        self.weight_quantizer = TensorQuantizer()
+        self.lm_head_quantizer = TensorQuantizer()
+
+    def __call__(self, ids):
+        emb = self.weight_quantizer(self.embedding)
         out = jnp.take(emb, ids, axis=0)
         return out.astype(self.dtype) if self.dtype else out
 
-    def attend(self, query, variables_emb):
-        return jnp.dot(query, variables_emb.T)
+    def attend(self, query):
+        emb = self.lm_head_quantizer(self.embedding)
+        return jnp.dot(query, emb.T.astype(query.dtype))
 
 
 class QuantConv(nn.Module):
