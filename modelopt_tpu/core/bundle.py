@@ -26,6 +26,7 @@ from .mode import get_mode
 #  nn/modules/tensor_quantizer.py:1119).
 PHASE_QUANT = "quant"
 PHASE_CALIB = "calib"
+PHASE_CAPTURE = "capture"  # pass-through + sow quantizer inputs (algorithms)
 PHASE_OFF = "off"
 
 

@@ -55,10 +55,19 @@ class QuantDense(nn.Module):
             (in_features, self.features),
             self.param_dtype,
         )
+        x_in = x
         x = TensorQuantizer(name="input_quantizer")(x)
         kernel = TensorQuantizer(name="weight_quantizer")(kernel)
         dtype = self.dtype or x.dtype
         y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+        # SVDQuant low-rank branch: kernel holds the quantized residual R and
+        # the 16-bit path x @ L1 @ L2 restores the outlier component; any
+        # smoothing scale is pre-folded into L1 so the branch reads the raw
+        # input (reference: svdquant, model_calib.py:1980 + SVDQuantLinear).
+        if self.has_variable("quant", "svd_lora_a"):
+            la = self.get_variable("quant", "svd_lora_a").astype(dtype)
+            lb = self.get_variable("quant", "svd_lora_b").astype(dtype)
+            y = y + (x_in.astype(dtype) @ la) @ lb
         if self.use_bias:
             bias = self.param(
                 "bias",

@@ -29,7 +29,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..core.bundle import PHASE_CALIB, PHASE_OFF, PHASE_QUANT
+from ..core.bundle import PHASE_CALIB, PHASE_CAPTURE, PHASE_OFF, PHASE_QUANT
 from ..quant.config import QuantizeConfig
 from ..quant.fake_quant import _blocked, fake_quantize, reduce_amax
 from ..quant.qspec import QuantizerSpec
@@ -122,15 +122,24 @@ class TensorQuantizer(nn.Module):
         cap = _CAPTURE.get()
         if cap is not None:
             cap.append(("/".join(self.path), specs))
-        if not specs:
-            return x
 
         # pre-quant scale (SmoothQuant / AWQ): created by calibration
-        # algorithms, applied before any quantization
-        # (reference: tensor_quantizer.py forward pre_quant_scale path).
+        # algorithms, applied before any quantization — and also when this
+        # quantizer itself is disabled (weight-only AWQ still rescales the
+        # activation path; reference: tensor_quantizer.py pre_quant_scale).
         if self.has_variable("quant", "pre_quant_scale"):
             pqs = self.get_variable("quant", "pre_quant_scale")
             x = (x * pqs).astype(x.dtype)
+
+        if phase == PHASE_CAPTURE:
+            # record this quantization point's input for layer-wise algorithms
+            # (reference: cached activations in awq/gptq, model_calib.py:1395)
+            if self.path and self.path[-1] == "input_quantizer":
+                self.sow("quant_capture", "x", x.reshape(-1, x.shape[-1]))
+            return x
+
+        if not specs:
+            return x
 
         for i, spec in enumerate(specs):
             if not spec.enable:

@@ -49,3 +49,4 @@ from .config import (  # noqa: F401 — preset names re-exported
 )
 from .fake_quant import fake_quantize, reduce_amax
 from .qspec import BlockSpec, QuantizerSpec
+from . import algorithms  # noqa: F401  (registers smoothquant/awq/mse/gptq/svdquant)

@@ -1,0 +1,6 @@
+"""Calibration algorithms beyond max: SmoothQuant, AWQ (lite/clip/full),
+MSE, GPTQ, SVDQuant. Each registers itself with the calibrate() dispatch.
+"""
+
+from . import awq, gptq, mse, smoothquant, svdquant  # noqa: F401
+from .capture import capture_inputs, fused_groups, quant_linears  # noqa: F401

@@ -1,0 +1,140 @@
+"""Shared infrastructure for layer-wise calibration algorithms:
+input capture, fused-group discovery, and per-linear metadata.
+
+(reference: the activation-caching forward hooks + fused-sibling grouping in
+modelopt/torch/quantization/model_calib.py:1395,1171 and
+algorithms.py:641-657)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...core.bundle import PHASE_CAPTURE, ModelBundle
+from ...core.tree import flatten_with_paths, get_in
+from ..config import QuantizeConfig, get_config
+from ..qspec import QuantizerSpec
+
+# Sibling projections that deployment fuses into one GEMM must share
+# pre-quant scales (reference: algorithms.py:641, quant_utils.py:1339).
+FUSION_GROUPS = (("q_proj", "k_proj", "v_proj"), ("gate_proj", "up_proj"))
+
+
+def active_config(bundle: ModelBundle) -> QuantizeConfig:
+    for rec in reversed(bundle.records):
+        if rec.mode == "quantize":
+            return get_config(rec.config)
+    raise ValueError("bundle has no quantize mode applied")
+
+
+def capture_inputs(
+    bundle: ModelBundle, forward_loop=None, max_tokens: int = 2048
+) -> dict:
+    """Run forward passes in CAPTURE phase; return
+    {dense_path: x [K, in_features] fp32} with K <= max_tokens."""
+    step = jax.jit(bundle.make_fn(phase=PHASE_CAPTURE, mutable=["quant_capture"]))
+    acc: dict[str, list] = {}
+
+    def model_fn(*args, **kwargs):
+        out, muts = step(bundle.variables, *args, **kwargs)
+        for path, val in flatten_with_paths(muts.get("quant_capture", {})):
+            # path: .../<dense>/input_quantizer/x ; sow values arrive as tuples
+            vals = val if isinstance(val, tuple) else (val,)
+            dense_path = path.rsplit("/input_quantizer/", 1)[0]
+            acc.setdefault(dense_path, []).extend(vals)
+        return out
+
+    if forward_loop is not None:
+        forward_loop(model_fn)
+    else:
+        if not bundle.example_inputs:
+            raise ValueError("capture needs a forward_loop or example_inputs")
+        model_fn(*bundle.example_inputs)
+
+    out = {}
+    for path, chunks in acc.items():
+        x = jnp.concatenate(chunks, axis=0).astype(jnp.float32)
+        n = x.shape[0]
+        if n > max_tokens:
+            stride = n // max_tokens
+            x = x[::stride][:max_tokens]
+        out[path] = x
+    return out
+
+
+@dataclasses.dataclass
+class LinearInfo:
+    dense_path: str
+    kernel_path: tuple  # path inside variables['params']
+    kernel: jnp.ndarray  # [in, out]
+    wspec: Optional[QuantizerSpec]  # first weight-quantizer spec (or None)
+    aspec: Optional[QuantizerSpec]  # input-quantizer spec (or None)
+    x: Optional[jnp.ndarray] = None  # captured input [K, in]
+
+
+def quant_linears(bundle: ModelBundle, captured: dict) -> list[LinearInfo]:
+    """Assemble per-linear metadata for every captured 2-D kernel whose weight
+    quantizer is enabled. (3-D MoE expert kernels are handled per-expert by
+    slicing the leading dim — see ``expand_experts``.)"""
+    cfg = active_config(bundle)
+    infos = []
+    for dense_path, x in captured.items():
+        kpath = tuple(dense_path.split("/")) + ("kernel",)
+        kernel = get_in(bundle.variables.get("params", {}), kpath)
+        if kernel is None or kernel.ndim != 2:
+            continue
+        wspecs = cfg.resolve(dense_path + "/weight_quantizer")
+        aspecs = cfg.resolve(dense_path + "/input_quantizer")
+        wspec = wspecs[0] if wspecs else None
+        aspec = aspecs[0] if aspecs else None
+        if wspec is None or not wspec.enable:
+            continue
+        infos.append(
+            LinearInfo(
+                dense_path=dense_path, kernel_path=kpath,
+                kernel=kernel.astype(jnp.float32), wspec=wspec, aspec=aspec, x=x,
+            )
+        )
+    return infos
+
+
+def fused_groups(infos: list[LinearInfo]) -> list[list[LinearInfo]]:
+    """Group linears whose inputs are shared and fused at deployment."""
+    groups: dict = {}
+    for info in infos:
+        parent, _, leaf = info.dense_path.rpartition("/")
+        key = (parent, leaf)
+        for g in FUSION_GROUPS:
+            if leaf in g:
+                key = (parent, g)
+                break
+        groups.setdefault(key, []).append(info)
+    return list(groups.values())
+
+
+def weight_amax_map(w: jnp.ndarray, spec: QuantizerSpec) -> jnp.ndarray:
+    """Elementwise amax (broadcast to w's shape) implied by ``spec`` —
+    the static quantization grid every element of w falls into."""
+    from ..fake_quant import _blocked, reduce_amax
+
+    if spec.block is not None:
+        xb, unblock, baxes = _blocked(w, spec.block)
+        amax = jnp.max(jnp.abs(xb), axis=baxes, keepdims=True)
+        return unblock(jnp.broadcast_to(amax, xb.shape))
+    if spec.axis is None:
+        return jnp.broadcast_to(jnp.max(jnp.abs(w)), w.shape)
+    return jnp.broadcast_to(reduce_amax(w, spec.axis, keepdims=True), w.shape)
+
+
+def fq_with_amax(w, amax, spec: QuantizerSpec):
+    """Fake-quantize with an explicit elementwise amax grid (used by search
+    algorithms that perturb scales)."""
+    from ..fake_quant import fake_quant_fp, fake_quant_int
+
+    if spec.is_fp:
+        return fake_quant_fp(w, amax, spec.fp_format)
+    return fake_quant_int(w, amax, spec.num_bits, spec.unsigned, spec.narrow_range)
