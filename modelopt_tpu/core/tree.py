@@ -29,6 +29,18 @@ def update_in(tree: dict, path: Sequence[str], fn) -> dict:
     return set_in(tree, path, fn(get_in(tree, path)))
 
 
+def del_in(tree: dict, path: Sequence[str]) -> dict:
+    """Return a copy of ``tree`` without the leaf at ``path`` (no-op if absent)."""
+    if not path or not isinstance(tree, dict) or path[0] not in tree:
+        return tree
+    new = dict(tree)
+    if len(path) == 1:
+        del new[path[0]]
+        return new
+    new[path[0]] = del_in(new[path[0]], path[1:])
+    return new
+
+
 def flatten_with_paths(tree: Any, prefix=()):
     """Yield ('/'-joined path, leaf) pairs for a nested dict."""
     if isinstance(tree, dict):

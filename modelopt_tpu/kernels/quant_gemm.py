@@ -1,0 +1,238 @@
+"""Pallas TPU kernels: fused dequantize-GEMM for packed low-bit weights.
+
+Replaces the reference's CUDA/Triton dequant-GEMM path
+(reference: modelopt/torch/quantization/backends/nvfp4_gemm.py:28-60,
+kernels/quantization/gemm/*) with Mosaic kernels designed for the
+weight-bound decode regime: packed weights stream HBM->VMEM at 4-8x lower
+byte volume than bf16, are unpacked on the VPU, and fed to the MXU per
+128-row block with per-block scales applied to the f32 accumulator.
+
+Layouts match quant/qtensor.py (split-half nibble packing — no interleave
+reshapes, just two half-GEMMs). Decode (small M) uses these kernels; prefill
+(large M, compute-bound) uses the XLA dequant+matmul fallback — dispatch in
+quant/backends.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tn(N: int, K: int = 4096, bytes_per_k: float = 3.0) -> int:
+    """Largest N-tile whose weight block (+ a converted copy) fits a VMEM
+    budget of ~5MB alongside x and the accumulator."""
+    for tn in (512, 256, 128):
+        if N % tn == 0 and K * tn * bytes_per_k <= 5e6:
+            return tn
+    if N % 128 == 0:
+        return 128
+    raise ValueError(f"N={N} not a multiple of 128")
+
+
+def _pad_m(x, mult=8):
+    M = x.shape[0]
+    pad = (-M) % mult
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x, M
+
+
+# ---------------------------------------------------------------------------
+# W4A16: int4 block-quantized weights (offset-binary nibbles, split-half)
+# ---------------------------------------------------------------------------
+def _w4a16_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
+    K2 = p_ref.shape[0]
+    nb = K2 // block  # blocks per half
+    M = x_ref.shape[0]
+    TN = p_ref.shape[1]
+
+    def body(b, acc):
+        off = b * block
+        pb = p_ref[pl.ds(off, block), :].astype(jnp.int32)
+        lo = ((pb & 0xF) - 8).astype(jnp.bfloat16)
+        hi = ((pb >> 4) - 8).astype(jnp.bfloat16)
+        xlo = x_ref[:, pl.ds(off, block)].astype(jnp.bfloat16)
+        xhi = x_ref[:, pl.ds(K2 + off, block)].astype(jnp.bfloat16)
+        plo = jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
+        phi = jnp.dot(xhi, hi, preferred_element_type=jnp.float32)
+        s_lo = s_ref[pl.ds(b, 1), :]
+        s_hi = s_ref[pl.ds(nb + b, 1), :]
+        return acc + plo * s_lo + phi * s_hi
+
+    acc = jax.lax.fori_loop(
+        0, nb, body, jnp.zeros((M, TN), jnp.float32), unroll=False
+    )
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "out_dtype"))
+def w4a16_gemm(x, packed, scale, block: int = 128, out_dtype=jnp.bfloat16):
+    """x [M, K] @ int4-packed W -> [M, N]. packed uint8 [K/2, N],
+    scale f32 [K/block, N]."""
+    K2, N = packed.shape
+    TN = _pick_tn(N, K2, 1.5)
+    x, M = _pad_m(x)
+    Mp = x.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_w4a16_kernel, block=block),
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((Mp, 2 * K2), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * K2 // block, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * 2 * K2 * N,
+            bytes_accessed=K2 * N + (2 * K2 // block) * N * 4 + Mp * 2 * K2 * 2,
+            transcendentals=0,
+        ),
+    )(x, packed, scale)
+    return out[:M]
+
+
+# ---------------------------------------------------------------------------
+# W8A16: int8 per-out-channel weights
+# ---------------------------------------------------------------------------
+def _w8a16_kernel(x_ref, w_ref, s_ref, o_ref):
+    w = w_ref[:].astype(jnp.bfloat16)
+    acc = jnp.dot(x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def w8a16_gemm(x, data, scale, out_dtype=jnp.bfloat16):
+    """x [M, K] @ int8 W [K, N] * scale [1, N] -> [M, N]."""
+    K, N = data.shape
+    TN = _pick_tn(N, K, 3.0)
+    x, M = _pad_m(x)
+    Mp = x.shape[0]
+    out = pl.pallas_call(
+        _w8a16_kernel,
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((Mp, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=K * N + N * 4 + Mp * K * 2,
+            transcendentals=0,
+        ),
+    )(x, data, scale)
+    return out[:M]
+
+
+# ---------------------------------------------------------------------------
+# W(FP8)A16: e4m3 weights, per-tensor scale
+# ---------------------------------------------------------------------------
+def _wfp8_kernel(x_ref, w_ref, s_ref, o_ref):
+    w = w_ref[:].astype(jnp.bfloat16)
+    acc = jnp.dot(x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[0, 0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def wfp8_gemm(x, data, scale, out_dtype=jnp.bfloat16):
+    """x [M, K] @ e4m3 W [K, N] * scalar scale -> [M, N]."""
+    K, N = data.shape
+    TN = _pick_tn(N, K, 3.0)
+    x, M = _pad_m(x)
+    Mp = x.shape[0]
+    out = pl.pallas_call(
+        _wfp8_kernel,
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((Mp, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda n: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+    )(x, data, scale.reshape(1, 1))
+    return out[:M]
+
+
+# ---------------------------------------------------------------------------
+# NVFP4: e2m1 codes (split-half nibbles), e4m3 block-16 scales, f32 scale2
+# ---------------------------------------------------------------------------
+def _decode_e2m1_mag(c):
+    """c int32 0..7 -> e2m1 magnitude {0,.5,1,1.5,2,3,4,6}, via exact
+    selects on the VPU (no transcendentals — exp2 approximations would
+    corrupt the grid)."""
+    e = c >> 1
+    m = (c & 1).astype(jnp.float32)
+    base = jnp.where(e == 0, 0.5, jnp.where(e == 1, 1.0, jnp.where(e == 2, 2.0, 4.0)))
+    val = base * (1.0 + 0.5 * m)
+    return jnp.where(c == 0, 0.0, jnp.where(c == 1, 0.5, val))
+
+
+def _nvfp4_kernel(x_ref, p_ref, s_ref, s2_ref, o_ref, *, block: int):
+    K2 = p_ref.shape[0]
+    CH = 128  # process K in 128-row chunks per half
+    nch = K2 // CH
+    M, TN = x_ref.shape[0], p_ref.shape[1]
+    sb = CH // block  # scale rows per chunk (16-blocks): 8
+    # 0/1 expansion matrix [CH, sb]: row r -> r // block
+    row = jax.lax.broadcasted_iota(jnp.int32, (CH, sb), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (CH, sb), 1)
+    expand = (row // block == col).astype(jnp.float32)
+    s2 = s2_ref[0, 0]
+    nsrow_half = K2 // block
+
+    def half(off_x, off_p, off_s, codes_fn, acc):
+        def body(ch, acc):
+            off = ch * CH
+            pb = p_ref[pl.ds(off_p + off, CH), :].astype(jnp.int32)
+            c = codes_fn(pb)
+            mag = _decode_e2m1_mag(c & 7)
+            w = jnp.where((c & 8) > 0, -mag, mag)
+            s_rows = s_ref[pl.ds(off_s + ch * sb, sb), :].astype(jnp.float32)
+            srep = jnp.dot(expand, s_rows, preferred_element_type=jnp.float32)
+            wd = (w * srep).astype(jnp.bfloat16)
+            xc = x_ref[:, pl.ds(off_x + off, CH)].astype(jnp.bfloat16)
+            return acc + jnp.dot(xc, wd, preferred_element_type=jnp.float32)
+
+        return jax.lax.fori_loop(0, nch, body, acc)
+
+    acc = jnp.zeros((M, TN), jnp.float32)
+    acc = half(0, 0, 0, lambda p: p & 0xF, acc)
+    acc = half(K2, 0, nsrow_half, lambda p: p >> 4, acc)
+    o_ref[:] = (acc * s2).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "out_dtype"))
+def nvfp4_gemm(x, packed, scale, scale2, block: int = 16, out_dtype=jnp.bfloat16):
+    """x [M, K] @ nvfp4-packed W -> [M, N]. packed uint8 [K/2, N],
+    scale e4m3 [K/block, N], scale2 f32 [1,1]."""
+    K2, N = packed.shape
+    TN = _pick_tn(N, K2, 2.0)
+    x, M = _pad_m(x)
+    Mp = x.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_nvfp4_kernel, block=block),
+        grid=(N // TN,),
+        in_specs=[
+            pl.BlockSpec((Mp, 2 * K2), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * K2 // block, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda n: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * 2 * K2 * N,
+            bytes_accessed=K2 * N + (2 * K2 // block) * N + Mp * 2 * K2 * 2,
+            transcendentals=0,
+        ),
+    )(x, packed, scale, scale2)
+    return out[:M]

@@ -49,17 +49,35 @@ class QuantDense(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            _maybe_partition(self.kernel_init, self.kernel_axes),
-            (in_features, self.features),
-            self.param_dtype,
-        )
         x_in = x
         x = TensorQuantizer(name="input_quantizer")(x)
-        kernel = TensorQuantizer(name="weight_quantizer")(kernel)
         dtype = self.dtype or x.dtype
-        y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+        if self.has_variable("quant", "qweight"):
+            # compressed (real-quant) path: packed weight + fused dequant-GEMM
+            # (reference: compressed-inference GEMMs, backends/gemm_registry.py)
+            from ..nn.quantizer import active_quant_config
+            from ..quant.backends import qgemm
+
+            cfg = active_quant_config()
+            specs = cfg.resolve("/".join(self.path) + "/weight_quantizer") if cfg else None
+            if not specs:
+                raise ValueError(
+                    f"{'/'.join(self.path)}: qweight present but no active "
+                    "weight-quantizer spec to interpret it"
+                )
+            qt = self.get_variable("quant", "qweight")
+            x2d = x.reshape(-1, in_features)
+            y2d = qgemm(x2d, qt, specs[0], (in_features, self.features), out_dtype=dtype)
+            y = y2d.reshape(*x.shape[:-1], self.features)
+        else:
+            kernel = self.param(
+                "kernel",
+                _maybe_partition(self.kernel_init, self.kernel_axes),
+                (in_features, self.features),
+                self.param_dtype,
+            )
+            kernel = TensorQuantizer(name="weight_quantizer")(kernel)
+            y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
         # SVDQuant low-rank branch: kernel holds the quantized residual R and
         # the 16-bit path x @ L1 @ L2 restores the outlier component; any
         # smoothing scale is pre-folded into L1 so the branch reads the raw

@@ -1,0 +1,71 @@
+"""Pallas dequant-GEMM kernel parity vs the XLA dequant path, run in
+interpreter mode on CPU (hardware runs are covered by bench/verify drives).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from modelopt_tpu.kernels import quant_gemm as kq
+from modelopt_tpu.quant import qtensor as qt
+
+
+@pytest.fixture
+def interp():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_w4a16_parity(rng, interp):
+    K, N, M = 512, 256, 8
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    packed = qt.quantize_int4(w, block=128)
+    y = kq.w4a16_gemm(x, packed["data"], packed["scale"], block=128,
+                      out_dtype=jnp.float32)
+    ref = x.astype(jnp.bfloat16) @ qt.dequantize_int4(packed, 128).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(ref, dtype=np.float32), rtol=2e-2, atol=2e-1
+    )
+
+
+def test_w4a16_odd_m(rng, interp):
+    K, N = 256, 128
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((3, K)), jnp.bfloat16)
+    packed = qt.quantize_int4(w, block=128)
+    y = kq.w4a16_gemm(x, packed["data"], packed["scale"], block=128)
+    assert y.shape == (3, N)
+
+
+def test_w8a16_parity(rng, interp):
+    K, N, M = 256, 128, 8
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    packed = qt.quantize_int8(w)
+    y = kq.w8a16_gemm(x, packed["data"], packed["scale"], out_dtype=jnp.float32)
+    ref = x @ qt.dequantize_int8(packed).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-1)
+
+
+def test_wfp8_parity(rng, interp):
+    K, N, M = 256, 128, 8
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    packed = qt.quantize_fp8(w)
+    y = kq.wfp8_gemm(x, packed["data"], packed["scale"], out_dtype=jnp.float32)
+    ref = x @ qt.dequantize_fp8(packed).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-1)
+
+
+def test_nvfp4_parity(rng, interp):
+    K, N, M = 512, 128, 8
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    packed = qt.quantize_nvfp4(w, block=16)
+    y = kq.nvfp4_gemm(x, packed["data"], packed["scale"], packed["scale2"],
+                      block=16, out_dtype=jnp.float32)
+    ref = x @ qt.dequantize_nvfp4(packed, 16).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref, np.float32), rtol=2e-2, atol=3e-1)
