@@ -45,28 +45,40 @@ def _pad_m(x, mult=8):
 # ---------------------------------------------------------------------------
 # W4A16: int4 block-quantized weights (offset-binary nibbles, split-half)
 # ---------------------------------------------------------------------------
+_CHUNK = 256  # K-rows dequantized per MXU dot: deep enough to hide VPU work
+
+
+def _expand_matrix(ch: int, nblk: int):
+    """0/1 matrix [ch, nblk] mapping scale rows to weight rows; scale
+    broadcast becomes one small MXU matmul (Mosaic has no cheap sublane
+    repeat, but it has a very fast systolic array)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (ch, nblk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ch, nblk), 1)
+    return (row // (ch // nblk) == col).astype(jnp.float32)
+
+
 def _w4a16_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
-    K2 = p_ref.shape[0]
-    nb = K2 // block  # blocks per half
+    """Per chunk: unpack u8 nibbles -> int, scale via expand-matmul, ONE deep
+    [M, CH] @ [CH, TN] dot. Dequant is VPU-bound (~5 ops/elem), so chunks are
+    as deep as VMEM allows and the loop is unrolled for software pipelining."""
+    K2, TN = p_ref.shape
     M = x_ref.shape[0]
-    TN = p_ref.shape[1]
-
-    def body(b, acc):
-        off = b * block
-        pb = p_ref[pl.ds(off, block), :].astype(jnp.int32)
-        lo = ((pb & 0xF) - 8).astype(jnp.bfloat16)
-        hi = ((pb >> 4) - 8).astype(jnp.bfloat16)
-        xlo = x_ref[:, pl.ds(off, block)].astype(jnp.bfloat16)
-        xhi = x_ref[:, pl.ds(K2 + off, block)].astype(jnp.bfloat16)
-        plo = jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
-        phi = jnp.dot(xhi, hi, preferred_element_type=jnp.float32)
-        s_lo = s_ref[pl.ds(b, 1), :]
-        s_hi = s_ref[pl.ds(nb + b, 1), :]
-        return acc + plo * s_lo + phi * s_hi
-
-    acc = jax.lax.fori_loop(
-        0, nb, body, jnp.zeros((M, TN), jnp.float32), unroll=False
-    )
+    ch = min(_CHUNK, K2)
+    nch = K2 // ch
+    sb = ch // block if ch >= block else 1
+    expand = _expand_matrix(ch, sb)
+    nsrow_half = max(K2 // block, 1)
+    acc = jnp.zeros((M, TN), jnp.float32)
+    for half in range(2):
+        for c in range(nch):
+            off = c * ch
+            pb = p_ref[pl.ds(off, ch), :].astype(jnp.int32)
+            q = (((pb >> (4 * half)) & 0xF) - 8).astype(jnp.float32)
+            srows = s_ref[pl.ds(half * nsrow_half + c * sb, sb), :]
+            srep = jnp.dot(expand, srows, preferred_element_type=jnp.float32)
+            wd = (q * srep).astype(jnp.bfloat16)
+            xc = x_ref[:, pl.ds(half * K2 + off, ch)].astype(jnp.bfloat16)
+            acc = acc + jnp.dot(xc, wd, preferred_element_type=jnp.float32)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -177,36 +189,27 @@ def _decode_e2m1_mag(c):
 
 
 def _nvfp4_kernel(x_ref, p_ref, s_ref, s2_ref, o_ref, *, block: int):
-    K2 = p_ref.shape[0]
-    CH = 128  # process K in 128-row chunks per half
-    nch = K2 // CH
-    M, TN = x_ref.shape[0], p_ref.shape[1]
-    sb = CH // block  # scale rows per chunk (16-blocks): 8
-    # 0/1 expansion matrix [CH, sb]: row r -> r // block
-    row = jax.lax.broadcasted_iota(jnp.int32, (CH, sb), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (CH, sb), 1)
-    expand = (row // block == col).astype(jnp.float32)
+    K2, TN = p_ref.shape
+    M = x_ref.shape[0]
+    ch = min(_CHUNK, K2)
+    nch = K2 // ch
+    sb = ch // block  # e4m3 scale rows per chunk
+    expand = _expand_matrix(ch, sb)
     s2 = s2_ref[0, 0]
     nsrow_half = K2 // block
-
-    def half(off_x, off_p, off_s, codes_fn, acc):
-        def body(ch, acc):
-            off = ch * CH
-            pb = p_ref[pl.ds(off_p + off, CH), :].astype(jnp.int32)
-            c = codes_fn(pb)
-            mag = _decode_e2m1_mag(c & 7)
-            w = jnp.where((c & 8) > 0, -mag, mag)
-            s_rows = s_ref[pl.ds(off_s + ch * sb, sb), :].astype(jnp.float32)
-            srep = jnp.dot(expand, s_rows, preferred_element_type=jnp.float32)
-            wd = (w * srep).astype(jnp.bfloat16)
-            xc = x_ref[:, pl.ds(off_x + off, CH)].astype(jnp.bfloat16)
-            return acc + jnp.dot(xc, wd, preferred_element_type=jnp.float32)
-
-        return jax.lax.fori_loop(0, nch, body, acc)
-
     acc = jnp.zeros((M, TN), jnp.float32)
-    acc = half(0, 0, 0, lambda p: p & 0xF, acc)
-    acc = half(K2, 0, nsrow_half, lambda p: p >> 4, acc)
+    for half in range(2):
+        for c in range(nch):
+            off = c * ch
+            pb = p_ref[pl.ds(off, ch), :].astype(jnp.int32)
+            code = (pb >> (4 * half)) & 0xF
+            mag = _decode_e2m1_mag(code & 7)
+            w = jnp.where((code & 8) > 0, -mag, mag)
+            srows = s_ref[pl.ds(half * nsrow_half + c * sb, sb), :].astype(jnp.float32)
+            srep = jnp.dot(expand, srows, preferred_element_type=jnp.float32)
+            wd = (w * srep).astype(jnp.bfloat16)
+            xc = x_ref[:, pl.ds(half * K2 + off, ch)].astype(jnp.bfloat16)
+            acc = acc + jnp.dot(xc, wd, preferred_element_type=jnp.float32)
     o_ref[:] = (acc * s2).astype(o_ref.dtype)
 
 

@@ -64,13 +64,18 @@ class DecoderConfig:
 
 
 def make_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
-    """Allocate a static-shape KV cache pytree."""
+    """Allocate a static-shape KV cache pytree.
+
+    ``lengths`` tracks each slot's sequence length independently so a
+    continuous-batching engine can run slots at different positions in one
+    jitted decode step. ``dtype`` may be ``jnp.float8_e4m3fn`` for a real
+    quantized KV cache (pair with a *k/v_quantizer fp8 config)."""
     shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.dims_per_head)
     dtype = dtype or cfg.dtype
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
-        "index": jnp.zeros((), jnp.int32),
+        "lengths": jnp.zeros((batch,), jnp.int32),
     }
 
 
@@ -109,18 +114,40 @@ class Attention(nn.Module):
             q = _rope(q, positions, cfg.rope_theta)
             k = _rope(k, positions, cfg.rope_theta)
 
-        # KV-cache quantization points: quantize before the cache / BMMs
+        # KV-cache quantization points: quantize before the cache / BMMs.
+        # With an fp8 cache, the quantizers hand back (codes, scale) and the
+        # cache stores real e4m3 codes (reference: FP8 KV cache, config
+        # FP8_KV_CFG + plugins/attention.py bmm quantizers).
         q = TensorQuantizer(name="q_quantizer")(q)
-        k = TensorQuantizer(name="k_quantizer")(k)
-        v = TensorQuantizer(name="v_quantizer")(v)
+        kq_mod = TensorQuantizer(name="k_quantizer")
+        vq_mod = TensorQuantizer(name="v_quantizer")
 
         new_kv = None
         if cache_kv is not None:
-            ck, cv, index = cache_kv
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, index, 0, 0))
-            k, v = ck, cv  # [B, S_max, KH, D]
+            ck, cv, positions_kv = cache_kv
+            real_fp8 = ck.dtype == jnp.float8_e4m3fn
+            if real_fp8:
+                k_codes, k_scale = kq_mod(k, with_scale=True)
+                v_codes, v_scale = vq_mod(v, with_scale=True)
+                # no calibrated fp8 KV quantizer (or calib phase): store a
+                # direct e4m3 cast (scale 1) — |k| is O(1) so this is safe
+                k_scale = jnp.float32(1.0) if k_scale is None else k_scale
+                v_scale = jnp.float32(1.0) if v_scale is None else v_scale
+            else:
+                k_codes, k_scale = kq_mod(k).astype(ck.dtype), None
+                v_codes, v_scale = vq_mod(v).astype(cv.dtype), None
+            bidx = jnp.arange(B)[:, None]
+            ck = ck.at[bidx, positions_kv].set(k_codes.astype(ck.dtype))
+            cv = cv.at[bidx, positions_kv].set(v_codes.astype(cv.dtype))
+            if real_fp8:
+                k = ck.astype(cfg.dtype) * k_scale.astype(cfg.dtype)
+                v = cv.astype(cfg.dtype) * v_scale.astype(cfg.dtype)
+            else:
+                k, v = ck, cv  # [B, S_max, KH, D]
             new_kv = (ck, cv)
+        else:
+            k = kq_mod(k)
+            v = vq_mod(v)
 
         S = k.shape[1]
         G = H // KH
@@ -229,9 +256,12 @@ class Decoder(nn.Module):
         cfg = self.cfg
         B, T = input_ids.shape
         if positions is None:
-            start = cache["index"] if cache is not None else 0
-            positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
-            positions = jnp.broadcast_to(positions, (B, T))
+            if cache is not None:
+                positions = cache["lengths"][:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+            else:
+                positions = jnp.broadcast_to(
+                    jnp.arange(T, dtype=jnp.int32)[None, :], (B, T)
+                )
 
         embed = QuantEmbed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
                            param_dtype=cfg.param_dtype, name="embed_tokens")
@@ -257,7 +287,7 @@ class Decoder(nn.Module):
         for i in range(cfg.num_layers):
             cache_kv = None
             if cache is not None:
-                cache_kv = (cache["k"][i], cache["v"][i], cache["index"])
+                cache_kv = (cache["k"][i], cache["v"][i], positions)
             x, new_kv = Block(cfg, name=f"layers_{i}")(x, positions, mask, cache_kv)
             if new_kv is not None:
                 ks.append(new_kv[0])
@@ -266,7 +296,7 @@ class Decoder(nn.Module):
             new_cache = {
                 "k": jnp.stack(ks),
                 "v": jnp.stack(vs),
-                "index": cache["index"] + T,
+                "lengths": cache["lengths"] + T,
             }
 
         x = (

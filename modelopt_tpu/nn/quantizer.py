@@ -108,16 +108,23 @@ class TensorQuantizer(nn.Module):
     fixed_spec: Optional[QuantizerSpec] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, with_scale: bool = False):
+        """with_scale=True: for an fp8 per-tensor static spec in QUANT phase,
+        return ``(codes_e4m3, scale)`` so callers can store real quantized
+        data (e.g. the fp8 KV cache); otherwise returns ``(x', None)``."""
+
+        def ret(y, scale=None):
+            return (y, scale) if with_scale else y
+
         cfg = active_quant_config()
         phase = current_phase()
         if phase == PHASE_OFF:
-            return x
+            return ret(x)
         if self.fixed_spec is not None:
             specs = (self.fixed_spec,)
         else:
             if cfg is None:
-                return x
+                return ret(x)
             specs = cfg.resolve("/".join(self.path))
         cap = _CAPTURE.get()
         if cap is not None:
@@ -136,16 +143,36 @@ class TensorQuantizer(nn.Module):
             # (reference: cached activations in awq/gptq, model_calib.py:1395)
             if self.path and self.path[-1] == "input_quantizer":
                 self.sow("quant_capture", "x", x.reshape(-1, x.shape[-1]))
-            return x
+            return ret(x)
 
         if not specs:
-            return x
+            return ret(x)
+
+        # real-codes path for fp8 per-tensor static specs (KV cache storage)
+        if (
+            with_scale
+            and phase == PHASE_QUANT
+            and len(specs) == 1
+            and specs[0].enable
+            and specs[0].is_fp
+            and specs[0].block is None
+            and specs[0].axis is None
+            and not specs[0].dynamic
+            and (specs[0].fp_format.exp_bits, specs[0].fp_format.man_bits) == (4, 3)
+            and self.has_variable("quant", "amax")
+        ):
+            amax = self.get_variable("quant", "amax")
+            scale = jnp.maximum(amax.astype(jnp.float32), 1e-12) / 448.0
+            codes = jnp.clip(x.astype(jnp.float32) / scale, -448.0, 448.0).astype(
+                jnp.float8_e4m3fn
+            )
+            return codes, scale
 
         for i, spec in enumerate(specs):
             if not spec.enable:
                 continue
             x = self._apply_one(x, spec, "amax" if i == 0 else f"amax_{i}", phase)
-        return x
+        return ret(x)
 
     def _apply_one(self, x, spec: QuantizerSpec, amax_name: str, phase: str):
         needs_amax = _needs_static_amax(spec)

@@ -26,10 +26,12 @@ def _pallas_ok(fmt: str, x, kn) -> bool:
     K, N = kn
     if x.shape[0] > PALLAS_MAX_M or N % 128 != 0:
         return False
-    if fmt in ("int4", "nvfp4") and (K % 256 != 0):
-        return False
-    if fmt == "nvfp4" and (K // 2) % 128 != 0:
-        return False
+    if fmt in ("int4", "nvfp4"):
+        K2 = K // 2
+        if K % 2 != 0 or K2 % 128 != 0:
+            return False
+        if K2 % 256 != 0 and K2 != 128:  # chunked-dequant kernel layout
+            return False
     if K % 128 != 0:
         return False
     return True
