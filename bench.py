@@ -1,18 +1,15 @@
 """Benchmark entry point — prints ONE JSON line with the headline metric.
 
-Round-1 headline: single-chip decode throughput (tok/s) of a TinyLlama-1.1B-
-shaped decoder (bf16 weights, static KV cache). vs_baseline anchors to the
-reference's Llama3.1-8B BF16 H200 bs8 throughput (~802 tok/s, derived from
-examples/benchmark.md: 1051 tok/s FP8 / 1.31x) until real-quant 8B serving
-lands in a later round.
+Headline: single-chip decode throughput of a TinyLlama-1.1B-shaped decoder
+with INT4 block-128 weight-only quantization served from packed weights
+through the Pallas fused dequant-GEMM kernels, vs. the bf16 baseline
+measured in the same run. vs_baseline anchors to the reference's
+Llama3.1-8B INT4-AWQ bs8 H200 throughput (examples/benchmark.md: 599.72
+tok/s) until an 8B model fits a later round's multi-chip serving runs.
 
-Timing methodology (validated against the axon tunnel's quirks — see
-.claude/skills/verify/SKILL.md):
-- dependent-chain dispatch, ONE data fetch at the end as the barrier
-  (block_until_ready can return early over the relay);
-- marginal cost between two chain lengths (subtracts RTT/dispatch overhead);
-- implied HBM GB/s reported as a physical sanity check (v5e peak ~819).
-- never materialize big arrays host-side (host->device is ~5 MB/s here).
+Timing methodology (axon-tunnel-safe, see .claude/skills/verify/SKILL.md):
+python-dispatched dependent decode chain, data-fetch barrier, marginal cost
+between two chain lengths, implied-GB/s sanity fields.
 """
 
 import json
@@ -21,58 +18,74 @@ import time
 import numpy as np
 
 
+def _measure_decode(fn, variables, ids, cache0, summ, n1=16, n2=64):
+    import jax.numpy as jnp
+
+    lg, cache = fn(variables, ids, cache0)
+    float(summ(lg))  # compile + settle
+
+    times = {}
+    for n in (n1, n2):
+        t0 = time.time()
+        c, out = cache, lg
+        for _ in range(n):
+            out, c = fn(variables, ids, c)
+        float(summ(out))
+        times[n] = time.time() - t0
+    return 1e3 * (times[n2] - times[n1]) / (n2 - n1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    import modelopt_tpu.quant as mtq
     from modelopt_tpu.core import ModelBundle
     from modelopt_tpu.models import Decoder, make_cache, tinyllama_config
 
     BATCH, MAXLEN = 16, 256
+    t_start = time.time()
 
     cfg = tinyllama_config(max_position_embeddings=MAXLEN, param_dtype=jnp.bfloat16)
     module = Decoder(cfg)
     ids = jnp.asarray(
         np.random.default_rng(0).integers(0, cfg.vocab_size, (BATCH, 1)), jnp.int32
     )
-    t0 = time.time()
     variables = jax.jit(module.init)(jax.random.PRNGKey(0), ids)
     bundle = ModelBundle(module=module, variables=dict(variables), example_inputs=(ids,))
-    n_params = sum(x.size for x in jax.tree.leaves(variables))
-    weight_gb = n_params * 2 / 1e9
-
-    fn = jax.jit(bundle.make_fn())
     summ = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-    cache = make_cache(cfg, BATCH, MAXLEN)
-    lg, cache = fn(bundle.variables, ids, cache)
-    float(summ(lg))  # compile + execute everything queued
-    warm_s = time.time() - t0
+    cache0 = make_cache(cfg, BATCH, MAXLEN)
 
-    times = {}
-    for n in (16, 64):
-        t0 = time.time()
-        c, out = cache, lg
-        for _ in range(n):
-            out, c = fn(bundle.variables, ids, c)
-        float(summ(out))  # data fetch = true barrier
-        times[n] = time.time() - t0
-    ms = 1e3 * (times[64] - times[16]) / 48.0
-    tok_s = BATCH / (ms / 1e3)
-    implied_gbps = weight_gb / (ms / 1e3)
+    def weight_bytes(vars_):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(vars_))
 
-    baseline_tok_s = 802.0
+    # --- bf16 baseline -----------------------------------------------------
+    fn_bf16 = jax.jit(bundle.make_fn())
+    ms_bf16 = _measure_decode(fn_bf16, bundle.variables, ids, cache0, summ)
+
+    # --- INT4 block-128 weight-only, compressed, Pallas dequant-GEMM -------
+    q = mtq.quantize(bundle, mtq.INT4_BLOCKWISE_WEIGHT_ONLY_CFG, None)
+    c = mtq.compress(q)
+    fn_int4 = jax.jit(c.make_fn())
+    ms_int4 = _measure_decode(fn_int4, c.variables, ids, cache0, summ)
+
+    tok_s = BATCH / (ms_int4 / 1e3)
+    baseline_tok_s = 599.72  # reference Llama3.1-8B INT4-AWQ, H200 bs8
     print(
         json.dumps(
             {
-                "metric": "decode_tok_s_tinyllama1.1b_bs16_bf16_1xv5e",
+                "metric": "decode_tok_s_tinyllama1.1b_int4_w4a16_bs16_1xv5e",
                 "value": round(tok_s, 1),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / baseline_tok_s, 3),
                 "aux": {
-                    "params_b": round(n_params / 1e9, 3),
-                    "decode_ms_per_step": round(ms, 2),
-                    "implied_weight_gbps": round(implied_gbps, 1),
-                    "warmup_s": round(warm_s, 1),
+                    "bf16_tok_s": round(BATCH / (ms_bf16 / 1e3), 1),
+                    "int4_speedup_vs_bf16": round(ms_bf16 / ms_int4, 3),
+                    "decode_ms_bf16": round(ms_bf16, 2),
+                    "decode_ms_int4": round(ms_int4, 2),
+                    "weight_gb_bf16": round(weight_bytes(bundle.variables) / 1e9, 3),
+                    "weight_gb_int4": round(weight_bytes(c.variables) / 1e9, 3),
+                    "wall_s": round(time.time() - t_start, 1),
                 },
             }
         )

@@ -11,6 +11,7 @@ onto a freshly built model, then load variables.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import dataclasses
 import json
 import os
@@ -28,6 +29,24 @@ PHASE_QUANT = "quant"
 PHASE_CALIB = "calib"
 PHASE_CAPTURE = "capture"  # pass-through + sow quantizer inputs (algorithms)
 PHASE_OFF = "off"
+
+# Trace-time phase context — set by ModelBundle.contexts for every apply, so
+# phase-aware submodules (TensorQuantizer) see it even on bundles with no
+# quantize mode applied.
+_PHASE_VAR = contextvars.ContextVar("opt_phase", default=PHASE_QUANT)
+
+
+def current_phase() -> str:
+    return _PHASE_VAR.get()
+
+
+@contextlib.contextmanager
+def _set_phase(phase: str):
+    token = _PHASE_VAR.set(phase)
+    try:
+        yield
+    finally:
+        _PHASE_VAR.reset(token)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +79,7 @@ class ModelBundle:
     def contexts(self, phase: str = PHASE_QUANT):
         """Enter every applied mode's runtime context (static, trace-time)."""
         with contextlib.ExitStack() as stack:
+            stack.enter_context(_set_phase(phase))
             for rec in self.records:
                 ctx = get_mode(rec.mode).runtime_context(rec.config, phase)
                 if ctx is not None:

@@ -51,6 +51,11 @@ class DecoderConfig:
     # MoE (Mixtral-style); 0 experts = dense MLP
     num_experts: int = 0
     experts_per_token: int = 2
+    # sliding-window attention sparsity (None = full causal); with
+    # ``attention_sink`` initial positions always attended
+    # (reference analogue: sparsity/attention_sparsity sliding-block methods)
+    attention_window: Optional[int] = None
+    attention_sink: int = 0
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -276,11 +281,14 @@ class Decoder(nn.Module):
             S = cache["k"].shape[2]
             key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, :]  # [1,1,S]
             valid = key_pos <= positions[:, :, None]
-            mask = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)  # [B,T,S]
         else:
-            q_pos = positions[:, :, None]
-            k_pos = positions[:, None, :]
-            mask = jnp.where(k_pos <= q_pos, 0.0, -1e9).astype(jnp.float32)
+            key_pos = positions[:, None, :]
+            valid = key_pos <= positions[:, :, None]
+        if cfg.attention_window is not None:
+            in_window = key_pos > positions[:, :, None] - cfg.attention_window
+            sink = key_pos < cfg.attention_sink
+            valid = valid & (in_window | sink)
+        mask = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)  # [B,T,S]
 
         new_cache = None
         ks, vs = [], []

@@ -76,6 +76,11 @@ class QuantDense(nn.Module):
                 (in_features, self.features),
                 self.param_dtype,
             )
+            # structured sparsity mask (2:4 etc.), applied before
+            # quantization — reference order: SparseModule then quantizer
+            # (reference: sparsity/weight_sparsity/module.py:32)
+            if self.has_variable("sparse", "mask"):
+                kernel = kernel * self.get_variable("sparse", "mask").astype(kernel.dtype)
             kernel = TensorQuantizer(name="weight_quantizer")(kernel)
             y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
         # SVDQuant low-rank branch: kernel holds the quantized residual R and

@@ -29,27 +29,32 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..core.bundle import PHASE_CALIB, PHASE_CAPTURE, PHASE_OFF, PHASE_QUANT
+from ..core.bundle import (
+    PHASE_CALIB,
+    PHASE_CAPTURE,
+    PHASE_OFF,
+    PHASE_QUANT,
+    current_phase as _core_current_phase,
+)
 from ..quant.config import QuantizeConfig
 from ..quant.fake_quant import _blocked, fake_quantize, reduce_amax
 from ..quant.qspec import QuantizerSpec
 
 _ACTIVE_CFG: contextvars.ContextVar = contextvars.ContextVar("quant_cfg", default=None)
-_PHASE: contextvars.ContextVar = contextvars.ContextVar("quant_phase", default=PHASE_QUANT)
 # When set to a list, quantizers record (path, resolved_specs) at trace time
 # — used by print_quant_summary and the search algorithms.
 _CAPTURE: contextvars.ContextVar = contextvars.ContextVar("quant_capture", default=None)
 
 
 @contextlib.contextmanager
-def quantization_active(cfg: QuantizeConfig, phase: str = PHASE_QUANT):
+def quantization_active(cfg: QuantizeConfig, phase: str = None):
+    """Bind the active QuantizeConfig (phase arg kept for API compat; the
+    phase itself is set globally by ModelBundle.contexts)."""
     t1 = _ACTIVE_CFG.set(cfg)
-    t2 = _PHASE.set(phase)
     try:
         yield
     finally:
         _ACTIVE_CFG.reset(t1)
-        _PHASE.reset(t2)
 
 
 def active_quant_config() -> Optional[QuantizeConfig]:
@@ -57,7 +62,7 @@ def active_quant_config() -> Optional[QuantizeConfig]:
 
 
 def current_phase() -> str:
-    return _PHASE.get()
+    return _core_current_phase()
 
 
 def _needs_static_amax(spec: QuantizerSpec) -> bool:
@@ -122,9 +127,13 @@ class TensorQuantizer(nn.Module):
             return ret(x)
         if self.fixed_spec is not None:
             specs = (self.fixed_spec,)
-        else:
-            if cfg is None:
+        elif cfg is None:
+            # no active quantize config: still participate in CAPTURE phase
+            # (algorithms like sparsegpt run on unquantized bundles too)
+            if phase != PHASE_CAPTURE:
                 return ret(x)
+            specs = None
+        else:
             specs = cfg.resolve("/".join(self.path))
         cap = _CAPTURE.get()
         if cap is not None:

@@ -30,8 +30,8 @@ def _pallas_ok(fmt: str, x, kn) -> bool:
         K2 = K // 2
         if K % 2 != 0 or K2 % 128 != 0:
             return False
-        if K2 % 256 != 0 and K2 != 128:  # chunked-dequant kernel layout
-            return False
+        if fmt == "nvfp4" and K2 % 256 != 0 and K2 != 128:
+            return False  # chunked-dequant kernel layout
     if K % 128 != 0:
         return False
     return True
