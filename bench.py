@@ -46,7 +46,10 @@ def main():
     BATCH, MAXLEN = 16, 256
     t_start = time.time()
 
-    cfg = tinyllama_config(max_position_embeddings=MAXLEN, param_dtype=jnp.bfloat16)
+    cfg = tinyllama_config(
+        max_position_embeddings=MAXLEN, param_dtype=jnp.bfloat16,
+        fused_qkv=True, fused_gate_up=True,
+    )
     module = Decoder(cfg)
     ids = jnp.asarray(
         np.random.default_rng(0).integers(0, cfg.vocab_size, (BATCH, 1)), jnp.int32

@@ -56,6 +56,11 @@ class DecoderConfig:
     # (reference analogue: sparsity/attention_sparsity sliding-block methods)
     attention_window: Optional[int] = None
     attention_sink: int = 0
+    # serving-oriented fusions: single qkv_proj / gate_up_proj GEMMs — fewer,
+    # larger MXU calls (the reference's deployment engines fuse these too;
+    # its resmoothing exists exactly to enable it, quant_utils.py:1339)
+    fused_qkv: bool = False
+    fused_gate_up: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -111,9 +116,16 @@ class Attention(nn.Module):
             feats, use_bias=cfg.attn_bias, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name=name,
         )
-        q = dense(H * D, "q_proj")(x).reshape(B, T, H, D)
-        k = dense(KH * D, "k_proj")(x).reshape(B, T, KH, D)
-        v = dense(KH * D, "v_proj")(x).reshape(B, T, KH, D)
+        if cfg.fused_qkv:
+            qkv = dense((H + 2 * KH) * D, "qkv_proj")(x)
+            q, k, v = jnp.split(qkv, [H * D, (H + KH) * D], axis=-1)
+            q = q.reshape(B, T, H, D)
+            k = k.reshape(B, T, KH, D)
+            v = v.reshape(B, T, KH, D)
+        else:
+            q = dense(H * D, "q_proj")(x).reshape(B, T, H, D)
+            k = dense(KH * D, "k_proj")(x).reshape(B, T, KH, D)
+            v = dense(KH * D, "v_proj")(x).reshape(B, T, KH, D)
 
         if cfg.positions == "rope":
             q = _rope(q, positions, cfg.rope_theta)
@@ -179,8 +191,12 @@ class MLP(nn.Module):
             param_dtype=cfg.param_dtype, name=name,
         )
         if cfg.activation == "silu_glu":
-            gate = dense(cfg.intermediate_size, "gate_proj")(x)
-            up = dense(cfg.intermediate_size, "up_proj")(x)
+            if cfg.fused_gate_up:
+                gu = dense(2 * cfg.intermediate_size, "gate_up_proj")(x)
+                gate, up = jnp.split(gu, 2, axis=-1)
+            else:
+                gate = dense(cfg.intermediate_size, "gate_proj")(x)
+                up = dense(cfg.intermediate_size, "up_proj")(x)
             return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
         h = dense(cfg.intermediate_size, "fc_in")(x)
         return dense(cfg.hidden_size, "fc_out")(nn.gelu(h))
@@ -324,6 +340,50 @@ class Decoder(nn.Module):
 # ---------------------------------------------------------------------------
 # Named configurations (model zoo entries; weights come from hf_import)
 # ---------------------------------------------------------------------------
+def fuse_for_serving(bundle):
+    """Rewrite an (unquantized) bundle to fused qkv/gate_up projections —
+    call BEFORE quantize() so calibration sees the fused layout. Quantizer
+    state is dropped; shared pre-quant scales across fused siblings are
+    guaranteed by the calibration algorithms' fusion groups, so re-running
+    calibrate on the fused model reproduces deployable scales."""
+    import numpy as np
+
+    from ..core.tree import flatten_with_paths, get_in, set_in
+
+    cfg = bundle.module.cfg
+    new_cfg = dataclasses.replace(cfg, fused_qkv=True, fused_gate_up=True)
+    params = bundle.variables["params"]
+    for i in range(cfg.num_layers):
+        attn = params[f"layers_{i}"]["attn"]
+        if "q_proj" in attn:
+            fused = {"kernel": jnp.concatenate(
+                [attn["q_proj"]["kernel"], attn["k_proj"]["kernel"], attn["v_proj"]["kernel"]],
+                axis=1,
+            )}
+            if "bias" in attn["q_proj"]:
+                fused["bias"] = jnp.concatenate(
+                    [attn["q_proj"]["bias"], attn["k_proj"]["bias"], attn["v_proj"]["bias"]]
+                )
+            attn = {k: v for k, v in attn.items() if k not in ("q_proj", "k_proj", "v_proj")}
+            attn["qkv_proj"] = fused
+        layer = dict(params[f"layers_{i}"])
+        layer["attn"] = attn
+        mlp = layer.get("mlp")
+        if mlp is not None and "gate_proj" in mlp:
+            gu = {"kernel": jnp.concatenate(
+                [mlp["gate_proj"]["kernel"], mlp["up_proj"]["kernel"]], axis=1
+            )}
+            mlp = {k: v for k, v in mlp.items() if k not in ("gate_proj", "up_proj")}
+            mlp["gate_up_proj"] = gu
+            layer["mlp"] = mlp
+        params = {**params, f"layers_{i}": layer}
+    variables = {k: v for k, v in bundle.variables.items() if k not in ("quant",)}
+    variables["params"] = params
+    return bundle.replace(
+        module=type(bundle.module)(new_cfg), variables=variables
+    )
+
+
 def gpt2_config(**overrides) -> DecoderConfig:
     base = dict(
         vocab_size=50257, hidden_size=768, num_layers=12, num_heads=12,

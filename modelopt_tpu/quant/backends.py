@@ -26,6 +26,8 @@ def _pallas_ok(fmt: str, x, kn) -> bool:
     K, N = kn
     if x.shape[0] > PALLAS_MAX_M or N % 128 != 0:
         return False
+    if K * N < 2**22:
+        return False  # per-call overhead beats the BW win on small GEMMs
     if fmt in ("int4", "nvfp4"):
         K2 = K // 2
         if K % 2 != 0 or K2 % 128 != 0:

@@ -67,6 +67,22 @@ class TestDecoder:
         rel = float(jnp.linalg.norm(out - base) / jnp.linalg.norm(base))
         assert 0 < rel < 0.2
 
+    def test_fuse_for_serving_exact(self):
+        from modelopt_tpu.models.transformer import fuse_for_serving
+
+        bundle, cfg = tiny_bundle()
+        ids = bundle.example_inputs[0]
+        fused = fuse_for_serving(bundle)
+        assert fused.module.cfg.fused_qkv and fused.module.cfg.fused_gate_up
+        base, _ = bundle.apply(ids)
+        out, _ = fused.apply(ids)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+        # fused model quantizes + serves
+        import modelopt_tpu.quant as mtq
+
+        q = mtq.quantize(fused, mtq.FP8_DEFAULT_CFG, lambda f: f(ids))
+        assert "qkv_proj" in q.variables["quant"]["layers_0"]["attn"]
+
     def test_perplexity_sanity(self):
         bundle, cfg = tiny_bundle()
         batches = synthetic_token_batches(cfg.vocab_size, num_batches=2, seqlen=32)
