@@ -1,0 +1,7 @@
+"""Structured pruning — import as ``mtp``
+(reference: modelopt/torch/prune/)."""
+
+from .minitron import estimate_importances, minitron_prune
+from .pruning import prune
+
+__all__ = ["estimate_importances", "minitron_prune", "prune"]
