@@ -47,6 +47,7 @@ from .config import (  # noqa: F401 — preset names re-exported
     choices,
     get_config,
 )
+from .algorithms.autoquant import auto_quantize, effective_bits
 from .compress import compress
 from .fake_quant import fake_quantize, reduce_amax
 from .qspec import BlockSpec, QuantizerSpec
