@@ -1,0 +1,220 @@
+"""Unified HF checkpoint export for quantized models.
+
+Produces a directory with sharded-safetensors-compatible output
+(model.safetensors + hf_quant_config.json + config.json) following the
+reference's export conventions so TRT-LLM/vLLM/SGLang-style loaders can
+consume it (reference: modelopt/torch/export/unified_export_hf.py:1527
+export_hf_checkpoint, quant_utils.py:834 to_quantized_weight, :1050
+postprocess_state_dict naming, :1447 get_quant_config).
+
+Conventions reproduced:
+  * torch layout: exported weights are [out, in] (our kernels transposed);
+  * INT4: two values per uint8 packed along the input dim; per-group scales
+    named ``<module>.weight_scale`` [out, in/group];
+  * FP8: e4m3 weights + scalar ``weight_scale``; activation scale
+    ``input_scale`` = act_amax/448; KV scales ``k_scale``/``v_scale``;
+  * NVFP4: packed e2m1 + e4m3 ``weight_scale`` and fp32 ``weight_scale_2``;
+  * ``hf_quant_config.json``: {"quantization": {"quant_algo", "group_size",
+    "kv_cache_quant_algo", "exclude_modules"}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.bundle import ModelBundle
+from ..core.tree import flatten_with_paths, get_in
+from ..quant.algorithms.capture import active_config
+from ..quant.qspec import QuantizerSpec
+
+# our decoder param path -> HF llama-style name (reverse of hf_import)
+_LLAMA_MAP = {
+    "embed_tokens/embedding": "model.embed_tokens.weight",
+    "final_norm/scale": "model.norm.weight",
+    "lm_head/kernel": "lm_head.weight",
+}
+_LAYER_MAP = {
+    "input_norm/scale": "input_layernorm.weight",
+    "post_attn_norm/scale": "post_attention_layernorm.weight",
+    "attn/q_proj/kernel": "self_attn.q_proj.weight",
+    "attn/k_proj/kernel": "self_attn.k_proj.weight",
+    "attn/v_proj/kernel": "self_attn.v_proj.weight",
+    "attn/o_proj/kernel": "self_attn.o_proj.weight",
+    "mlp/gate_proj/kernel": "mlp.gate_proj.weight",
+    "mlp/up_proj/kernel": "mlp.up_proj.weight",
+    "mlp/down_proj/kernel": "mlp.down_proj.weight",
+}
+
+
+def _hf_name(path: str):
+    if path in _LLAMA_MAP:
+        return _LLAMA_MAP[path]
+    parts = path.split("/", 1)
+    if parts[0].startswith("layers_"):
+        i = parts[0].split("_")[1]
+        rest = _LAYER_MAP.get(parts[1])
+        if rest:
+            return f"model.layers.{i}.{rest}"
+    return None
+
+
+def _np32(x):
+    return np.asarray(jax.device_get(x), dtype=np.float32)
+
+
+def _pack_int4_torch_layout(q: np.ndarray) -> np.ndarray:
+    """q int [out, in] in [-8,7] -> uint8 [out, in/2], adjacent input pairs
+    (reference: quant_utils.py to_quantized_weight INT4 path)."""
+    q = (q + 8).astype(np.uint8)
+    lo = q[:, 0::2]
+    hi = q[:, 1::2]
+    return lo | (hi << 4)
+
+
+def _export_weight(w_hf: np.ndarray, spec: QuantizerSpec, name: str, amax=None):
+    """Return {tensor_name: array} for one quantized weight in torch layout.
+    w_hf: [out, in] fp32."""
+    out = {}
+    base = name.rsplit(".weight", 1)[0]
+    if not spec.is_fp and spec.num_bits == 4 and spec.block is not None:
+        group = dict(spec.block.sizes).get(0, 128)  # our axis-0 == input dim
+        O, I = w_hf.shape
+        group = min(group, I)  # tiny dims: one group spans the whole input
+        wb = w_hf.reshape(O, I // group, group)
+        s = np.maximum(np.abs(wb).max(-1), 1e-12) / 7.0  # [O, I/group]
+        q = np.clip(np.round(wb / s[..., None]), -8, 7).reshape(O, I)
+        out[name] = _pack_int4_torch_layout(q.astype(np.int8))
+        out[base + ".weight_scale"] = s.astype(np.float32)
+    elif not spec.is_fp and spec.num_bits == 8:
+        s = np.maximum(np.abs(w_hf).max(1, keepdims=True), 1e-12) / 127.0
+        out[name] = np.clip(np.round(w_hf / s), -127, 127).astype(np.int8)
+        out[base + ".weight_scale"] = s[:, 0].astype(np.float32)
+    elif spec.is_fp and (spec.fp_format.exp_bits, spec.fp_format.man_bits) == (4, 3):
+        s = np.float32(max(np.abs(w_hf).max(), 1e-12) / 448.0)
+        codes = jnp.clip(jnp.asarray(w_hf / s), -448, 448).astype(jnp.float8_e4m3fn)
+        out[name] = np.asarray(jax.device_get(codes))
+        out[base + ".weight_scale"] = np.asarray([s], np.float32)
+    elif spec.is_fp and (spec.fp_format.exp_bits, spec.fp_format.man_bits) == (2, 1):
+        from ..quant.qtensor import _encode_e2m1
+
+        group = dict(spec.block.sizes).get(0, 16)
+        O, I = w_hf.shape
+        group = min(group, I)
+        wb = w_hf.reshape(O, I // group, group)
+        bamax = np.maximum(np.abs(wb).max(-1, keepdims=True), 1e-12)
+        s2 = np.float32(max(np.abs(w_hf).max(), 1e-12) / (6.0 * 448.0))
+        s1 = np.asarray(
+            jax.device_get(jnp.asarray(bamax[..., 0] / 6.0 / s2).astype(jnp.float8_e4m3fn))
+        )
+        eff = s1.astype(np.float32)[..., None] * s2
+        codes = np.asarray(jax.device_get(_encode_e2m1(jnp.asarray(
+            np.clip(wb / np.maximum(eff, 1e-20), -6, 6)
+        )))).reshape(O, I)
+        out[name] = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+        out[base + ".weight_scale"] = s1
+        out[base + ".weight_scale_2"] = np.asarray([s2], np.float32)
+    else:
+        out[name] = w_hf.astype(np.float16)
+    return out
+
+
+def _quant_algo(cfg) -> dict:
+    """Map the active config to the reference's hf_quant_config fields."""
+    specs = cfg.resolve("layers_0/mlp/down_proj/weight_quantizer") or cfg.resolve(
+        "layers_0/attn/q_proj/weight_quantizer"
+    )
+    aspec = cfg.resolve("layers_0/mlp/down_proj/input_quantizer")
+    kv = cfg.resolve("layers_0/attn/k_quantizer")
+    algo = "NONE"
+    group = None
+    if specs:
+        s = specs[0]
+        if s.is_fp and (s.fp_format.exp_bits, s.fp_format.man_bits) == (4, 3):
+            algo = "FP8"
+        elif s.is_fp and (s.fp_format.exp_bits, s.fp_format.man_bits) == (2, 1):
+            algo = "NVFP4"
+            group = dict(s.block.sizes).get(0, 16) if s.block else 16
+        elif s.num_bits == 4:
+            algo = "W4A8_AWQ" if (aspec and aspec[0].enable) else "W4A16_AWQ"
+            group = dict(s.block.sizes).get(0, 128) if s.block else 128
+        elif s.num_bits == 8:
+            algo = "W8A8_SQ_PER_CHANNEL" if (aspec and aspec[0].enable) else "INT8_WO"
+    q = {"quant_algo": algo, "kv_cache_quant_algo": "FP8" if kv else None}
+    if group:
+        q["group_size"] = group
+    q["exclude_modules"] = ["lm_head"]
+    return {"quantization": q}
+
+
+def export_hf_checkpoint(bundle: ModelBundle, export_dir: str) -> dict:
+    """Export quantized weights + configs; returns the state dict it wrote."""
+    os.makedirs(export_dir, exist_ok=True)
+    cfg = active_config(bundle)
+    state: dict[str, np.ndarray] = {}
+    quant_vars = bundle.variables.get("quant", {})
+
+    for path, leaf in flatten_with_paths(bundle.variables.get("params", {})):
+        name = _hf_name(path)
+        if name is None:
+            continue
+        if path.endswith("/kernel") and leaf.ndim == 2:
+            w_hf = _np32(leaf).T  # [out, in]
+            specs = cfg.resolve(path.rsplit("/kernel", 1)[0] + "/weight_quantizer")
+            dense = path.rsplit("/kernel", 1)[0]
+            if specs and specs[0].enable:
+                tensors = _export_weight(w_hf, specs[0], name)
+                # input scale from calibrated activation amax if present
+                a = get_in(quant_vars, tuple(dense.split("/")) + ("input_quantizer", "amax"))
+                if a is not None:
+                    tensors[name.rsplit(".weight", 1)[0] + ".input_scale"] = (
+                        _np32(a).reshape(-1)[:1] / 448.0
+                    )
+                state.update(tensors)
+            else:
+                state[name] = w_hf.astype(np.float16)
+        else:
+            state[name] = _np32(leaf).astype(np.float16)
+
+    # KV cache scales (reference: k_scale / v_scale entries)
+    for i in range(bundle.module.cfg.num_layers):
+        for kv in ("k", "v"):
+            a = get_in(quant_vars, (f"layers_{i}", "attn", f"{kv}_quantizer", "amax"))
+            if a is not None:
+                state[f"model.layers.{i}.self_attn.{kv}_scale"] = (
+                    _np32(a).reshape(1) / 448.0
+                )
+
+    try:
+        from safetensors.numpy import save_file
+
+        save_file(state, os.path.join(export_dir, "model.safetensors"))
+    except ImportError:
+        np.savez(os.path.join(export_dir, "model.npz"), **state)
+
+    with open(os.path.join(export_dir, "hf_quant_config.json"), "w") as f:
+        json.dump(_quant_algo(cfg), f, indent=1)
+    hf_cfg = bundle.metadata.get("hf_config", {})
+    with open(os.path.join(export_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg or _decoder_config_json(bundle.module.cfg), f, indent=1)
+    return state
+
+
+def _decoder_config_json(cfg) -> dict:
+    return {
+        "model_type": "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.kv_heads,
+        "intermediate_size": cfg.intermediate_size,
+        "rope_theta": cfg.rope_theta,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "rms_norm_eps": cfg.norm_eps,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+    }

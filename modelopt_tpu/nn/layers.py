@@ -91,6 +91,13 @@ class QuantDense(nn.Module):
             la = self.get_variable("quant", "svd_lora_a").astype(dtype)
             lb = self.get_variable("quant", "svd_lora_b").astype(dtype)
             y = y + (x_in.astype(dtype) @ la) @ lb
+        # PEFT LoRA adapter (composes with quantized / compressed base =
+        # QLoRA; reference: modelopt/torch/peft/lora/layer.py)
+        if self.has_variable("lora", "lora_a"):
+            a = self.get_variable("lora", "lora_a").astype(dtype)
+            b = self.get_variable("lora", "lora_b").astype(dtype)
+            scale = self.get_variable("lora", "lora_scale")
+            y = y + ((x_in.astype(dtype) @ a) @ b) * scale.astype(dtype)
         if self.use_bias:
             bias = self.param(
                 "bias",

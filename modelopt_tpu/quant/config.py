@@ -142,7 +142,11 @@ def _resolve_cached(cfg: QuantizeConfig, path: str):
 _DEFAULT_DISABLED = {
     "*lm_head*": {"enable": False},
     "*router*": {"enable": False},
-    "*embed*input_quantizer": {"enable": False},
+    # embeddings excluded by default: deployment engines keep them in
+    # 16-bit, and fake-quantizing a 16-bit embedding table every forward
+    # costs more HBM traffic than it saves (reference exports leave
+    # embeddings unquantized too)
+    "*embed*": {"enable": False},
 }
 
 

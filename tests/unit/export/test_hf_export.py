@@ -1,0 +1,86 @@
+"""Export tests: file structure, reference naming conventions, dequant
+round trips (reference analogue: tests/unit/torch/export/)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import modelopt_tpu.quant as mtq
+from modelopt_tpu.core import ModelBundle
+from modelopt_tpu.export import export_hf_checkpoint
+from modelopt_tpu.models import Decoder, tiny_test_config
+
+
+def lm_bundle(**over):
+    cfg = tiny_test_config(dtype=jnp.float32, hidden_size=64,
+                           intermediate_size=256, **over)
+    m = Decoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 16)), jnp.int32)
+    variables = m.init(jax.random.PRNGKey(0), ids)
+    return ModelBundle(module=m, variables=dict(variables), example_inputs=(ids,))
+
+
+def load_state(d):
+    from safetensors.numpy import load_file
+
+    return load_file(os.path.join(d, "model.safetensors"))
+
+
+class TestExport:
+    def test_int4_awq_export(self, tmp_path, rng):
+        bundle = lm_bundle()
+        ids = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.INT4_BLOCKWISE_WEIGHT_ONLY_CFG, lambda f: f(ids))
+        state = export_hf_checkpoint(q, str(tmp_path))
+        assert os.path.exists(tmp_path / "model.safetensors")
+        qc = json.load(open(tmp_path / "hf_quant_config.json"))
+        assert qc["quantization"]["quant_algo"] == "W4A16_AWQ"
+        assert qc["quantization"]["group_size"] == 128
+        # packed weight + scales present, torch [out, in/2] layout
+        w = state["model.layers.0.mlp.down_proj.weight"]
+        s = state["model.layers.0.mlp.down_proj.weight_scale"]
+        I, O = 256, 64
+        assert w.dtype == np.uint8 and w.shape == (O, I // 2)
+        assert s.shape == (O, I // 128)
+        # dequant round trip matches original within int4 step
+        orig = np.asarray(q.variables["params"]["layers_0"]["mlp"]["down_proj"]["kernel"]).T
+        lo = (w & 0xF).astype(np.int8) - 8
+        hi = (w >> 4).astype(np.int8) - 8
+        deq = np.zeros((O, I), np.float32)
+        deq[:, 0::2] = lo
+        deq[:, 1::2] = hi
+        deq3 = deq.reshape(O, I // 128, 128) * s[..., None]
+        orig3 = orig.reshape(O, I // 128, 128)
+        step = np.abs(orig3).max(-1, keepdims=True) / 7.0
+        assert np.all(np.abs(deq3 - orig3) <= step * 0.51 + 1e-7)
+
+    def test_fp8_kv_export(self, tmp_path):
+        bundle = lm_bundle()
+        ids = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.FP8_KV_CFG, lambda f: f(ids))
+        state = export_hf_checkpoint(q, str(tmp_path))
+        qc = json.load(open(tmp_path / "hf_quant_config.json"))
+        assert qc["quantization"]["quant_algo"] == "FP8"
+        assert qc["quantization"]["kv_cache_quant_algo"] == "FP8"
+        assert "model.layers.0.self_attn.k_scale" in state
+        assert "model.layers.0.self_attn.q_proj.input_scale" in state
+        assert state["model.layers.0.self_attn.q_proj.weight"].dtype.name.startswith(
+            "float8"
+        ) or state["model.layers.0.self_attn.q_proj.weight"].dtype == np.uint8
+        # lm_head excluded -> fp16
+        assert state["lm_head.weight"].dtype == np.float16
+
+    def test_nvfp4_export(self, tmp_path):
+        bundle = lm_bundle()
+        ids = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.NVFP4_DEFAULT_CFG, lambda f: f(ids))
+        state = export_hf_checkpoint(q, str(tmp_path))
+        qc = json.load(open(tmp_path / "hf_quant_config.json"))
+        assert qc["quantization"]["quant_algo"] == "NVFP4"
+        w = state["model.layers.0.mlp.down_proj.weight"]
+        assert w.dtype == np.uint8 and w.shape == (64, 128)  # [O, I/2]
+        assert "model.layers.0.mlp.down_proj.weight_scale_2" in state
