@@ -273,7 +273,7 @@ class Decoder(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, input_ids, cache=None, positions=None):
+    def __call__(self, input_ids, cache=None, positions=None, output_hidden=False):
         cfg = self.cfg
         B, T = input_ids.shape
         if positions is None:
@@ -329,11 +329,14 @@ class Decoder(nn.Module):
             else nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
                               param_dtype=cfg.param_dtype, name="final_norm")(x)
         )
+        hidden = x  # post-final-norm hidden states (EAGLE draft input)
         if cfg.tie_word_embeddings:
             logits = embed.attend(x)
         else:
             logits = QuantDense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
                                 param_dtype=cfg.param_dtype, name="lm_head")(x)
+        if output_hidden:
+            return logits, new_cache, hidden
         return logits, new_cache
 
 
