@@ -82,18 +82,20 @@ def _export_weight(w_hf: np.ndarray, spec: QuantizerSpec, name: str, amax=None):
     out = {}
     base = name.rsplit(".weight", 1)[0]
     if not spec.is_fp and spec.num_bits == 4 and spec.block is not None:
+        from .. import csrc
+
         group = dict(spec.block.sizes).get(0, 128)  # our axis-0 == input dim
         O, I = w_hf.shape
         group = min(group, I)  # tiny dims: one group spans the whole input
-        wb = w_hf.reshape(O, I // group, group)
-        s = np.maximum(np.abs(wb).max(-1), 1e-12) / 7.0  # [O, I/group]
-        q = np.clip(np.round(wb / s[..., None]), -8, 7).reshape(O, I)
-        out[name] = _pack_int4_torch_layout(q.astype(np.int8))
-        out[base + ".weight_scale"] = s.astype(np.float32)
+        packed, s = csrc.round_and_pack_int4(w_hf, group)
+        out[name] = packed
+        out[base + ".weight_scale"] = s
     elif not spec.is_fp and spec.num_bits == 8:
-        s = np.maximum(np.abs(w_hf).max(1, keepdims=True), 1e-12) / 127.0
-        out[name] = np.clip(np.round(w_hf / s), -127, 127).astype(np.int8)
-        out[base + ".weight_scale"] = s[:, 0].astype(np.float32)
+        from .. import csrc
+
+        q, s = csrc.quantize_int8_rows(w_hf)
+        out[name] = q
+        out[base + ".weight_scale"] = s
     elif spec.is_fp and (spec.fp_format.exp_bits, spec.fp_format.man_bits) == (4, 3):
         s = np.float32(max(np.abs(w_hf).max(), 1e-12) / 448.0)
         codes = jnp.clip(jnp.asarray(w_hf / s), -448, 448).astype(jnp.float8_e4m3fn)
