@@ -1,0 +1,91 @@
+"""LLM post-training quantization, end to end.
+
+TPU-native counterpart of the reference's hf_ptq.py (examples/llm_ptq/):
+build/import a model -> quantize with a recipe or preset -> evaluate
+perplexity delta -> (optionally) compress to packed weights and export an
+HF-schema quantized checkpoint.
+
+Examples:
+    python examples/llm_ptq.py --preset INT4_AWQ_CFG --model tinyllama
+    python examples/llm_ptq.py --recipe llama_fp8 --export-dir /tmp/out
+    python examples/llm_ptq.py --preset NVFP4_DEFAULT_CFG --compress
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_model(name: str, seed: int = 0):
+    from modelopt_tpu.core import ModelBundle
+    from modelopt_tpu.models import (
+        Decoder, gpt2_config, llama3_8b_config, tiny_test_config, tinyllama_config,
+    )
+
+    cfgs = {
+        "tiny": lambda: tiny_test_config(),
+        "gpt2": gpt2_config,
+        "tinyllama": lambda: tinyllama_config(num_layers=4),  # trimmed for demo
+        "llama3-8b": llama3_8b_config,
+    }
+    cfg = cfgs[name]()
+    module = Decoder(cfg)
+    ids = jnp.zeros((2, 64), jnp.int32)
+    variables = jax.jit(module.init)(jax.random.PRNGKey(seed), ids)
+    return ModelBundle(module=module, variables=dict(variables), example_inputs=(ids,))
+
+
+def main():
+    import modelopt_tpu.quant as mtq
+    from modelopt_tpu.recipe import load_recipe, run_recipe
+    from modelopt_tpu.utils import perplexity, synthetic_token_batches
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="tiny", choices=["tiny", "gpt2", "tinyllama", "llama3-8b"])
+    ap.add_argument("--preset", default=None, help="e.g. INT4_AWQ_CFG / FP8_KV_CFG")
+    ap.add_argument("--recipe", default=None, help="e.g. llama_fp8 / llama_int4_awq")
+    ap.add_argument("--override", action="append", default=[], help="dotlist a.b=c")
+    ap.add_argument("--calib-batches", type=int, default=8)
+    ap.add_argument("--compress", action="store_true")
+    ap.add_argument("--export-dir", default=None)
+    args = ap.parse_args()
+
+    bundle = build_model(args.model)
+    cfg = bundle.module.cfg
+    batches = synthetic_token_batches(cfg.vocab_size, args.calib_batches, 2, 64)
+    eval_batches = synthetic_token_batches(cfg.vocab_size, 4, 2, 64, seed=99)
+
+    def forward_loop(model_fn):
+        for b in batches:
+            model_fn(b)
+
+    ppl_base = perplexity(bundle, eval_batches)
+    t0 = time.time()
+    if args.recipe:
+        recipe = load_recipe(args.recipe, args.override + (
+            [f"export_dir={args.export_dir}"] if args.export_dir else []
+        ))
+        q = run_recipe(bundle, recipe, forward_loop)
+    else:
+        preset = args.preset or "FP8_DEFAULT_CFG"
+        q = mtq.quantize(bundle, preset, forward_loop)
+        if args.compress:
+            q = mtq.compress(q)
+        if args.export_dir:
+            from modelopt_tpu.export import export_hf_checkpoint
+
+            export_hf_checkpoint(q, args.export_dir)
+    calib_s = time.time() - t0
+    ppl_q = perplexity(q, eval_batches)
+
+    mtq.print_quant_summary(q)
+    print(f"\ncalibration wall-clock: {calib_s:.1f}s")
+    print(f"perplexity: base {ppl_base:.3f} -> quantized {ppl_q:.3f} "
+          f"(delta {100*(ppl_q/ppl_base-1):+.2f}%)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""EAGLE/Medusa draft training + speculative decoding benchmark
+(reference: examples/speculative_decoding + specdec_bench).
+
+    python examples/speculative_decoding.py --mode eagle --train-steps 100
+"""
+
+import argparse
+
+import optax
+
+from examples.llm_ptq import build_model
+
+
+def main():
+    import modelopt_tpu.speculative as mtsp
+    from modelopt_tpu.utils import synthetic_token_batches
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="tiny")
+    ap.add_argument("--mode", default="eagle", choices=["eagle", "medusa"])
+    ap.add_argument("--train-steps", type=int, default=100)
+    ap.add_argument("--draft-len", type=int, default=4)
+    ap.add_argument("--max-new", type=int, default=48)
+    args = ap.parse_args()
+
+    bundle = build_model(args.model)
+    cfg = bundle.module.cfg
+    spec = mtsp.convert(bundle, [(args.mode, {})])
+
+    make_step = (
+        mtsp.make_eagle_train_step if args.mode == "eagle" else mtsp.make_medusa_train_step
+    )
+    init_state, step = make_step(spec, optax.adamw(3e-3))
+    state = init_state()
+    batches = synthetic_token_batches(cfg.vocab_size, args.train_steps, 4, 48)
+    for b in batches:
+        state, loss = step(state, b)
+    print(f"draft training final loss: {float(loss):.4f}")
+
+    # graft trained draft params back
+    params = dict(spec.variables["params"])
+    if args.mode == "eagle":
+        params["eagle"] = state[0]
+    else:
+        params.update(state[0])
+    spec = spec.replace(variables={**spec.variables, "params": params})
+
+    prompt = [1, 2, 3, 4, 5]
+    out, stats = mtsp.speculative_decode(
+        spec, prompt, max_new_tokens=args.max_new, draft_len=args.draft_len
+    )
+    print(f"generated {len(out)} tokens with {stats['base_forwards']} base forwards")
+    print(f"acceptance rate {stats['acceptance_rate']:.2%}, "
+          f"{stats['tokens_per_forward']:.2f} tokens/forward "
+          f"(1.0 = no speculation benefit)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""NAS search tests (reference analogue: tests/unit/torch/nas/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import modelopt_tpu.nas as mtn
+from modelopt_tpu.core import ModelBundle, modelopt_state
+from modelopt_tpu.models import Decoder, tiny_test_config
+from modelopt_tpu.utils import perplexity, synthetic_token_batches
+
+
+def lm_bundle():
+    cfg = tiny_test_config(dtype=jnp.float32, intermediate_size=128)
+    m = Decoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (4, 24)), jnp.int32)
+    variables = m.init(jax.random.PRNGKey(0), ids)
+    return ModelBundle(module=m, variables=dict(variables), example_inputs=(ids,))
+
+
+def test_search_space():
+    bundle = lm_bundle()
+    sp = mtn.search_space(bundle)
+    assert set(sp) == {"intermediate_size", "num_kv_heads", "num_layers"}
+    assert max(sp["intermediate_size"].choices) == 128
+    assert sp["num_kv_heads"].choices == (1, 2)
+
+
+def test_convert_records_space():
+    bundle = lm_bundle()
+    c = mtn.convert(bundle, "fastnas")
+    st = modelopt_state(c)["modelopt_state_dict"]
+    assert st[0]["mode"] == "fastnas"
+    assert "intermediate_size" in st[0]["metadata"]["search_space"]
+
+
+def test_profile():
+    bundle = lm_bundle()
+    p = mtn.profile(bundle)
+    assert p["params"] > 0 and p["flops_per_token"] == 2 * p["params"]
+
+
+def test_binary_search_shrinks_model():
+    bundle = lm_bundle()
+    batches = synthetic_token_batches(256, 2, 4, 24)
+
+    def score(b):
+        return -perplexity(b, batches)  # higher is better
+
+    best, info = mtn.search(bundle, score, mode="binary", score_tolerance=0.5)
+    assert info["params"] <= mtn.profile(bundle)["params"]
+    assert info["assignment"]["intermediate_size"] <= 128
+    # searched model still runs
+    logits, _ = best.apply(*bundle.example_inputs)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_evolve_search_respects_constraint():
+    bundle = lm_bundle()
+    base_params = mtn.profile(bundle)["params"]
+    batches = synthetic_token_batches(256, 1, 4, 24)
+
+    def score(b):
+        return -perplexity(b, batches)
+
+    best, info = mtn.search(
+        bundle, score, constraints={"params": int(base_params * 0.95)},
+        mode="evolve", iterations=6, seed=1,
+    )
+    assert info["params"] <= base_params * 0.95
