@@ -166,8 +166,27 @@ class Attention(nn.Module):
             k = kq_mod(k)
             v = vq_mod(v)
 
-        S = k.shape[1]
         G = H // KH
+        # Fused decode-attention kernel: reads (possibly fp8) KV straight
+        # from the cache without materializing a dequantized copy in HBM.
+        if new_kv is not None and T == 1 and cfg.attention_window is None:
+            from ..kernels.attention import decode_attention, decode_attention_ok
+
+            S_c = new_kv[0].shape[1]
+            if decode_attention_ok((B, KH, G, D), S_c):
+                qg = q[:, 0].reshape(B, KH, G, D)
+                lengths = positions[:, 0] + 1
+                out = decode_attention(
+                    qg, new_kv[0], new_kv[1], lengths,
+                    k_scale=(k_scale if cache_kv is not None and new_kv[0].dtype == jnp.float8_e4m3fn else None),
+                    v_scale=(v_scale if cache_kv is not None and new_kv[1].dtype == jnp.float8_e4m3fn else None),
+                    out_dtype=cfg.dtype,
+                )
+                out = out.reshape(B, 1, H * D)
+                out = dense(cfg.hidden_size, "o_proj")(out)
+                return out, new_kv
+
+        S = k.shape[1]
         qg = q.reshape(B, T, KH, G, D)
         scores = jnp.einsum(
             "btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32
@@ -409,18 +428,22 @@ def llama_config(**overrides) -> DecoderConfig:
 
 
 def llama3_8b_config(**overrides) -> DecoderConfig:
-    return llama_config(
+    base = dict(
         vocab_size=128256, hidden_size=4096, num_layers=32, num_heads=32,
         num_kv_heads=8, intermediate_size=14336, rope_theta=500000.0,
-        max_position_embeddings=8192, **overrides,
+        max_position_embeddings=8192,
     )
+    base.update(overrides)
+    return llama_config(**base)
 
 
 def tinyllama_config(**overrides) -> DecoderConfig:
-    return llama_config(
+    base = dict(
         vocab_size=32000, hidden_size=2048, num_layers=22, num_heads=32,
-        num_kv_heads=4, intermediate_size=5632, **overrides,
+        num_kv_heads=4, intermediate_size=5632,
     )
+    base.update(overrides)
+    return llama_config(**base)
 
 
 def mixtral_config(**overrides) -> DecoderConfig:

@@ -1,0 +1,76 @@
+"""Decode-attention kernel parity (interpreter mode) vs a numpy/XLA
+reference, incl. fp8 KV codes and per-slot length masking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from modelopt_tpu.kernels.attention import decode_attention
+
+
+def ref_attention(q, k, v, lengths):
+    B, KH, G, D = q.shape
+    S = k.shape[1]
+    out = np.zeros((B, KH, G, D), np.float32)
+    for b in range(B):
+        L = int(lengths[b])
+        for h in range(KH):
+            qq = np.asarray(q[b, h], np.float32)
+            kk = np.asarray(k[b, :L, h], np.float32)
+            vv = np.asarray(v[b, :L, h], np.float32)
+            s = qq @ kk.T / np.sqrt(D)
+            p = np.exp(s - s.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            out[b, h] = p @ vv
+    return out
+
+
+@pytest.fixture
+def interp():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_bf16_cache_parity(rng, interp):
+    B, S, KH, G, D = 2, 64, 2, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, KH, G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, KH, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, KH, D)), jnp.float32)
+    lengths = jnp.asarray([17, 64], jnp.int32)
+    out = decode_attention(q, k, v, lengths, out_dtype=jnp.float32)
+    ref = ref_attention(q, np.asarray(k), np.asarray(v), np.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_fp8_cache_parity(rng, interp):
+    B, S, KH, G, D = 2, 32, 2, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, KH, G, D)), jnp.float32)
+    k = rng.standard_normal((B, S, KH, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, KH, D)).astype(np.float32)
+    k_scale, v_scale = 0.01, 0.02
+    k8 = jnp.asarray(k / k_scale).astype(jnp.float8_e4m3fn)
+    v8 = jnp.asarray(v / v_scale).astype(jnp.float8_e4m3fn)
+    lengths = jnp.asarray([9, 32], jnp.int32)
+    out = decode_attention(q, k8, v8, lengths, k_scale=k_scale, v_scale=v_scale,
+                           out_dtype=jnp.float32)
+    # reference on the DEQUANTIZED codes (same information the kernel sees)
+    kd = np.asarray(k8.astype(jnp.float32)) * k_scale
+    vd = np.asarray(v8.astype(jnp.float32)) * v_scale
+    ref = ref_attention(q, kd, vd, np.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_length_one(rng, interp):
+    B, S, KH, G, D = 1, 16, 1, 8, 64
+    q = jnp.asarray(rng.standard_normal((B, KH, G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, KH, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, KH, D)), jnp.float32)
+    lengths = jnp.asarray([1], jnp.int32)
+    out = decode_attention(q, k, v, lengths, out_dtype=jnp.float32)
+    # attending to a single key returns exactly that value row
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0]), np.tile(np.asarray(v[0, 0, 0]), (G, 1)),
+        rtol=1e-4, atol=1e-5,
+    )

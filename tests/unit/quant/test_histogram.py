@@ -1,0 +1,55 @@
+"""Histogram (percentile/entropy) calibration tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import modelopt_tpu.quant as mtq
+from modelopt_tpu.quant.algorithms.histogram import entropy_amax, percentile_amax
+
+from tests._test_utils.models import simple_mlp_bundle
+
+
+def outlier_bundle():
+    bundle = simple_mlp_bundle(in_dim=32, hidden=64, batch=64)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((64, 32)).astype(np.float32)
+    x[0, 0] = 100.0  # single extreme outlier
+    return bundle.replace(example_inputs=(jnp.asarray(x),))
+
+
+def test_percentile_ignores_outlier():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(10000).astype(np.float32)
+    x[0] = 1000.0
+    a = percentile_amax(x, 99.9)
+    assert a < 10  # outlier ignored
+
+
+def test_entropy_amax_reasonable():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(20000).astype(np.float32)
+    x[:5] = 500.0
+    a = entropy_amax(x, num_bits=8)
+    assert 1.0 < a < 100.0
+
+
+def test_percentile_calibrate_clips_outlier():
+    bundle = outlier_bundle()
+    x = bundle.example_inputs[0]
+    cfg = dict(mtq.INT8_DEFAULT_CFG)
+    cfg["algorithm"] = {"method": "percentile", "percentile": 99.0}
+    q = mtq.quantize(bundle, cfg, lambda f: f(x))
+    a_pct = float(q.variables["quant"]["fc1"]["input_quantizer"]["amax"])
+    q_max = mtq.quantize(bundle, mtq.INT8_DEFAULT_CFG, lambda f: f(x))
+    a_max = float(q_max.variables["quant"]["fc1"]["input_quantizer"]["amax"])
+    assert a_max == 100.0 and a_pct < 10.0
+
+
+def test_entropy_calibrate_runs():
+    bundle = outlier_bundle()
+    x = bundle.example_inputs[0]
+    cfg = dict(mtq.INT8_DEFAULT_CFG)
+    cfg["algorithm"] = "entropy"
+    q = mtq.quantize(bundle, cfg, lambda f: f(x))
+    out = q.apply(x)
+    assert np.isfinite(np.asarray(out)).all()
