@@ -1,14 +1,18 @@
 """Model zoo: native quantization-aware decoders + HF checkpoint import."""
 
+from .dit import DiT, DiTConfig, ddim_sample, dit_config_s
 from .hf_import import config_from_hf, from_hf
 from .transformer import (
     Decoder,
     DecoderConfig,
+    fuse_for_serving,
     gpt2_config,
     llama3_8b_config,
     llama_config,
     make_cache,
+    mistral_config,
     mixtral_config,
+    qwen2_config,
     tiny_test_config,
     tinyllama_config,
 )

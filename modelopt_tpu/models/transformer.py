@@ -446,6 +446,29 @@ def tinyllama_config(**overrides) -> DecoderConfig:
     return llama_config(**base)
 
 
+def qwen2_config(**overrides) -> DecoderConfig:
+    base = dict(
+        vocab_size=151936, hidden_size=3584, num_layers=28, num_heads=28,
+        num_kv_heads=4, intermediate_size=18944, activation="silu_glu",
+        norm="rmsnorm", positions="rope", rope_theta=1e6, attn_bias=True,
+        max_position_embeddings=32768,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def mistral_config(**overrides) -> DecoderConfig:
+    base = dict(
+        vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=8, intermediate_size=14336, activation="silu_glu",
+        norm="rmsnorm", positions="rope", rope_theta=10000.0,
+        attention_window=4096,  # Mistral's sliding-window attention
+        max_position_embeddings=8192,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
 def mixtral_config(**overrides) -> DecoderConfig:
     base = dict(
         vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
