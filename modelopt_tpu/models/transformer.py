@@ -370,7 +370,6 @@ def fuse_for_serving(bundle):
     calibrate on the fused model reproduces deployable scales."""
     import numpy as np
 
-    from ..core.tree import flatten_with_paths, get_in, set_in
 
     cfg = bundle.module.cfg
     new_cfg = dataclasses.replace(cfg, fused_qkv=True, fused_gate_up=True)

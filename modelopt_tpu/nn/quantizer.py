@@ -44,6 +44,12 @@ _ACTIVE_CFG: contextvars.ContextVar = contextvars.ContextVar("quant_cfg", defaul
 # When set to a list, quantizers record (path, resolved_specs) at trace time
 # — used by print_quant_summary and the search algorithms.
 _CAPTURE: contextvars.ContextVar = contextvars.ContextVar("quant_capture", default=None)
+# fnmatch pattern limiting which quantizers sow in CAPTURE phase — the
+# layerwise (memory-bounded) calibration replay
+# (reference: layerwise_calibrate, model_calib.py:2051)
+_CAPTURE_FILTER: contextvars.ContextVar = contextvars.ContextVar(
+    "quant_capture_filter", default=None
+)
 
 
 @contextlib.contextmanager
@@ -151,7 +157,11 @@ class TensorQuantizer(nn.Module):
             # record this quantization point's input for layer-wise algorithms
             # (reference: cached activations in awq/gptq, model_calib.py:1395)
             if self.path and self.path[-1] == "input_quantizer":
-                self.sow("quant_capture", "x", x.reshape(-1, x.shape[-1]))
+                filt = _CAPTURE_FILTER.get()
+                from fnmatch import fnmatch as _fnm
+
+                if filt is None or _fnm("/".join(self.path), filt):
+                    self.sow("quant_capture", "x", x.reshape(-1, x.shape[-1]))
             return ret(x)
 
         if not specs:

@@ -32,15 +32,34 @@ def active_config(bundle: ModelBundle) -> QuantizeConfig:
 
 
 def capture_inputs(
-    bundle: ModelBundle, forward_loop=None, max_tokens: int = 2048
+    bundle: ModelBundle, forward_loop=None, max_tokens: int = 2048,
+    path_filter: Optional[str] = None,
 ) -> dict:
     """Run forward passes in CAPTURE phase; return
-    {dense_path: x [K, in_features] fp32} with K <= max_tokens."""
+    {dense_path: x [K, in_features] fp32} with K <= max_tokens.
+
+    ``path_filter`` (fnmatch on quantizer paths) restricts capture to a
+    subset of layers — the memory-bounded layerwise replay: call once per
+    decoder layer instead of holding every layer's activations at once
+    (reference: layerwise_calibrate, model_calib.py:2051)."""
+    import contextlib
+
+    from ...nn.quantizer import _CAPTURE_FILTER
+
     step = jax.jit(bundle.make_fn(phase=PHASE_CAPTURE, mutable=["quant_capture"]))
     acc: dict[str, list] = {}
 
+    @contextlib.contextmanager
+    def _filter_ctx():
+        tok = _CAPTURE_FILTER.set(path_filter)
+        try:
+            yield
+        finally:
+            _CAPTURE_FILTER.reset(tok)
+
     def model_fn(*args, **kwargs):
-        out, muts = step(bundle.variables, *args, **kwargs)
+        with _filter_ctx():
+            out, muts = step(bundle.variables, *args, **kwargs)
         for path, val in flatten_with_paths(muts.get("quant_capture", {})):
             # path: .../<dense>/input_quantizer/x ; sow values arrive as tuples
             vals = val if isinstance(val, tuple) else (val,)

@@ -59,8 +59,28 @@ def gptq_update_kernel(w, hinv, amax_map, wspec):
 
 
 @register_calib_algorithm("gptq")
-def gptq(bundle, forward_loop=None, damp: float = 0.01, max_tokens: int = 4096):
-    captured = capture_inputs(bundle, forward_loop, max_tokens=max_tokens)
+def gptq(bundle, forward_loop=None, damp: float = 0.01, max_tokens: int = 4096,
+         layerwise: bool = False):
+    """``layerwise=True`` replays capture once per decoder layer so peak
+    activation memory is one layer's worth — required for large models
+    (reference: layerwise_calibrate, model_calib.py:2051)."""
+    if layerwise:
+        cfg = getattr(bundle.module, "cfg", None)
+        n_layers = getattr(cfg, "num_layers", 0)
+        for i in range(n_layers):
+            bundle = _gptq_pass(
+                bundle, forward_loop, damp, max_tokens,
+                path_filter=f"layers_{i}/*",
+            )
+        return max_calibrate(bundle, forward_loop)
+    return _gptq_pass(bundle, forward_loop, damp, max_tokens, finalize=True)
+
+
+def _gptq_pass(bundle, forward_loop, damp, max_tokens, path_filter=None,
+               finalize=False):
+    captured = capture_inputs(
+        bundle, forward_loop, max_tokens=max_tokens, path_filter=path_filter
+    )
     infos = [i for i in quant_linears(bundle, captured) if _supported(i.wspec)]
 
     def one_layer(x, w, amax_map, *, wspec):
@@ -118,4 +138,4 @@ def gptq(bundle, forward_loop=None, damp: float = 0.01, max_tokens: int = 4096):
     bundle = bundle.replace(variables=variables)
     if static_rules:
         bundle = _update_rules(bundle, static_rules)
-    return max_calibrate(bundle, forward_loop)
+    return max_calibrate(bundle, forward_loop) if finalize else bundle

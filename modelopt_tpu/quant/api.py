@@ -16,8 +16,6 @@ stateful closure instead.)
 
 from __future__ import annotations
 
-import contextlib
-import contextvars
 from typing import Callable, Optional
 
 import jax

@@ -10,8 +10,6 @@ packed-weight-bound."""
 
 from __future__ import annotations
 
-import jax
-
 from ..core.bundle import ModelBundle, apply_mode
 from ..core.mode import ModeDescriptor
 from ..core.tree import del_in, get_in, set_in

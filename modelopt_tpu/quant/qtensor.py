@@ -21,11 +21,10 @@ Scales always carry the *multiplier used to dequantize* (w ≈ code * scale).
 
 from __future__ import annotations
 
-import jax
+import jax  # noqa: F401 (device_put in callers)
 import jax.numpy as jnp
 import numpy as np
 
-from .formats import get_format
 from .qspec import QuantizerSpec
 
 E2M1_VALUES = np.asarray([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0], np.float32)

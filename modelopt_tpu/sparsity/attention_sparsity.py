@@ -13,9 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
-import jax.numpy as jnp
-
 from ..core.bundle import ModelBundle, apply_mode
 from ..core.mode import ModeDescriptor
 from .sparsification import SparsityModeRegistry

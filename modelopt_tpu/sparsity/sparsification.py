@@ -9,14 +9,13 @@ the same ordering as the reference's dynamic weight attribute
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..core.bundle import ModelBundle, apply_mode
 from ..core.mode import ModeDescriptor, ModeRegistry
-from ..core.tree import del_in, flatten_with_paths, get_in, set_in
+from ..core.tree import flatten_with_paths, get_in, set_in
 from .magnitude import create_nm_mask
 
 SparsityModeRegistry = ModeRegistry("sparsity")

@@ -157,6 +157,31 @@ class TestGPTQ:
         )
 
 
+class TestLayerwiseGPTQ:
+    def test_layerwise_matches_full(self):
+        """Layer-by-layer capture replay matches single-pass GPTQ on a real
+        decoder (memory-bounded path)."""
+        import jax
+        from modelopt_tpu.core import ModelBundle
+        from modelopt_tpu.models import Decoder, tiny_test_config
+
+        cfg = tiny_test_config(dtype=jnp.float32)
+        m = Decoder(cfg)
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (4, 16)), jnp.int32)
+        variables = m.init(jax.random.PRNGKey(0), ids)
+        bundle = ModelBundle(module=m, variables=dict(variables), example_inputs=(ids,))
+
+        base_cfg = dict(mtq.INT4_BLOCKWISE_WEIGHT_ONLY_CFG)
+        base_cfg["algorithm"] = "gptq"
+        q_full = mtq.quantize(bundle, base_cfg, loop(ids))
+        lw_cfg = dict(mtq.INT4_BLOCKWISE_WEIGHT_ONLY_CFG)
+        lw_cfg["algorithm"] = {"method": "gptq", "layerwise": True}
+        q_lw = mtq.quantize(bundle, lw_cfg, loop(ids))
+        w_full = q_full.variables["params"]["layers_0"]["mlp"]["down_proj"]["kernel"]
+        w_lw = q_lw.variables["params"]["layers_0"]["mlp"]["down_proj"]["kernel"]
+        np.testing.assert_allclose(np.asarray(w_lw), np.asarray(w_full), rtol=1e-5, atol=1e-6)
+
+
 class TestSVDQuant:
     def test_svdquant_nvfp4(self):
         bundle = heavy_tailed_bundle(in_dim=64, hidden=64)
