@@ -29,8 +29,8 @@ def _decode_attn_kernel(lens_ref, scales_ref, q_ref, k_ref, v_ref, o_ref):
     k_scale = scales_ref[0]
     v_scale = scales_ref[1]
     q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
-    k = k_ref[0, 0].astype(jnp.float32) * k_scale  # [S, D]
-    v = v_ref[0, 0].astype(jnp.float32) * v_scale
+    k = k_ref[0, :, 0, :].astype(jnp.float32) * k_scale  # [S, D]
+    v = v_ref[0, :, 0, :].astype(jnp.float32) * v_scale
     G, D = q.shape
     S = k.shape[0]
     scores = jax.lax.dot_general(
@@ -52,21 +52,21 @@ def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
     Returns [B, KH, G, D]."""
     B, KH, G, D = q.shape
     S = k_cache.shape[1]
-    kt = jnp.transpose(k_cache, (0, 2, 1, 3))  # [B, KH, S, D]
-    vt = jnp.transpose(v_cache, (0, 2, 1, 3))
     scales = jnp.stack([
         jnp.asarray(1.0 if k_scale is None else k_scale, jnp.float32).reshape(()),
         jnp.asarray(1.0 if v_scale is None else v_scale, jnp.float32).reshape(()),
     ])
+    # caches stay in their native [B, S, KH, D] layout — the per-head slice
+    # is a strided DMA block, no transposed copy of the cache is made
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, KH),
         in_specs=[
             pl.BlockSpec((1, 1, G, D), lambda b, h, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, D), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, S, 1, D), lambda b, h, *_: (b, 0, h, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, D), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, S, 1, D), lambda b, h, *_: (b, 0, h, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, *_: (b, h, 0, 0),
@@ -81,12 +81,18 @@ def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
             bytes_accessed=2 * B * KH * S * D * k_cache.dtype.itemsize,
             transcendentals=B * KH * G * S,
         ),
-    )(lengths.astype(jnp.int32), scales, q, kt, vt)
+    )(lengths.astype(jnp.int32), scales, q, k_cache, v_cache)
 
 
-def decode_attention_ok(q_shape, S: int) -> bool:
+def decode_attention_ok(q_shape, S: int, cache_dtype=None) -> bool:
+    """Use the kernel only where it wins: fp8 caches (XLA would materialize
+    a dequantized bf16 copy of the whole cache every step). For bf16 caches
+    at decode the XLA einsum path is already fine and the per-call kernel
+    overhead is a net loss (measured on v5e)."""
     B, KH, G, D = q_shape
     if jax.default_backend() != "tpu":
+        return False
+    if cache_dtype is not None and cache_dtype != jnp.float8_e4m3fn:
         return False
     if S > 4096 or D % 64 != 0:
         return False

@@ -173,7 +173,7 @@ class Attention(nn.Module):
             from ..kernels.attention import decode_attention, decode_attention_ok
 
             S_c = new_kv[0].shape[1]
-            if decode_attention_ok((B, KH, G, D), S_c):
+            if decode_attention_ok((B, KH, G, D), S_c, new_kv[0].dtype):
                 qg = q[:, 0].reshape(B, KH, G, D)
                 lengths = positions[:, 0] + 1
                 out = decode_attention(

@@ -5,6 +5,8 @@
 from .api import (
     CALIB_ALGORITHMS,
     calibrate,
+    compute_quantization_mse,
+    fold_weight,
     disable_quantizer,
     enable_quantizer,
     max_calibrate,

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 from ..core.bundle import PHASE_CALIB, ModelBundle, apply_mode
 from .config import QuantizeConfig, get_config
@@ -120,6 +121,69 @@ def _update_rules(bundle: ModelBundle, rules: dict) -> ModelBundle:
             records[i] = dataclasses.replace(records[i], config=cfg)
             return bundle.replace(records=tuple(records))
     raise ValueError("model has no quantize mode applied")
+
+
+def fold_weight(bundle: ModelBundle) -> ModelBundle:
+    """Bake fake-quantization into the stored weights and disable the weight
+    quantizers (reference: model_quant.py:725). The model then runs at full
+    speed with quantized-valued weights — e.g. before export or QAT-free
+    deployment of weight-only configs."""
+    from ..core.tree import get_in, set_in
+    from .fake_quant import fake_quantize
+    from ..nn.quantizer import _broadcast_amax
+
+    variables = bundle.variables
+    folded = []
+    for path, specs in quantizer_specs(bundle):
+        if not path.endswith("/weight_quantizer") or not specs:
+            continue
+        spec = specs[0]
+        if not spec.enable:
+            continue
+        dense_path = path.rsplit("/weight_quantizer", 1)[0]
+        kpath = tuple(dense_path.split("/")) + ("kernel",)
+        w = get_in(variables.get("params", {}), kpath)
+        if w is None:
+            continue
+        amax = get_in(variables.get("quant", {}), tuple(path.split("/")) + ("amax",))
+        kw = {}
+        if amax is not None:
+            if spec.block is not None and spec.block.dynamic:
+                kw["tensor_amax"] = amax
+            elif spec.block is not None:
+                kw["amax"] = amax
+            else:
+                kw["amax"] = _broadcast_amax(amax, w)
+        wq = fake_quantize(w.astype(jnp.float32), spec, **kw).astype(w.dtype)
+        variables = {**variables, "params": set_in(variables["params"], kpath, wq)}
+        folded.append(dense_path)
+    out = bundle.replace(variables=variables)
+    return _update_rules(out, {p + "/weight_quantizer": {"enable": False} for p in folded})
+
+
+def compute_quantization_mse(bundle: ModelBundle, batch=None) -> dict:
+    """Per-quantization-point output-MSE diagnostics
+    (reference: model_quant.py:737)."""
+    from .algorithms.capture import capture_inputs, quant_linears
+    from .algorithms.capture import fq_with_amax, weight_amax_map
+
+    captured = capture_inputs(
+        bundle, (lambda f: f(*([batch] if batch is not None else bundle.example_inputs)))
+        if batch is not None else None,
+    )
+    out = {}
+    for info in quant_linears(bundle, captured):
+        amax = weight_amax_map(info.kernel, info.wspec)
+        wq = fq_with_amax(info.kernel, amax, info.wspec)
+        diff = info.x @ (wq - info.kernel)
+        ref = info.x @ info.kernel
+        out[info.dense_path] = {
+            "weight_mse": float(jnp.mean((wq - info.kernel) ** 2)),
+            "output_rel_err": float(
+                jnp.linalg.norm(diff) / jnp.maximum(jnp.linalg.norm(ref), 1e-12)
+            ),
+        }
+    return out
 
 
 def quantizer_specs(bundle: ModelBundle):

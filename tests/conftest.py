@@ -10,20 +10,28 @@ import os
 # sitecustomize force-registers the axon TPU platform and overrides
 # JAX_PLATFORMS, so the env-var alone is NOT enough — we must also update
 # jax.config before first device use.
+# MODELOPT_TPU_TESTS=1 keeps the real backend (for the tests/tpu/ hardware
+# tier, the analogue of the reference's tests/gpu/); default is the CPU
+# 8-virtual-device unit tier.
+_TPU_TIER = os.environ.get("MODELOPT_TPU_TESTS") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _TPU_TIER and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
 
-assert jax.default_backend() == "cpu", "unit tests must run on CPU"
-assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+if not _TPU_TIER:
+    assert jax.default_backend() == "cpu", "unit tests must run on CPU"
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture

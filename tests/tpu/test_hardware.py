@@ -1,0 +1,65 @@
+"""Hardware (TPU) test tier — the analogue of the reference's tests/gpu/
+CUDA-kernel parity suite (reference: tests/gpu/torch/quantization/
+test_tensor_quant_cuda.py). Run with:
+
+    MODELOPT_TPU_TESTS=1 python -m pytest tests/tpu -q
+
+Skipped automatically on CPU-only environments. Keep each test to ONE or
+two jitted programs — remote compiles cost ~1 min each on the axon tunnel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires a TPU backend"
+)
+
+
+def test_fake_quant_formats_on_hw(rng):
+    from modelopt_tpu.quant.fake_quant import fake_quantize
+    from modelopt_tpu.quant.qspec import BlockSpec, QuantizerSpec
+
+    x = jnp.asarray(rng.standard_normal((512, 512)), jnp.float32)
+    spec = QuantizerSpec(
+        num_bits=(2, 1),
+        block=BlockSpec(sizes=((-1, 16),), dynamic=True, scale_format="e4m3",
+                        two_level=True),
+    )
+    y = jax.jit(lambda x: fake_quantize(x, spec))(x)
+    err = float(jnp.sqrt(jnp.mean((y - x) ** 2)))
+    sqnr = 10 * np.log10(float(jnp.mean(x**2)) / max(err**2, 1e-30))
+    assert 15 < sqnr < 30  # NVFP4 lands ~20 dB on gaussian data
+
+
+def test_w4a16_kernel_parity_on_hw(rng):
+    from modelopt_tpu.kernels import quant_gemm as kq
+    from modelopt_tpu.quant import qtensor as qt
+
+    K, N, M = 1024, 512, 16
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    p = qt.quantize_int4(w, block=128)
+    y = kq.w4a16_gemm(x, p["data"], p["scale"], block=128, out_dtype=jnp.float32)
+    ref = x @ qt.dequantize_int4(p, 128).astype(jnp.bfloat16)
+    rel = float(jnp.linalg.norm(y - ref.astype(jnp.float32)) / jnp.linalg.norm(ref.astype(jnp.float32)))
+    assert rel < 5e-3
+
+
+def test_decode_attention_fp8_on_hw(rng):
+    from modelopt_tpu.kernels.attention import decode_attention
+
+    B, S, KH, G, D = 4, 128, 2, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, KH, G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, KH, D)) / 50).astype(jnp.float8_e4m3fn)
+    v = jnp.asarray(rng.standard_normal((B, S, KH, D)) / 50).astype(jnp.float8_e4m3fn)
+    lengths = jnp.asarray([3, 50, 100, 128], jnp.int32)
+    out = decode_attention(q, k, v, lengths, k_scale=50.0, v_scale=50.0,
+                           out_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(out)).all()
+    # masked slots: batch 0 attends only 3 keys — all outputs bounded by
+    # the max |v| over those keys * 50
+    vmax = float(jnp.max(jnp.abs(v[0, :3].astype(jnp.float32) * 50.0)))
+    assert float(jnp.max(jnp.abs(out[0]))) <= vmax + 1e-3

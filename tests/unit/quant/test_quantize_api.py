@@ -138,3 +138,25 @@ class TestSaveRestore:
         st = modelopt_state(q)["modelopt_state_dict"]
         assert [e["mode"] for e in st] == ["quantize"]
         assert st[0]["config"]["algorithm"] == "max"
+
+
+class TestFoldWeight:
+    def test_fold_weight_matches_fake_quant(self, rng):
+        bundle = simple_mlp_bundle()
+        x = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.INT8_WEIGHT_ONLY_CFG, calib_loop([x]))
+        out_q = q.apply(x)
+        folded = mtq.fold_weight(q)
+        # weight quantizers now disabled, but outputs identical
+        np.testing.assert_allclose(
+            np.asarray(folded.apply(x)), np.asarray(out_q), rtol=1e-5, atol=1e-6
+        )
+        specs = dict(mtq.quantizer_specs(folded))
+        assert specs["fc1/weight_quantizer"] is None
+
+    def test_compute_quantization_mse(self, rng):
+        bundle = simple_mlp_bundle()
+        x = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.INT4_BLOCKWISE_WEIGHT_ONLY_CFG, calib_loop([x]))
+        stats = mtq.compute_quantization_mse(q)
+        assert "fc1" in stats and stats["fc1"]["output_rel_err"] > 0
