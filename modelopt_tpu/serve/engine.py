@@ -54,7 +54,12 @@ class ServingEngine:
         prefill_buckets=(64, 256),
         kv_dtype=None,
         seed: int = 0,
+        speculative: int = 0,
     ):
+        """``speculative=k`` enables batched draft-verify decode for
+        medusa-converted bundles: every tick verifies k drafted tokens per
+        slot in one forward (greedy-lossless; per-slot acceptance just moves
+        the slot's cache length, so mixed acceptance needs no recompile)."""
         self.bundle = bundle
         self.cfg = bundle.module.cfg
         self.max_batch = max_batch
@@ -69,22 +74,33 @@ class ServingEngine:
         self._ids = itertools.count()
         self._tokens = jnp.zeros((max_batch, 1), jnp.int32)  # last token per slot
         self._temps = jnp.zeros((max_batch,), jnp.float32)
+        self.spec_k = int(speculative)
+        if self.spec_k:
+            from ..speculative.medusa import MedusaModel
+
+            if not isinstance(bundle.module, MedusaModel):
+                raise ValueError("speculative engine decode needs a medusa bundle")
+            self.spec_k = min(self.spec_k, bundle.module.medusa_cfg.medusa_num_heads)
+            self._hidden = jnp.zeros(
+                (max_batch, self.cfg.hidden_size), bundle.module.cfg.dtype
+            )
+            self._spec_decode = jax.jit(self._make_spec_decode())
 
         def prefill_fn(variables, cache, ids, slot, true_len, temp, key):
-            """Prefill one request into ``slot``; returns (cache, first_token)."""
-            L = cache["k"].shape[0]
+            """Prefill one request into ``slot``; returns
+            (cache, first_token, last_hidden)."""
             sub = {
                 "k": jax.lax.dynamic_slice_in_dim(cache["k"], slot, 1, axis=1),
                 "v": jax.lax.dynamic_slice_in_dim(cache["v"], slot, 1, axis=1),
                 "lengths": jnp.zeros((1,), jnp.int32),
             }
-            logits, new_sub = self._apply(variables, ids, sub)
+            logits, new_sub, hidden = self._apply(variables, ids, sub, output_hidden=True)
             k = jax.lax.dynamic_update_slice_in_dim(cache["k"], new_sub["k"], slot, axis=1)
             v = jax.lax.dynamic_update_slice_in_dim(cache["v"], new_sub["v"], slot, axis=1)
             lengths = cache["lengths"].at[slot].set(true_len)
             last = logits[0, true_len - 1]
             tok = _sample(last, temp, key)
-            return {"k": k, "v": v, "lengths": lengths}, tok
+            return {"k": k, "v": v, "lengths": lengths}, tok, hidden[0, true_len - 1]
 
         def decode_fn(variables, cache, tokens, temps, key):
             """One decode tick over all slots; returns (cache, next_tokens [B])."""
@@ -96,9 +112,43 @@ class ServingEngine:
         self._prefill = jax.jit(prefill_fn)
         self._decode = jax.jit(decode_fn)
 
+    def _make_spec_decode(self):
+        from ..speculative.medusa import MedusaModel
+
+        module: MedusaModel = self.bundle.module
+        K = self.spec_k
+
+        def spec_decode(variables, cache, tokens, hidden):
+            """tokens [B,1] last emitted; hidden [B,H] at those tokens.
+            Returns (cache', emitted [B, K+1], n_acc [B], hidden' [B,H]).
+            Per slot, emitted[:n_acc[b]+1] are valid (all are base-greedy
+            tokens — lossless)."""
+            with self.bundle.contexts():
+                heads = module.apply(variables, hidden[:, None, :],
+                                     method=MedusaModel.medusa_logits)
+            draft = jnp.concatenate(
+                [jnp.argmax(h[:, -1:], -1).astype(jnp.int32) for h in heads[:K]],
+                axis=1,
+            )  # [B, K]
+            ids = jnp.concatenate([tokens, draft], axis=1)  # [B, K+1]
+            old_lengths = cache["lengths"]
+            logits, cache2, hseq = self._apply(variables, ids, cache, output_hidden=True)
+            preds = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, K+1]
+            match = preds[:, :K] == draft  # [B, K]
+            n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+            # roll back lengths to the accepted prefix (+1 for the token fed)
+            cache2 = {**cache2, "lengths": old_lengths + n_acc + 1}
+            bidx = jnp.arange(preds.shape[0])
+            hidden_next = hseq[bidx, n_acc]
+            return cache2, preds, n_acc, hidden_next
+
+        return spec_decode
+
     # ------------------------------------------------------------------
     def submit(self, prompt_tokens, max_new_tokens=64, temperature=0.0,
                eos_id=None) -> Request:
+        if self.spec_k and temperature > 0:
+            raise ValueError("speculative engine decode is greedy-only")
         req = Request(
             id=next(self._ids), prompt=list(map(int, prompt_tokens)),
             max_new_tokens=max_new_tokens, temperature=temperature, eos_id=eos_id,
@@ -131,10 +181,12 @@ class ServingEngine:
             bucket = self._bucket(len(req.prompt))
             ids = np.zeros((1, bucket), np.int32)
             ids[0, : len(req.prompt)] = req.prompt
-            self.cache, tok = self._prefill(
+            self.cache, tok, hid = self._prefill(
                 self._vars, self.cache, jnp.asarray(ids), slot,
                 len(req.prompt), jnp.float32(req.temperature), self._next_key(),
             )
+            if self.spec_k:
+                self._hidden = self._hidden.at[slot].set(hid)
             req.slot = slot
             self._slots[slot] = req
             self._tokens = self._tokens.at[slot, 0].set(tok)
@@ -145,6 +197,9 @@ class ServingEngine:
 
         if self.num_active == 0:
             return 0
+
+        if self.spec_k:
+            return self._step_speculative()
 
         # Decode tick over all slots (inactive slots produce ignored tokens).
         self.cache, toks = self._decode(
@@ -159,6 +214,28 @@ class ServingEngine:
             req.out_tokens.append(int(toks_host[slot]))
             produced += 1
             self._finish_if_done(req)
+        return produced
+
+    def _step_speculative(self) -> int:
+        """One batched draft-verify tick: up to spec_k+1 tokens per slot."""
+        self.cache, preds, n_acc, hidden = self._spec_decode(
+            self._vars, self.cache, self._tokens, self._hidden
+        )
+        self._hidden = hidden
+        preds_h = np.asarray(preds)
+        n_h = np.asarray(n_acc)
+        produced = 0
+        for slot, req in enumerate(self._slots):
+            if req is None:
+                continue
+            emitted = preds_h[slot, : int(n_h[slot]) + 1]
+            for tok in emitted:
+                req.out_tokens.append(int(tok))
+                produced += 1
+                self._finish_if_done(req)
+                if req.done:
+                    break
+            self._tokens = self._tokens.at[slot, 0].set(int(req.out_tokens[-1]))
         return produced
 
     def _finish_if_done(self, req: Request):

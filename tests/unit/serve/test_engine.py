@@ -93,3 +93,42 @@ class TestEngine:
         eng.run()
         assert req.done
         assert req.out_tokens == naive_greedy(c, [5, 17, 42], 5)
+
+
+class TestSpeculativeEngine:
+    def test_spec_decode_lossless(self, bundle):
+        import modelopt_tpu.speculative as mtsp
+
+        m = mtsp.convert(bundle, [("medusa", {"medusa_num_heads": 3})])
+        eng = ServingEngine(m, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,), speculative=3)
+        prompts = [[5, 17, 42, 7], [9, 1, 30]]
+        reqs = [eng.submit(p, max_new_tokens=7) for p in prompts]
+        eng.run()
+        for p, r in zip(prompts, reqs):
+            assert r.done and len(r.out_tokens) == 7
+            assert r.out_tokens == naive_greedy(m, p, 7), (p, r.out_tokens)
+
+    def test_spec_engine_rejects_temperature(self, bundle):
+        import modelopt_tpu.speculative as mtsp
+        import pytest as _pt
+
+        m = mtsp.convert(bundle, [("medusa", {"medusa_num_heads": 2})])
+        eng = ServingEngine(m, max_batch=1, max_seq_len=64,
+                            prefill_buckets=(16,), speculative=2)
+        with _pt.raises(ValueError):
+            eng.submit([1, 2], temperature=0.5)
+
+    def test_spec_ticks_not_more_than_tokens(self, bundle):
+        import modelopt_tpu.speculative as mtsp
+
+        m = mtsp.convert(bundle, [("medusa", {"medusa_num_heads": 3})])
+        eng = ServingEngine(m, max_batch=1, max_seq_len=64,
+                            prefill_buckets=(16,), speculative=3)
+        req = eng.submit([5, 17, 42], max_new_tokens=9)
+        ticks = 0
+        while not req.done and ticks < 50:
+            eng.step()
+            ticks += 1
+        assert req.done
+        assert ticks <= 10  # 1 prefill + at most 9 verify ticks
