@@ -29,8 +29,8 @@ def _decode_attn_kernel(lens_ref, scales_ref, q_ref, k_ref, v_ref, o_ref):
     k_scale = scales_ref[0]
     v_scale = scales_ref[1]
     q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
-    k = k_ref[0, :, 0, :].astype(jnp.float32) * k_scale  # [S, D]
-    v = v_ref[0, :, 0, :].astype(jnp.float32) * v_scale
+    k = k_ref[0, 0].astype(jnp.float32) * k_scale  # [S, D]
+    v = v_ref[0, 0].astype(jnp.float32) * v_scale
     G, D = q.shape
     S = k.shape[0]
     scores = jax.lax.dot_general(
@@ -56,17 +56,22 @@ def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
         jnp.asarray(1.0 if k_scale is None else k_scale, jnp.float32).reshape(()),
         jnp.asarray(1.0 if v_scale is None else v_scale, jnp.float32).reshape(()),
     ])
-    # caches stay in their native [B, S, KH, D] layout — the per-head slice
-    # is a strided DMA block, no transposed copy of the cache is made
+    # NOTE: Mosaic requires the last two BLOCK dims divisible by (8, 128) or
+    # equal to the array dims, so a strided per-head block over the native
+    # [B, S, KH, D] cache is not lowerable — transpose to [B, KH, S, D]
+    # first. On the fp8 path this copies half-size codes; relayouting the
+    # cache natively is a tracked optimization (NOTES.md).
+    kt = jnp.transpose(k_cache, (0, 2, 1, 3))
+    vt = jnp.transpose(v_cache, (0, 2, 1, 3))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, KH),
         in_specs=[
             pl.BlockSpec((1, 1, G, D), lambda b, h, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, 1, D), lambda b, h, *_: (b, 0, h, 0),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, 1, D), lambda b, h, *_: (b, 0, h, 0),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, *_: (b, h, 0, 0),
@@ -81,7 +86,7 @@ def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
             bytes_accessed=2 * B * KH * S * D * k_cache.dtype.itemsize,
             transcendentals=B * KH * G * S,
         ),
-    )(lengths.astype(jnp.int32), scales, q, k_cache, v_cache)
+    )(lengths.astype(jnp.int32), scales, q, kt, vt)
 
 
 def decode_attention_ok(q_shape, S: int, cache_dtype=None) -> bool:

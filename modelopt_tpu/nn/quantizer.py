@@ -194,6 +194,11 @@ class TensorQuantizer(nn.Module):
         return ret(x)
 
     def _apply_one(self, x, spec: QuantizerSpec, amax_name: str, phase: str):
+        # affine (asymmetric) quantization: track min/max, quantize the
+        # centered tensor, restore the bias (reference: calib/bias.py:100
+        # BiasCalibrator + bias attrs in QuantizerAttributeConfig)
+        if spec.bias_mode is not None and spec.block is None:
+            return self._apply_affine(x, spec, phase)
         needs_amax = _needs_static_amax(spec)
         if phase == PHASE_CALIB:
             if needs_amax and not self.is_initializing():
@@ -221,3 +226,35 @@ class TensorQuantizer(nn.Module):
             else:
                 amax = _broadcast_amax(a, x)
         return fake_quantize(x, spec, amax=amax, tensor_amax=tensor_amax)
+
+    def _apply_affine(self, x, spec: QuantizerSpec, phase: str):
+        import dataclasses
+
+        keep = spec.axis
+        if phase == PHASE_CALIB:
+            if not self.is_initializing():
+                if keep is None:
+                    xmax, xmin = jnp.max(x).astype(jnp.float32), jnp.min(x).astype(jnp.float32)
+                else:
+                    kset = tuple(a % x.ndim for a in keep)
+                    red = tuple(i for i in range(x.ndim) if i not in kset)
+                    xmax = jnp.max(x, axis=red).astype(jnp.float32)
+                    xmin = jnp.min(x, axis=red).astype(jnp.float32)
+                vmax = self.variable("quant", "xmax",
+                                     lambda: jnp.full(xmax.shape, -jnp.inf, jnp.float32))
+                vmin = self.variable("quant", "xmin",
+                                     lambda: jnp.full(xmin.shape, jnp.inf, jnp.float32))
+                vmax.value = jnp.maximum(vmax.value, xmax)
+                vmin.value = jnp.minimum(vmin.value, xmin)
+            return x
+        if not self.has_variable("quant", "xmax"):
+            raise ValueError(
+                f"Affine quantizer {'/'.join(self.path)} not calibrated"
+            )
+        xmax = _broadcast_amax(self.get_variable("quant", "xmax"), x)
+        xmin = _broadcast_amax(self.get_variable("quant", "xmin"), x)
+        bias = (xmax + xmin) / 2.0
+        amax = jnp.maximum((xmax - xmin) / 2.0, 1e-12)
+        sym = dataclasses.replace(spec, bias_mode=None)
+        centered = (x.astype(jnp.float32) - bias)
+        return (fake_quantize(centered, sym, amax=amax) + bias).astype(x.dtype)

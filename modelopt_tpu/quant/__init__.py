@@ -18,6 +18,7 @@ from .api import (
 from .config import (  # noqa: F401 — preset names re-exported
     FP8_2D_BLOCKWISE_WEIGHT_ONLY_CFG,
     FP8_DEFAULT_CFG,
+    FP8_AFFINE_KV_CFG,
     FP8_KV_CFG,
     FP8_PER_CHANNEL_PER_TOKEN_CFG,
     FP8_WEIGHT_ONLY_CFG,

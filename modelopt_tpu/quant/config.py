@@ -232,7 +232,14 @@ KV_CACHE_FP8 = {
     "*v_quantizer": {"num_bits": (4, 3), "axis": None},
 }
 KV_CACHE_NVFP4 = {"*k_quantizer": dict(_A_NVFP4), "*v_quantizer": dict(_A_NVFP4)}
+# affine (asymmetric) KV quantization — keys often carry per-channel offsets
+# (reference: FP8_AFFINE_KV_CFG + calib/bias.py)
+KV_CACHE_FP8_AFFINE = {
+    "*k_quantizer": {"num_bits": (4, 3), "axis": None, "bias_mode": "static"},
+    "*v_quantizer": {"num_bits": (4, 3), "axis": None, "bias_mode": "static"},
+}
 FP8_KV_CFG = _cfg(_W_FP8, _A_FP8, extra=KV_CACHE_FP8)
+FP8_AFFINE_KV_CFG = _cfg(_W_FP8, _A_FP8, extra=KV_CACHE_FP8_AFFINE)
 NVFP4_KV_CFG = _cfg(_W_NVFP4, _A_NVFP4, extra=KV_CACHE_NVFP4)
 
 choices = {

@@ -160,3 +160,34 @@ class TestFoldWeight:
         q = mtq.quantize(bundle, mtq.INT4_BLOCKWISE_WEIGHT_ONLY_CFG, calib_loop([x]))
         stats = mtq.compute_quantization_mse(q)
         assert "fc1" in stats and stats["fc1"]["output_rel_err"] > 0
+
+
+class TestAffineQuant:
+    def test_affine_better_on_offset_data(self, rng):
+        """Asymmetric data: affine quantization beats symmetric."""
+        from modelopt_tpu.nn.quantizer import TensorQuantizer
+        from modelopt_tpu.quant.qspec import QuantizerSpec
+        from modelopt_tpu.core.bundle import PHASE_CALIB, PHASE_QUANT, _set_phase
+
+        x = jnp.asarray(rng.standard_normal((64, 32)) * 0.5 + 5.0, jnp.float32)
+        for bias_mode, name in ((None, "sym"), ("static", "affine")):
+            spec = QuantizerSpec(num_bits=(4, 3), bias_mode=bias_mode)
+            q = TensorQuantizer(fixed_spec=spec)
+            with _set_phase(PHASE_CALIB):
+                vs = q.init(jax.random.PRNGKey(0), x)
+                _, muts = q.apply(vs, x, mutable=["quant"])
+            with _set_phase(PHASE_QUANT):
+                out = q.apply({"quant": muts.get("quant", {})}, x)
+            err = float(jnp.sqrt(jnp.mean((out - x) ** 2)))
+            if bias_mode is None:
+                err_sym = err
+            else:
+                err_affine = err
+        assert err_affine < err_sym * 0.5
+
+    def test_fp8_affine_kv_model(self, rng):
+        bundle = simple_mlp_bundle()
+        x = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.FP8_AFFINE_KV_CFG, calib_loop([x]))
+        out = q.apply(x)
+        assert np.isfinite(np.asarray(out)).all()
