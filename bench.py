@@ -67,10 +67,19 @@ def main():
     ms_bf16 = _measure_decode(fn_bf16, bundle.variables, ids, cache0, summ)
 
     # --- INT4 block-128 weight-only, compressed, Pallas dequant-GEMM -------
+    t0 = time.time()
     q = mtq.quantize(bundle, mtq.INT4_BLOCKWISE_WEIGHT_ONLY_CFG, None)
+    calib_s = time.time() - t0
     c = mtq.compress(q)
     fn_int4 = jax.jit(c.make_fn())
     ms_int4 = _measure_decode(fn_int4, c.variables, ids, cache0, summ)
+
+    # --- quality: perplexity delta on synthetic eval batches ---------------
+    from modelopt_tpu.utils import perplexity, synthetic_token_batches
+
+    evalb = synthetic_token_batches(cfg.vocab_size, 2, 4, 128, seed=7)
+    ppl_base = perplexity(bundle, evalb)
+    ppl_int4 = perplexity(c, evalb)
 
     tok_s = BATCH / (ms_int4 / 1e3)
     baseline_tok_s = 599.72  # reference Llama3.1-8B INT4-AWQ, H200 bs8
@@ -88,6 +97,8 @@ def main():
                     "decode_ms_int4": round(ms_int4, 2),
                     "weight_gb_bf16": round(weight_bytes(bundle.variables) / 1e9, 3),
                     "weight_gb_int4": round(weight_bytes(c.variables) / 1e9, 3),
+                    "ppl_delta_pct": round(100 * (ppl_int4 / ppl_base - 1), 3),
+                    "calib_wall_s": round(calib_s, 2),
                     "wall_s": round(time.time() - t_start, 1),
                 },
             }
