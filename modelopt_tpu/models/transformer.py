@@ -186,6 +186,20 @@ class Attention(nn.Module):
                 out = dense(cfg.hidden_size, "o_proj")(out)
                 return out, new_kv
 
+        # Prefill/training flash attention: tiled scores never hit HBM —
+        # required at long context where the einsum path materializes
+        # [B, H, T, S] (kernels/flash_attention.py).
+        if cache_kv is None and T >= 256:
+            from ..kernels.flash_attention import flash_attention, flash_attention_ok
+
+            if flash_attention_ok(T, k.shape[1], D):
+                out = flash_attention(
+                    q.reshape(B, T, KH, G, D), k, v,
+                    causal=True, window=cfg.attention_window, sink=cfg.attention_sink,
+                )
+                out = out.reshape(B, T, H * D)
+                return dense(cfg.hidden_size, "o_proj")(out), new_kv
+
         S = k.shape[1]
         qg = q.reshape(B, T, KH, G, D)
         scores = jnp.einsum(

@@ -63,3 +63,19 @@ def test_decode_attention_fp8_on_hw(rng):
     # the max |v| over those keys * 50
     vmax = float(jnp.max(jnp.abs(v[0, :3].astype(jnp.float32) * 50.0)))
     assert float(jnp.max(jnp.abs(out[0]))) <= vmax + 1e-3
+
+
+def test_flash_attention_on_hw(rng):
+    from modelopt_tpu.kernels.flash_attention import _xla_reference, flash_attention
+
+    B, T, KH, G, D = 1, 512, 2, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, T, KH, G, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, T, KH, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, T, KH, D)), jnp.bfloat16)
+    out = flash_attention(q, k, v, True, None, 0, 256)
+    ref = _xla_reference(q, k, v, True, None, 0)
+    rel = float(
+        jnp.linalg.norm((out - ref).astype(jnp.float32))
+        / jnp.linalg.norm(ref.astype(jnp.float32))
+    )
+    assert rel < 2e-2, rel
