@@ -53,3 +53,27 @@ def test_entropy_calibrate_runs():
     q = mtq.quantize(bundle, cfg, lambda f: f(x))
     out = q.apply(x)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_nvfp4_headroom_leaves_room():
+    import jax.numpy as jnp
+    import modelopt_tpu.quant as mtq
+    from modelopt_tpu.quant.algorithms.nvfp4_headroom import headroom_amax
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((512, 64)).astype(np.float32)
+    a = headroom_amax(x, 16, 1.0, 99.99, rho=64.0)
+    assert a > np.abs(x).max()  # headroom above the observed max here
+
+    # end-to-end: amax var ends up larger than max-calibrated
+    bundle = outlier_bundle()
+    xb = bundle.example_inputs[0]
+    cfg = dict(mtq.NVFP4_DEFAULT_CFG)
+    cfg["algorithm"] = "nvfp4_act_headroom"
+    q = mtq.quantize(bundle, cfg, lambda f: f(xb))
+    q_max = mtq.quantize(bundle, mtq.NVFP4_DEFAULT_CFG, lambda f: f(xb))
+    a_h = float(q.variables["quant"]["fc1"]["input_quantizer"]["amax"])
+    a_m = float(q_max.variables["quant"]["fc1"]["input_quantizer"]["amax"])
+    assert a_h != a_m
+    out = q.apply(xb)
+    assert np.isfinite(np.asarray(out)).all()
