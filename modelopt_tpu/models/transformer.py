@@ -61,8 +61,18 @@ class DecoderConfig:
     # its resmoothing exists exactly to enable it, quant_utils.py:1339)
     fused_qkv: bool = False
     fused_gate_up: bool = False
+    # heterogeneous per-layer plan (Puzzletron-style): tuple with one entry
+    # per layer, each a tuple of (key, value) pairs from
+    # {("no_attn", True), ("ffn", <int>)}; () keeps the layer unchanged
+    # (reference analogue: puzzletron anymodel block descriptors)
+    layer_plan: Optional[tuple] = None
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+
+    def layer_opts(self, i: int) -> dict:
+        if self.layer_plan is None or i >= len(self.layer_plan):
+            return {}
+        return dict(self.layer_plan[i])
 
     @property
     def kv_heads(self) -> int:
@@ -279,23 +289,34 @@ class MoEBlock(nn.Module):
 
 class Block(nn.Module):
     cfg: DecoderConfig
+    layer_index: int = 0
 
     @nn.compact
     def __call__(self, x, positions, mask, cache_kv=None):
         cfg = self.cfg
+        opts = cfg.layer_opts(self.layer_index)
         norm = (
             (lambda name: RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name=name))
             if cfg.norm == "rmsnorm"
             else (lambda name: nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
                                             param_dtype=cfg.param_dtype, name=name))
         )
-        h, new_kv = Attention(cfg, name="attn")(norm("input_norm")(x), positions, mask, cache_kv)
-        x = x + h
+        new_kv = None
+        if "no_attn" not in opts:
+            h, new_kv = Attention(cfg, name="attn")(
+                norm("input_norm")(x), positions, mask, cache_kv
+            )
+            x = x + h
+        elif cache_kv is not None:
+            new_kv = (cache_kv[0], cache_kv[1])  # untouched cache slots
         mlp_in = norm("post_attn_norm")(x)
         if cfg.num_experts > 0:
             x = x + MoEBlock(cfg, name="moe")(mlp_in)
         else:
-            x = x + MLP(cfg, name="mlp")(mlp_in)
+            mlp_cfg = cfg
+            if "ffn" in opts:
+                mlp_cfg = dataclasses.replace(cfg, intermediate_size=int(opts["ffn"]))
+            x = x + MLP(mlp_cfg, name="mlp")(mlp_in)
         return x, new_kv
 
 
@@ -345,7 +366,9 @@ class Decoder(nn.Module):
             cache_kv = None
             if cache is not None:
                 cache_kv = (cache["k"][i], cache["v"][i], positions)
-            x, new_kv = Block(cfg, name=f"layers_{i}")(x, positions, mask, cache_kv)
+            x, new_kv = Block(cfg, layer_index=i, name=f"layers_{i}")(
+                x, positions, mask, cache_kv
+            )
             if new_kv is not None:
                 ks.append(new_kv[0])
                 vs.append(new_kv[1])

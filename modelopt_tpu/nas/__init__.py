@@ -1,6 +1,7 @@
 """Neural architecture search — import as ``mtn``
 (reference: modelopt/torch/nas/)."""
 
+from .puzzle import build_replacement_library, puzzle_search
 from .search import Hparam, convert, export, profile, search, search_space
 
-__all__ = ["Hparam", "convert", "export", "profile", "search", "search_space"]
+__all__ = ["Hparam", "build_replacement_library", "convert", "export", "profile", "puzzle_search", "search", "search_space"]
