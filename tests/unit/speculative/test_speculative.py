@@ -58,10 +58,10 @@ class TestEagle:
     def test_lossless_greedy(self, base_bundle):
         e = mtsp.convert(base_bundle, [("eagle", {})])
         prompt = [5, 9, 17, 3]
-        ref = plain_greedy(e, prompt, 12)
-        out, stats = mtsp.speculative_decode(e, prompt, max_new_tokens=12, draft_len=3)
+        ref = plain_greedy(e, prompt, 7)
+        out, stats = mtsp.speculative_decode(e, prompt, max_new_tokens=7, draft_len=3)
         assert out == ref, (out, ref)
-        assert stats["base_forwards"] <= 13  # never worse than 1/token
+        assert stats["base_forwards"] <= 8  # never worse than 1/token
 
     def test_state_roundtrip(self, base_bundle):
         e = mtsp.convert(base_bundle, [("eagle", {"num_draft_layers": 1})])
