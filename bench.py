@@ -1,15 +1,21 @@
 """Benchmark entry point — prints ONE JSON line with the headline metric.
 
-Headline: single-chip decode throughput of a TinyLlama-1.1B-shaped decoder
-with INT4 block-128 weight-only quantization served from packed weights
-through the Pallas fused dequant-GEMM kernels, vs. the bf16 baseline
-measured in the same run. vs_baseline anchors to the reference's
-Llama3.1-8B INT4-AWQ bs8 H200 throughput (examples/benchmark.md: 599.72
-tok/s) until an 8B model fits a later round's multi-chip serving runs.
+Headline: single-chip decode throughput of a Llama-3-8B-shaped decoder with
+INT4 block-128 weight-only quantization, served from packed weights through
+the Pallas fused dequant-GEMM kernels on one v5e. vs_baseline is the
+reference's own headline for this model/format: Llama3.1-8B INT4-AWQ at
+599.72 tok/s on an H200 (examples/benchmark.md:23-25, bs8; we run bs16 —
+see aux). The bf16 model (16 GB) does not even fit this chip's HBM; its
+INT4-packed form runs in 5.8 GB.
+
+Weights are synthetic (this environment has zero network egress — see
+models/synthetic.py); identical compute/memory behavior to a real
+checkpoint. Quality ladders for the calibration algorithms are tracked in
+NOTES.md from on-chip runs with outlier data.
 
 Timing methodology (axon-tunnel-safe, see .claude/skills/verify/SKILL.md):
-python-dispatched dependent decode chain, data-fetch barrier, marginal cost
-between two chain lengths, implied-GB/s sanity fields.
+dependent decode chains, data-fetch barriers, marginal cost between two
+chain lengths, implied-GB/s sanity fields.
 """
 
 import json
@@ -18,87 +24,62 @@ import time
 import numpy as np
 
 
-def _measure_decode(fn, variables, ids, cache0, summ, n1=16, n2=64):
-    import jax.numpy as jnp
-
-    lg, cache = fn(variables, ids, cache0)
-    float(summ(lg))  # compile + settle
-
-    times = {}
-    for n in (n1, n2):
-        t0 = time.time()
-        c, out = cache, lg
-        for _ in range(n):
-            out, c = fn(variables, ids, c)
-        float(summ(out))
-        times[n] = time.time() - t0
-    return 1e3 * (times[n2] - times[n1]) / (n2 - n1)
-
-
 def main():
     import jax
     import jax.numpy as jnp
 
-    import modelopt_tpu.quant as mtq
-    from modelopt_tpu.core import ModelBundle
-    from modelopt_tpu.models import Decoder, make_cache, tinyllama_config
+    from modelopt_tpu.models import Decoder, llama3_8b_config, make_cache
+    from modelopt_tpu.models.synthetic import build_compressed_bundle
 
     BATCH, MAXLEN = 16, 256
     t_start = time.time()
 
-    cfg = tinyllama_config(
+    cfg = llama3_8b_config(
         max_position_embeddings=MAXLEN, param_dtype=jnp.bfloat16,
         fused_qkv=True, fused_gate_up=True,
     )
     module = Decoder(cfg)
-    ids = jnp.asarray(
-        np.random.default_rng(0).integers(0, cfg.vocab_size, (BATCH, 1)), jnp.int32
-    )
-    variables = jax.jit(module.init)(jax.random.PRNGKey(0), ids)
-    bundle = ModelBundle(module=module, variables=dict(variables), example_inputs=(ids,))
-    summ = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-    cache0 = make_cache(cfg, BATCH, MAXLEN)
-
-    def weight_bytes(vars_):
-        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(vars_))
-
-    # --- bf16 baseline -----------------------------------------------------
-    fn_bf16 = jax.jit(bundle.make_fn())
-    ms_bf16 = _measure_decode(fn_bf16, bundle.variables, ids, cache0, summ)
-
-    # --- INT4 block-128 weight-only, compressed, Pallas dequant-GEMM -------
+    ids = jnp.zeros((BATCH, 1), jnp.int32)
     t0 = time.time()
-    q = mtq.quantize(bundle, mtq.INT4_BLOCKWISE_WEIGHT_ONLY_CFG, None)
-    calib_s = time.time() - t0
-    c = mtq.compress(q)
-    fn_int4 = jax.jit(c.make_fn())
-    ms_int4 = _measure_decode(fn_int4, c.variables, ids, cache0, summ)
+    bundle = build_compressed_bundle(module, (ids,), "INT4_BLOCKWISE_WEIGHT_ONLY_CFG")
+    build_s = time.time() - t0
+    weight_gb = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(bundle.variables)
+    ) / 1e9
 
-    # --- quality: perplexity delta on synthetic eval batches ---------------
-    from modelopt_tpu.utils import perplexity, synthetic_token_batches
+    summ = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    fn = jax.jit(bundle.make_fn())
+    cache = make_cache(cfg, BATCH, MAXLEN)
+    lg, c = fn(bundle.variables, ids, cache)
+    float(summ(lg))  # compile + settle
 
-    evalb = synthetic_token_batches(cfg.vocab_size, 2, 4, 128, seed=7)
-    ppl_base = perplexity(bundle, evalb)
-    ppl_int4 = perplexity(c, evalb)
+    times = {}
+    for n in (8, 32):
+        t0 = time.time()
+        out, cc = lg, c
+        for _ in range(n):
+            out, cc = fn(bundle.variables, ids, cc)
+        float(summ(out))
+        times[n] = time.time() - t0
+    ms = 1e3 * (times[32] - times[8]) / 24.0
+    tok_s = BATCH / (ms / 1e3)
 
-    tok_s = BATCH / (ms_int4 / 1e3)
-    baseline_tok_s = 599.72  # reference Llama3.1-8B INT4-AWQ, H200 bs8
+    baseline_tok_s = 599.72  # reference: Llama3.1-8B INT4-AWQ, H200, bs8
     print(
         json.dumps(
             {
-                "metric": "decode_tok_s_tinyllama1.1b_int4_w4a16_bs16_1xv5e",
+                "metric": "decode_tok_s_llama3-8b_int4_w4a16_bs16_1xv5e",
                 "value": round(tok_s, 1),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / baseline_tok_s, 3),
                 "aux": {
-                    "bf16_tok_s": round(BATCH / (ms_bf16 / 1e3), 1),
-                    "int4_speedup_vs_bf16": round(ms_bf16 / ms_int4, 3),
-                    "decode_ms_bf16": round(ms_bf16, 2),
-                    "decode_ms_int4": round(ms_int4, 2),
-                    "weight_gb_bf16": round(weight_bytes(bundle.variables) / 1e9, 3),
-                    "weight_gb_int4": round(weight_bytes(c.variables) / 1e9, 3),
-                    "ppl_delta_pct": round(100 * (ppl_int4 / ppl_base - 1), 3),
-                    "calib_wall_s": round(calib_s, 2),
+                    "baseline": "reference Llama3.1-8B INT4-AWQ 599.72 tok/s (H200, bs8)",
+                    "batch": BATCH,
+                    "decode_ms_per_step": round(ms, 2),
+                    "weight_gb_packed": round(weight_gb, 2),
+                    "bf16_fits_this_chip": False,
+                    "implied_weight_gbps": round(weight_gb / (ms / 1e3), 1),
+                    "build_s": round(build_s, 1),
                     "wall_s": round(time.time() - t_start, 1),
                 },
             }
