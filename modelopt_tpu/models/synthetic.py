@@ -31,6 +31,16 @@ def build_compressed_bundle(module, example_inputs, quant_preset, seed=0,
     params: dict = {}
     quant: dict = {}
     key = jax.random.PRNGKey(seed)
+    # jitted builders cached by (kind, shape, dtype, spec) — layers share
+    # shapes, so a 32-layer model compiles a handful of programs, not one
+    # per parameter
+    fns: dict = {}
+
+    def cached(kind, shape, dtype, fn_maker, *args):
+        sig = (kind, shape, str(dtype), args)
+        if sig not in fns:
+            fns[sig] = jax.jit(fn_maker(shape, dtype, *args))
+        return fns[sig]
 
     def walk(tree, prefix=()):
         nonlocal params, quant, key
@@ -48,22 +58,31 @@ def build_compressed_bundle(module, example_inputs, quant_preset, seed=0,
             specs = cfg.resolve(dense + "/weight_quantizer")
             spec = specs[0] if specs else None
             if spec is not None and spec.enable and compressible_format(spec, leaf_shape):
-                w = jax.jit(
-                    lambda k: jax.random.normal(k, leaf_shape, jnp.bfloat16) * init_scale
-                )(sub)
-                qt, _ = quantize_qtensor(w, spec)
-                qt = jax.tree.map(lambda x: jax.device_put(x), qt)
-                del w
+                fn = cached(
+                    "pack", leaf_shape, jnp.bfloat16,
+                    lambda shape, dtype, spec: (
+                        lambda k: quantize_qtensor(
+                            jax.random.normal(k, shape, dtype) * init_scale, spec
+                        )[0]
+                    ),
+                    spec,
+                )
+                qt = fn(sub)
                 quant = set_in(quant, tuple(dense.split("/")) + ("qweight",), qt)
                 return
         if path[-1] == "scale":  # norm scales start at 1
-            arr = jax.jit(lambda: jnp.ones(leaf_shape, leaf_dtype))()
+            arr = cached("ones", leaf_shape, leaf_dtype,
+                         lambda shape, dtype: (lambda: jnp.ones(shape, dtype)))()
         elif jnp.issubdtype(leaf_dtype, jnp.floating):
-            arr = jax.jit(
-                lambda k: (jax.random.normal(k, leaf_shape) * init_scale).astype(leaf_dtype)
+            arr = cached(
+                "normal", leaf_shape, leaf_dtype,
+                lambda shape, dtype: (
+                    lambda k: (jax.random.normal(k, shape) * init_scale).astype(dtype)
+                ),
             )(sub)
         else:
-            arr = jax.jit(lambda: jnp.zeros(leaf_shape, leaf_dtype))()
+            arr = cached("zeros", leaf_shape, leaf_dtype,
+                         lambda shape, dtype: (lambda: jnp.zeros(shape, dtype)))()
         params = set_in(params, path, arr)
 
     walk(shapes["params"], ())
