@@ -89,12 +89,17 @@ def make_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
     ``lengths`` tracks each slot's sequence length independently so a
     continuous-batching engine can run slots at different positions in one
     jitted decode step. ``dtype`` may be ``jnp.float8_e4m3fn`` for a real
-    quantized KV cache (pair with a *k/v_quantizer fp8 config)."""
-    shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.dims_per_head)
+    quantized KV cache (pair with a *k/v_quantizer fp8 config).
+
+    Layout: per-layer TUPLES of [batch, max_len, kv_heads, head_dim] arrays
+    rather than one stacked [L, ...] array — a stacked cache forces XLA to
+    re-materialize the whole cache every step when the per-layer updates are
+    re-stacked (measured ~1.6 ms/step at 8B bs16)."""
+    shape = (batch, max_len, cfg.kv_heads, cfg.dims_per_head)
     dtype = dtype or cfg.dtype
     return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
+        "k": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+        "v": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
         "lengths": jnp.zeros((batch,), jnp.int32),
     }
 
@@ -348,7 +353,7 @@ class Decoder(nn.Module):
             x = x + pos_emb
 
         if cache is not None:
-            S = cache["k"].shape[2]
+            S = cache["k"][0].shape[1]
             key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, :]  # [1,1,S]
             valid = key_pos <= positions[:, :, None]
         else:
@@ -374,8 +379,8 @@ class Decoder(nn.Module):
                 vs.append(new_kv[1])
         if cache is not None:
             new_cache = {
-                "k": jnp.stack(ks),
-                "v": jnp.stack(vs),
+                "k": tuple(ks),
+                "v": tuple(vs),
                 "lengths": cache["lengths"] + T,
             }
 

@@ -90,13 +90,21 @@ class ServingEngine:
             """Prefill one request into ``slot``; returns
             (cache, first_token, last_hidden)."""
             sub = {
-                "k": jax.lax.dynamic_slice_in_dim(cache["k"], slot, 1, axis=1),
-                "v": jax.lax.dynamic_slice_in_dim(cache["v"], slot, 1, axis=1),
+                "k": tuple(jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)
+                           for a in cache["k"]),
+                "v": tuple(jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)
+                           for a in cache["v"]),
                 "lengths": jnp.zeros((1,), jnp.int32),
             }
             logits, new_sub, hidden = self._apply(variables, ids, sub, output_hidden=True)
-            k = jax.lax.dynamic_update_slice_in_dim(cache["k"], new_sub["k"], slot, axis=1)
-            v = jax.lax.dynamic_update_slice_in_dim(cache["v"], new_sub["v"], slot, axis=1)
+            k = tuple(
+                jax.lax.dynamic_update_slice_in_dim(a, n, slot, axis=0)
+                for a, n in zip(cache["k"], new_sub["k"])
+            )
+            v = tuple(
+                jax.lax.dynamic_update_slice_in_dim(a, n, slot, axis=0)
+                for a, n in zip(cache["v"], new_sub["v"])
+            )
             lengths = cache["lengths"].at[slot].set(true_len)
             last = logits[0, true_len - 1]
             tok = _sample(last, temp, key)

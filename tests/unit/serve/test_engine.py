@@ -74,7 +74,7 @@ class TestEngine:
         q = mtq.quantize(bundle, mtq.FP8_KV_CFG, lambda f: f(x))
         eng = ServingEngine(q, max_batch=2, max_seq_len=64, prefill_buckets=(16,),
                             kv_dtype=jnp.float8_e4m3fn)
-        assert eng.cache["k"].dtype == jnp.float8_e4m3fn
+        assert eng.cache["k"][0].dtype == jnp.float8_e4m3fn
         prompt = [5, 17, 42, 7]
         req = eng.submit(prompt, max_new_tokens=6)
         eng.run()
