@@ -201,12 +201,58 @@ def restore(bundle: ModelBundle, path: str) -> ModelBundle:
     raw = serialization.msgpack_restore(data)
     raw = jax.tree.map(lambda x: x, raw)  # plain dict of arrays
 
-    def merge_template(template, loaded):
-        # Use loaded values; keep template structure check loose because mode
-        # conversions may add collections the fresh init doesn't have.
-        return loaded
-
-    variables = merge_template(bundle.variables, raw)
+    _validate_restore(bundle.variables, raw)
     return bundle.replace(
-        variables=variables, metadata=payload.get("metadata", bundle.metadata)
+        variables=raw, metadata=payload.get("metadata", bundle.metadata)
     )
+
+
+def _validate_restore(template: dict, loaded: dict, max_errors: int = 12) -> None:
+    """Diff the loaded variables against the replayed template and raise an
+    actionable error on mismatch instead of exploding later at trace time
+    with an opaque shape error (the reference validates equivalently by
+    replaying module conversion, opt/conversion.py:650).
+
+    Rules: every collection present in BOTH trees must agree on structure,
+    shapes, and dtypes for shared paths; 'params' additionally must have no
+    missing/unexpected leaves. Collections only present on one side are
+    allowed (mode-created collections may be materialized lazily)."""
+    from .tree import flatten_with_paths
+
+    problems: list[str] = []
+    for coll in sorted(set(template) | set(loaded)):
+        if coll not in template or coll not in loaded:
+            if coll == "params":
+                side = "checkpoint" if coll not in loaded else "model"
+                problems.append(f"'params' collection missing from the {side}")
+            continue
+        t = dict(flatten_with_paths(template[coll]))
+        l = dict(flatten_with_paths(loaded[coll]))
+        strict = coll == "params"
+        if strict:
+            for p in sorted(set(t) - set(l)):
+                problems.append(f"missing from checkpoint: {coll}/{p} "
+                                f"{tuple(t[p].shape)}")
+            for p in sorted(set(l) - set(t)):
+                problems.append(f"unexpected in checkpoint: {coll}/{p} "
+                                f"{tuple(l[p].shape)}")
+        for p in sorted(set(t) & set(l)):
+            ts, ls = tuple(t[p].shape), tuple(l[p].shape)
+            if ts != ls:
+                problems.append(f"shape mismatch at {coll}/{p}: model {ts} "
+                                f"vs checkpoint {ls}")
+            elif t[p].dtype != l[p].dtype:
+                problems.append(f"dtype mismatch at {coll}/{p}: model "
+                                f"{t[p].dtype} vs checkpoint {l[p].dtype}")
+        if len(problems) > max_errors:
+            break
+    if problems:
+        shown = problems[:max_errors]
+        more = len(problems) - len(shown)
+        raise ValueError(
+            "restore(): checkpoint does not match the model architecture/"
+            "config:\n  " + "\n  ".join(shown)
+            + (f"\n  ... and {more} more" if more > 0 else "")
+            + "\nRestore into a freshly-initialized model of the SAME "
+            "architecture the checkpoint was saved from."
+        )

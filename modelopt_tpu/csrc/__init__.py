@@ -66,13 +66,17 @@ def _ptr(a, ctype):
 
 
 def round_and_pack_int4(w: np.ndarray, group: int):
-    """w [O, I] f32 -> (packed uint8 [O, I/2], scales f32 [O, I/group])."""
+    """w [O, I] f32 -> (packed uint8 [O/2, I], scales f32 [O, I/group]).
+
+    Reference layout (quant_utils.py:790 pack_int4_in_uint8): two's-complement
+    nibbles over OUTPUT-channel pairs — byte[j, i] holds out-channel 2j in the
+    low nibble and 2j+1 in the high nibble."""
     w = np.ascontiguousarray(w, np.float32)
     O, I = w.shape
-    assert I % 2 == 0 and I % group == 0
+    assert O % 2 == 0 and I % group == 0
     lib = _lib()
     if lib is not None:
-        packed = np.empty((O, I // 2), np.uint8)
+        packed = np.empty((O // 2, I), np.uint8)
         scales = np.empty((O, I // group), np.float32)
         lib.round_and_pack_int4(
             _ptr(w, ctypes.c_float), O, I, group,
@@ -83,7 +87,7 @@ def round_and_pack_int4(w: np.ndarray, group: int):
     wb = w.reshape(O, I // group, group)
     scales = (np.maximum(np.abs(wb).max(-1), 1e-12) / 7.0).astype(np.float32)
     q = np.clip(np.rint(wb / scales[..., None]), -8, 7).astype(np.int8).reshape(O, I)
-    packed = ((q[:, 0::2] + 8) | ((q[:, 1::2] + 8) << 4)).astype(np.uint8)
+    packed = ((q[0::2] & 0xF) | ((q[1::2] & 0xF) << 4)).astype(np.uint8)
     return packed, scales
 
 

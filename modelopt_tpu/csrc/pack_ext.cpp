@@ -15,8 +15,10 @@
 extern "C" {
 
 // w: [O, I] row-major float32. Per (row, group-of-I) symmetric int4:
-// scale = amax/7, codes in [-8, 7] offset-packed two-per-byte along I.
-// out_packed: [O, I/2] uint8; out_scales: [O, I/group] float32.
+// scale = amax/7; codes in [-8, 7] stored as TWO'S-COMPLEMENT nibbles packed
+// across OUTPUT-channel pairs, matching the reference's pack_int4_in_uint8
+// (quant_utils.py:790): out_packed[o/2, i] = (q[2o,i] & 0xF) | (q[2o+1,i] << 4).
+// out_packed: [O/2, I] uint8; out_scales: [O, I/group] float32. O must be even.
 void round_and_pack_int4(const float* w, int64_t O, int64_t I, int64_t group,
                          uint8_t* out_packed, float* out_scales) {
     const int64_t ngroups = I / group;
@@ -29,15 +31,19 @@ void round_and_pack_int4(const float* w, int64_t O, int64_t I, int64_t group,
                 amax = std::max(amax, std::fabs(row[g * group + k]));
             srow[g] = std::max(amax, 1e-12f) / 7.0f;
         }
-        uint8_t* prow = out_packed + o * (I / 2);
-        for (int64_t j = 0; j < I; j += 2) {
-            const float s0 = srow[j / group];
-            const float s1 = srow[(j + 1) / group];
-            int lo = (int)std::lrintf(row[j] / s0);
-            int hi = (int)std::lrintf(row[j + 1] / s1);
-            lo = std::min(7, std::max(-8, lo)) + 8;
-            hi = std::min(7, std::max(-8, hi)) + 8;
-            prow[j / 2] = (uint8_t)(lo | (hi << 4));
+    }
+    for (int64_t o = 0; o < O; o += 2) {
+        const float* r0 = w + o * I;
+        const float* r1 = w + (o + 1) * I;
+        const float* s0 = out_scales + o * ngroups;
+        const float* s1 = out_scales + (o + 1) * ngroups;
+        uint8_t* prow = out_packed + (o / 2) * I;
+        for (int64_t i = 0; i < I; ++i) {
+            int v0 = (int)std::lrintf(r0[i] / s0[i / group]);
+            int v1 = (int)std::lrintf(r1[i] / s1[i / group]);
+            v0 = std::min(7, std::max(-8, v0));
+            v1 = std::min(7, std::max(-8, v1));
+            prow[i] = (uint8_t)((v0 & 0xF) | ((v1 & 0xF) << 4));
         }
     }
 }

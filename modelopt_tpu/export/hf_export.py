@@ -9,10 +9,14 @@ postprocess_state_dict naming, :1447 get_quant_config).
 
 Conventions reproduced:
   * torch layout: exported weights are [out, in] (our kernels transposed);
-  * INT4: two values per uint8 packed along the input dim; per-group scales
-    named ``<module>.weight_scale`` [out, in/group];
+  * INT4: two's-complement nibbles packed over OUTPUT-channel pairs ->
+    uint8 [out/2, in] (reference quant_utils.py:790 pack_int4_in_uint8);
+    per-group scales named ``<module>.weight_scale`` [out, in/group];
   * FP8: e4m3 weights + scalar ``weight_scale``; activation scale
-    ``input_scale`` = act_amax/448; KV scales ``k_scale``/``v_scale``;
+    ``input_scale`` = act_amax/maxbound of the resolved activation format
+    (448 fp8, 127 int8, 6*448 nvfp4 — reference get_scaling_factor,
+    quant_utils.py:223); KV scales ``k_scale``/``v_scale`` = amax/maxbound,
+    clamped to >= 1.0 for FP8 KV (quant_utils.py:371);
   * NVFP4: packed e2m1 + e4m3 ``weight_scale`` and fp32 ``weight_scale_2``;
   * ``hf_quant_config.json``: {"quantization": {"quant_algo", "group_size",
     "kv_cache_quant_algo", "exclude_modules"}}.
@@ -68,12 +72,11 @@ def _np32(x):
 
 
 def _pack_int4_torch_layout(q: np.ndarray) -> np.ndarray:
-    """q int [out, in] in [-8,7] -> uint8 [out, in/2], adjacent input pairs
-    (reference: quant_utils.py to_quantized_weight INT4 path)."""
-    q = (q + 8).astype(np.uint8)
-    lo = q[:, 0::2]
-    hi = q[:, 1::2]
-    return lo | (hi << 4)
+    """q int [out, in] in [-8,7] -> uint8 [out/2, in]: two's-complement
+    nibbles over output-channel pairs (reference: quant_utils.py:790
+    pack_int4_in_uint8 — val0 = out 2j, val1 = out 2j+1)."""
+    q = q.astype(np.int8)
+    return ((q[0::2] & 0xF) | ((q[1::2] & 0xF) << 4)).astype(np.uint8)
 
 
 def _export_weight(w_hf: np.ndarray, spec: QuantizerSpec, name: str, amax=None):
@@ -125,6 +128,29 @@ def _export_weight(w_hf: np.ndarray, spec: QuantizerSpec, name: str, amax=None):
     return out
 
 
+def _act_divisor(spec: QuantizerSpec) -> float:
+    """amax -> input_scale divisor per format (reference get_scaling_factor:
+    amax/maxbound; NVFP4 activations use amax/(6*448),
+    NVFP4QTensor.get_activation_scaling_factor)."""
+    if spec.is_fp and (spec.fp_format.exp_bits, spec.fp_format.man_bits) == (2, 1):
+        return 6.0 * 448.0
+    return float(spec.maxval)
+
+
+def _kv_algo(spec: QuantizerSpec) -> str:
+    """KV spec -> kv_cache_quant_algo string (reference quant_utils.py:437
+    _compute_kv_cache_dtype)."""
+    if spec.is_fp:
+        em = (spec.fp_format.exp_bits, spec.fp_format.man_bits)
+        if em == (4, 3):
+            return "FP8"
+        if em == (2, 1):
+            return "NVFP4_AFFINE" if spec.bias_mode else "NVFP4"
+    elif spec.num_bits == 8:
+        return "INT8"
+    return "NONE"
+
+
 def _quant_algo(cfg) -> dict:
     """Map the active config to the reference's hf_quant_config fields."""
     specs = cfg.resolve("layers_0/mlp/down_proj/weight_quantizer") or cfg.resolve(
@@ -146,7 +172,9 @@ def _quant_algo(cfg) -> dict:
             group = dict(s.block.sizes).get(0, 128) if s.block else 128
         elif s.num_bits == 8:
             algo = "W8A8_SQ_PER_CHANNEL" if (aspec and aspec[0].enable) else "INT8_WO"
-    q = {"quant_algo": algo, "kv_cache_quant_algo": "FP8" if kv else None}
+    kv_algo = _kv_algo(kv[0]) if (kv and kv[0].enable) else None
+    q = {"quant_algo": algo,
+         "kv_cache_quant_algo": kv_algo if kv_algo != "NONE" else None}
     if group:
         q["group_size"] = group
     q["exclude_modules"] = ["lm_head"]
@@ -170,11 +198,13 @@ def export_hf_checkpoint(bundle: ModelBundle, export_dir: str) -> dict:
             dense = path.rsplit("/kernel", 1)[0]
             if specs and specs[0].enable:
                 tensors = _export_weight(w_hf, specs[0], name)
-                # input scale from calibrated activation amax if present
+                # input scale from calibrated activation amax if present;
+                # divisor is the resolved activation format's maxbound
                 a = get_in(quant_vars, tuple(dense.split("/")) + ("input_quantizer", "amax"))
-                if a is not None:
+                aspecs = cfg.resolve(dense + "/input_quantizer")
+                if a is not None and aspecs and aspecs[0].enable:
                     tensors[name.rsplit(".weight", 1)[0] + ".input_scale"] = (
-                        _np32(a).reshape(-1)[:1] / 448.0
+                        _np32(a).reshape(-1)[:1] / _act_divisor(aspecs[0])
                     )
                 state.update(tensors)
             else:
@@ -182,14 +212,17 @@ def export_hf_checkpoint(bundle: ModelBundle, export_dir: str) -> dict:
         else:
             state[name] = _np32(leaf).astype(np.float16)
 
-    # KV cache scales (reference: k_scale / v_scale entries)
+    # KV cache scales (reference: k_scale / v_scale entries; FP8 KV scale is
+    # clamped to >= 1.0, quant_utils.py get_kv_cache_scaling_factor)
     for i in range(bundle.module.cfg.num_layers):
         for kv in ("k", "v"):
             a = get_in(quant_vars, (f"layers_{i}", "attn", f"{kv}_quantizer", "amax"))
-            if a is not None:
-                state[f"model.layers.{i}.self_attn.{kv}_scale"] = (
-                    _np32(a).reshape(1) / 448.0
-                )
+            kspecs = cfg.resolve(f"layers_{i}/attn/{kv}_quantizer")
+            if a is not None and kspecs and kspecs[0].enable:
+                s = _np32(a).reshape(1) / _act_divisor(kspecs[0])
+                if _kv_algo(kspecs[0]) == "FP8":
+                    s = np.maximum(s, np.float32(1.0))
+                state[f"model.layers.{i}.self_attn.{kv}_scale"] = s
 
     try:
         from safetensors.numpy import save_file

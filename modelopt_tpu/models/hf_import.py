@@ -50,7 +50,14 @@ def config_from_hf(hf_config) -> DecoderConfig:
             norm_eps=get("layer_norm_epsilon", 1e-5),
         )
     if mt in ("llama", "mistral", "qwen2", "tinyllama"):
+        # Mistral (and qwen2 with use_sliding_window) checkpoints are trained
+        # with sliding-window attention — importing them as full-causal
+        # diverges at long context.
+        window = None
+        if mt == "mistral" or (mt == "qwen2" and get("use_sliding_window", False)):
+            window = get("sliding_window")
         return DecoderConfig(
+            attention_window=window,
             vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
             num_layers=get("num_hidden_layers"), num_heads=get("num_attention_heads"),
             num_kv_heads=get("num_key_value_heads"),

@@ -35,8 +35,13 @@ def _supported(wspec) -> bool:
     return True
 
 
-def gptq_update_kernel(w, hinv, amax_map, wspec):
-    """Scan rows of w [in, out]; returns compensated quantized kernel."""
+def gptq_update_kernel(w, u, amax_map, wspec):
+    """Scan rows of w [in, out]; returns compensated quantized kernel.
+
+    ``u`` is the UPPER Cholesky factor of H^-1 (H^-1 = u^T u) — its row i is
+    the conditional inverse over the not-yet-quantized suffix, which is what
+    the GPTQ update needs (reference: calib_utils.py update_weights; masking
+    rows of the full inverse is NOT equivalent)."""
     n = w.shape[0]
     qspec = (
         dataclasses.replace(wspec, narrow_range=True)
@@ -48,9 +53,9 @@ def gptq_update_kernel(w, hinv, amax_map, wspec):
         W = carry
         w_i = W[i]
         q_i = fq_with_amax(w_i, amax_map[i], qspec)
-        err = (w_i - q_i) / jnp.maximum(hinv[i, i], 1e-12)
+        err = (w_i - q_i) / jnp.maximum(u[i, i], 1e-12)
         later = (jnp.arange(n) > i).astype(w.dtype)  # only untouched rows
-        W = W - (hinv[:, i] * later)[:, None] * err[None, :]
+        W = W - (u[i, :] * later)[:, None] * err[None, :]
         W = W.at[i].set(q_i)
         return W, None
 
@@ -88,8 +93,12 @@ def _gptq_pass(bundle, forward_loop, damp, max_tokens, path_filter=None,
         H = xf.T @ xf
         n = H.shape[0]
         H = H + damp * (jnp.trace(H) / n + 1e-6) * jnp.eye(n, dtype=H.dtype)
-        hinv = jnp.linalg.inv(H)
-        return gptq_update_kernel(w, hinv, amax_map, wspec)
+        L = jnp.linalg.cholesky(H)
+        hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(n, dtype=H.dtype))
+        # symmetrize against cho_solve round-off before the second factorization
+        hinv = 0.5 * (hinv + hinv.T)
+        u = jnp.linalg.cholesky(hinv).T  # upper: H^-1 = u^T u
+        return gptq_update_kernel(w, u, amax_map, wspec)
 
     variables = bundle.variables
     static_rules = {}

@@ -43,7 +43,14 @@ def test_int8_rows(rng):
 def test_dequant_error_bound(rng):
     w = rng.standard_normal((8, 256)).astype(np.float32)
     packed, scales = csrc.round_and_pack_int4(w, 128)
-    q = csrc.unpack_int4(packed).astype(np.float32)
+    assert packed.shape == (4, 256)  # [O/2, I] reference pack_int4_in_uint8
+    lo = (packed & 0xF).astype(np.int8)
+    hi = (packed >> 4).astype(np.int8)
+    lo = np.where(lo >= 8, lo - 16, lo)  # two's-complement nibbles
+    hi = np.where(hi >= 8, hi - 16, hi)
+    q = np.zeros((8, 256), np.float32)
+    q[0::2] = lo
+    q[1::2] = hi
     deq = (q.reshape(8, 2, 128) * scales[..., None]).reshape(8, 256)
     step = np.repeat(scales, 128, axis=1)
     assert np.all(np.abs(deq - w) <= step * 0.51 + 1e-7)

@@ -40,19 +40,22 @@ class TestExport:
         qc = json.load(open(tmp_path / "hf_quant_config.json"))
         assert qc["quantization"]["quant_algo"] == "W4A16_AWQ"
         assert qc["quantization"]["group_size"] == 128
-        # packed weight + scales present, torch [out, in/2] layout
+        # packed weight + scales present: reference pack_int4_in_uint8 layout
+        # (uint8 [out/2, in], two's-complement nibbles over output pairs)
         w = state["model.layers.0.mlp.down_proj.weight"]
         s = state["model.layers.0.mlp.down_proj.weight_scale"]
         I, O = 256, 64
-        assert w.dtype == np.uint8 and w.shape == (O, I // 2)
+        assert w.dtype == np.uint8 and w.shape == (O // 2, I)
         assert s.shape == (O, I // 128)
         # dequant round trip matches original within int4 step
         orig = np.asarray(q.variables["params"]["layers_0"]["mlp"]["down_proj"]["kernel"]).T
-        lo = (w & 0xF).astype(np.int8) - 8
-        hi = (w >> 4).astype(np.int8) - 8
+        lo = (w & 0xF).astype(np.int8)
+        hi = (w >> 4).astype(np.int8)
+        lo = np.where(lo >= 8, lo - 16, lo)  # sign-extend the nibble
+        hi = np.where(hi >= 8, hi - 16, hi)
         deq = np.zeros((O, I), np.float32)
-        deq[:, 0::2] = lo
-        deq[:, 1::2] = hi
+        deq[0::2] = lo
+        deq[1::2] = hi
         deq3 = deq.reshape(O, I // 128, 128) * s[..., None]
         orig3 = orig.reshape(O, I // 128, 128)
         step = np.abs(orig3).max(-1, keepdims=True) / 7.0

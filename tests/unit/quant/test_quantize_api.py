@@ -131,6 +131,38 @@ class TestSaveRestore:
             np.asarray(r.apply(x)), np.asarray(out_q), rtol=1e-6
         )
 
+    def test_restore_rejects_mismatched_architecture(self, rng, tmp_path):
+        """restore() must diff the checkpoint against the template with an
+        actionable error, not load silently and explode at trace time
+        (reference validates by module replay, opt/conversion.py:650)."""
+        import pytest
+
+        bundle = simple_mlp_bundle()
+        x = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.INT8_DEFAULT_CFG, calib_loop([x]))
+        save(q, str(tmp_path / "ckpt"))
+        wrong = simple_mlp_bundle(hidden=48)  # different width
+        with pytest.raises(ValueError, match="shape mismatch"):
+            restore(wrong, str(tmp_path / "ckpt"))
+
+    def test_chained_modes_roundtrip_outputs(self, rng, tmp_path):
+        """quantize -> compress -> lora -> save -> restore -> identical
+        outputs (reference analogue: tests/unit/torch/opt/test_chaining.py)."""
+        from modelopt_tpu.peft import LoRAConfig, update_model
+        from modelopt_tpu.quant import compress
+
+        bundle = simple_mlp_bundle()
+        x = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.INT4_BLOCKWISE_WEIGHT_ONLY_CFG, calib_loop([x]))
+        c = compress(q)
+        l = update_model(c, LoRAConfig(rank=4, patterns=("*fc1",)))
+        out = np.asarray(l.apply(x))
+        save(l, str(tmp_path / "ckpt"))
+        fresh = simple_mlp_bundle(seed=123)
+        r = restore(fresh, str(tmp_path / "ckpt"))
+        assert [rec.mode for rec in r.records] == ["quantize", "compress", "lora"]
+        np.testing.assert_allclose(np.asarray(r.apply(x)), out, rtol=1e-6)
+
     def test_chained_modes_record_order(self, rng):
         bundle = simple_mlp_bundle()
         x = bundle.example_inputs[0]
