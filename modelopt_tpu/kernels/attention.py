@@ -7,10 +7,20 @@ kernel: fp8 (e4m3) KV codes are read straight from HBM-resident cache
 blocks, dequantized on the fly in VMEM, and never materialized in HBM —
 the XLA fallback converts the whole cache to bf16 in HBM every step.
 
-Grid: (batch, kv_head). Per program: q-group [G, D] attends over [S, D]
-keys/values with per-slot length masking (scalar-prefetched) and a single
-fused softmax. Decode-only (T==1); prefill stays on the XLA path where the
-MXU-bound einsum formulation is already efficient.
+Cache layout is [B, S, KH, D] (token dim SECOND, heads/head_dim minor) —
+the same layout jax.experimental.pallas.ops.tpu.ragged_paged_attention
+uses. With the token dim outside Mosaic's tiled last-two dims, per-token
+cache writes are plain leading-dim DMA slices (no sublane-alignment
+constraints) and attention blocks tile (KH, D) densely.
+
+Attention kernel: grid (B, S/chunk) with online softmax accumulation
+across chunks. Per chunk the kernel flattens [chunk, KH, D] -> the scores
+dot computes ALL head pairs [KH*G, chunk*KH] in one MXU op and masks the
+off-head-diagonal entries to -inf — decode attention is HBM-bound, so the
+8x MXU overcompute is free and buys fully-contiguous vector layouts (no
+in-kernel transposes or strided sublane loads, which Mosaic lowers poorly).
+Decode-only (T==1); prefill stays on the XLA path where the MXU-bound
+einsum formulation is already efficient.
 """
 
 from __future__ import annotations
@@ -23,70 +33,158 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _decode_attn_kernel(lens_ref, scales_ref, q_ref, k_ref, v_ref, o_ref):
+def _decode_attn_kernel(lens_ref, scales_ref, q_ref, k_ref, v_ref, o_ref,
+                        acc_ref, m_ref, l_ref, *, chunk: int):
     b = pl.program_id(0)
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
     L = lens_ref[b]
     k_scale = scales_ref[0]
     v_scale = scales_ref[1]
-    q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
-    k = k_ref[0, 0].astype(jnp.float32) * k_scale  # [S, D]
-    v = v_ref[0, 0].astype(jnp.float32) * v_scale
-    G, D = q.shape
-    S = k.shape[0]
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.float32(D))  # [G, S]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
-    scores = jnp.where(pos < L, scores, -1e9)
-    m = jnp.max(scores, axis=1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)
-    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    KH, G, D = q_ref.shape[1:]
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(c * chunk < L)
+    def _attend():
+        # codes stay in their storage dtype until the MXU: e4m3->bf16 is the
+        # only elementwise convert (an f32 dequant of the whole chunk is
+        # VPU-bound, ~0.5 ms/layer measured); k_scale folds into the SMALL
+        # score matrix and v_scale into the finalize step.
+        q = q_ref[0].astype(jnp.bfloat16).reshape(KH * G, D)  # [KH*G, D]
+        k = k_ref[0].astype(jnp.bfloat16).reshape(chunk * KH, D)
+        v = v_ref[0].astype(jnp.bfloat16).reshape(chunk * KH, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (k_scale / jnp.sqrt(jnp.float32(D)))  # [KH*G, chunk*KH]
+        # rows hg attend only to columns j with j % KH == hg // G and
+        # token position c*chunk + j // KH < L
+        row_h = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // G
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = (col % KH == row_h) & (c * chunk + col // KH < L)
+        s = jnp.where(valid, s, -1e30)
+        m_prev = m_ref[:, :1]  # [KH*G, 1]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        e = jnp.exp(s - m_cur)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, :1] * alpha + jnp.sum(e, axis=1, keepdims=True),
+            l_ref.shape,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            e.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_cur, m_ref.shape)
+
+    @pl.when(c == nc - 1)
+    def _finalize():
+        out = acc_ref[:] * (v_scale / jnp.maximum(l_ref[:, :1], 1e-30))
+        o_ref[0] = out.reshape(KH, G, D).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
+@functools.partial(jax.jit, static_argnames=("out_dtype", "chunk"))
 def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
-                     out_dtype=jnp.bfloat16):
-    """q [B, KH, G, D]; k/v_cache [B, S, KH, D] (bf16 or float8_e4m3fn);
-    lengths [B] valid key counts; scalar scales for fp8 caches.
-    Returns [B, KH, G, D]."""
-    B, KH, G, D = q.shape
-    S = k_cache.shape[1]
+                     out_dtype=jnp.bfloat16, chunk=256):
+    """q [B, KH, G, D]; k/v_cache [B, S, KH, D] (bf16 or float8_e4m3fn) —
+    the models.transformer.make_cache native layout, read in place with NO
+    per-step transpose/copy of the cache; lengths [B] valid key counts;
+    scalar scales for fp8 caches. Returns [B, KH, G, D]."""
+    B, S, KH, D = k_cache.shape
+    G = q.shape[2]
+    if S % chunk:
+        chunk = S  # small caches: single chunk
+    nc = S // chunk
     scales = jnp.stack([
         jnp.asarray(1.0 if k_scale is None else k_scale, jnp.float32).reshape(()),
         jnp.asarray(1.0 if v_scale is None else v_scale, jnp.float32).reshape(()),
     ])
-    # NOTE: Mosaic requires the last two BLOCK dims divisible by (8, 128) or
-    # equal to the array dims, so a strided per-head block over the native
-    # [B, S, KH, D] cache is not lowerable — transpose to [B, KH, S, D]
-    # first. On the fp8 path this copies half-size codes; relayouting the
-    # cache natively is a tracked optimization (NOTES.md).
-    kt = jnp.transpose(k_cache, (0, 2, 1, 3))
-    vt = jnp.transpose(v_cache, (0, 2, 1, 3))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, KH),
+        grid=(B, nc),
         in_specs=[
-            pl.BlockSpec((1, 1, G, D), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, D), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, chunk, KH, D), lambda b, c, *_: (b, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, D), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, chunk, KH, D), lambda b, c, *_: (b, c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, *_: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((KH * G, D), jnp.float32),
+            pltpu.VMEM((KH * G, 128), jnp.float32),
+            pltpu.VMEM((KH * G, 128), jnp.float32),
+        ],
     )
+    kernel = functools.partial(_decode_attn_kernel, chunk=chunk)
     return pl.pallas_call(
-        _decode_attn_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KH, G, D), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * KH * G * S * D,
+            flops=2 * 2 * B * KH * G * S * D * KH,
             bytes_accessed=2 * B * KH * S * D * k_cache.dtype.itemsize,
             transcendentals=B * KH * G * S,
         ),
-    )(lengths.astype(jnp.int32), scales, q, kt, vt)
+    )(lengths.astype(jnp.int32), scales, q, k_cache, v_cache)
+
+
+def _kv_write_kernel(start_ref, v_ref, cache_ref, o_ref, sem):
+    del cache_ref
+    b = pl.program_id(0)
+    T = v_ref.shape[1]
+    s = start_ref[b]
+    copy = pltpu.make_async_copy(
+        v_ref.at[0],                 # [T, KH, D] staged in VMEM
+        o_ref.at[b, pl.ds(s, T)],    # routed slice of the HBM cache
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+
+@jax.jit
+def dense_kv_write(cache, vals, start):
+    """Write vals [B, T, KH, D] into cache [B, S, KH, D] at per-slot
+    sequence offsets ``start`` [B] (no alignment requirement).
+
+    TPU: Pallas aliased-output kernel — the cache stays in HBM (ANY) and
+    each slot issues ONE explicit DMA of its [T, KH, D] update straight to
+    the routed offset; only touched rows move, and both slice dims are
+    LEADING dims so Mosaic's (sublane, lane) tiling constraints never
+    apply. XLA's scatter AND vmapped dynamic_update_slice both lower
+    pathologically for this access pattern on TPU (minutes of compile,
+    ~0.6 ms/layer measured — they rewrite the whole per-slot cache).
+    CPU/tests: vmapped DUS is fine.
+    """
+    B, T, KH, D = vals.shape
+    if jax.default_backend() != "tpu":
+        return jax.vmap(
+            lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (s, 0, 0))
+        )(cache, vals.astype(cache.dtype), start)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, KH, D), lambda b, start: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # cache: aliased, not read
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        _kv_write_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        input_output_aliases={2: 0},  # cache (3rd input incl. prefetch) -> out
+    )(start.astype(jnp.int32), vals.astype(cache.dtype), cache)
 
 
 def decode_attention_ok(q_shape, S: int, cache_dtype=None) -> bool:
@@ -99,6 +197,191 @@ def decode_attention_ok(q_shape, S: int, cache_dtype=None) -> bool:
         return False
     if cache_dtype is not None and cache_dtype != jnp.float8_e4m3fn:
         return False
-    if S > 4096 or D % 64 != 0:
+    if S > 8192 or D % 64 != 0:
         return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Fused decode step: KV-cache write + attention in ONE kernel
+# ---------------------------------------------------------------------------
+def _fused_decode_kernel(pos_ref, scales_ref, q_ref, knew_ref, vnew_ref,
+                         k_ref, v_ref, o_ref, kout_ref, vout_ref,
+                         acc_ref, m_ref, l_ref, sem_k, sem_v, *, chunk: int):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+    B = pl.num_programs(0)
+    L = pos_ref[b]  # OLD length == write position of the new token
+    k_scale = scales_ref[0]
+    v_scale = scales_ref[1]
+    KH, G, D = q_ref.shape[1:]
+
+    def _copies():
+        ck = pltpu.make_async_copy(
+            knew_ref.at[0], kout_ref.at[b, pl.ds(L, 1)], sem_k)
+        cv = pltpu.make_async_copy(
+            vnew_ref.at[0], vout_ref.at[b, pl.ds(L, 1)], sem_v)
+        return ck, cv
+
+    # Start this slot's cache-write DMAs immediately; wait for the PREVIOUS
+    # slot's (equal-sized transfers on the same semaphores) so exactly one
+    # slot's writes are in flight behind the attention compute — the
+    # start();wait() serial pattern costs ~3 us/slot of pure DMA latency.
+    @pl.when(c == 0)
+    def _start_write():
+        ck, cv = _copies()
+        ck.start()
+        cv.start()
+
+    @pl.when((c == 0) & (b > 0))
+    def _wait_prev():
+        ck, cv = _copies()
+        ck.wait()
+        cv.wait()
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(c * chunk < L)
+    def _attend():
+        q = q_ref[0].astype(jnp.bfloat16).reshape(KH * G, D)
+        k = k_ref[0].astype(jnp.bfloat16).reshape(chunk * KH, D)
+        v = v_ref[0].astype(jnp.bfloat16).reshape(chunk * KH, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (k_scale / jnp.sqrt(jnp.float32(D)))
+        row_h = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // G
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        # STRICTLY the old keys: the new token's row is added inline below
+        # (its HBM row may still be mid-DMA; garbage there is masked out)
+        valid = (col % KH == row_h) & (c * chunk + col // KH < L)
+        s = jnp.where(valid, s, -1e30)
+        m_prev = m_ref[:, :1]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        e = jnp.exp(s - m_cur)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, :1] * alpha + jnp.sum(e, axis=1, keepdims=True),
+            l_ref.shape,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            e.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_cur, m_ref.shape)
+
+    @pl.when(c == nc - 1)
+    def _finalize():
+        # the new token attends to itself from VMEM (never from HBM)
+        q = q_ref[0].astype(jnp.bfloat16).reshape(KH * G, D)
+        kn = knew_ref[0, 0].astype(jnp.bfloat16)  # [KH, D]
+        vn = vnew_ref[0, 0].astype(jnp.bfloat16)
+        s_n = jax.lax.dot_general(
+            q, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (k_scale / jnp.sqrt(jnp.float32(D)))  # [KH*G, KH]
+        row_h = jax.lax.broadcasted_iota(jnp.int32, s_n.shape, 0) // G
+        coln = jax.lax.broadcasted_iota(jnp.int32, s_n.shape, 1)
+        s_n = jnp.where(coln == row_h, s_n, -1e30)
+        m_prev = m_ref[:, :1]
+        m_fin = jnp.maximum(m_prev, jnp.max(s_n, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_fin)
+        e_n = jnp.exp(s_n - m_fin)
+        l_fin = l_ref[:, :1] * alpha + jnp.sum(e_n, axis=1, keepdims=True)
+        acc = acc_ref[:] * alpha + jax.lax.dot_general(
+            e_n.astype(jnp.bfloat16), vn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = acc * (v_scale / jnp.maximum(l_fin, 1e-30))
+        o_ref[0] = out.reshape(KH, G, D).astype(o_ref.dtype)
+
+    @pl.when((b == B - 1) & (c == nc - 1))
+    def _wait_last():
+        ck, cv = _copies()
+        ck.wait()
+        cv.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "chunk"))
+def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
+                           k_scale=None, v_scale=None,
+                           out_dtype=jnp.bfloat16, chunk=256):
+    """One decode step, fused: write k/v_new [B, 1, KH, D] (already in the
+    cache's dtype/codes) into the caches at per-slot position ``pos`` [B]
+    AND return attention of q [B, KH, G, D] over pos+1 keys (the new token
+    contributes from VMEM while its HBM write DMA is still in flight).
+
+    Returns (out [B, KH, G, D], k_cache', v_cache') with the caches
+    aliased/donated — the separate dense_kv_write + decode_attention pair
+    costs ~0.2 ms/call of serialized DMA latency per layer; fused, the
+    writes ride behind the attention compute for free."""
+    B, S, KH, D = k_cache.shape
+    G = q.shape[2]
+    if S % chunk:
+        chunk = S
+    nc = S // chunk
+    scales = jnp.stack([
+        jnp.asarray(1.0 if k_scale is None else k_scale, jnp.float32).reshape(()),
+        jnp.asarray(1.0 if v_scale is None else v_scale, jnp.float32).reshape(()),
+    ])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nc),
+        in_specs=[
+            pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KH, D), lambda b, c, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KH, D), lambda b, c, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, KH, D), lambda b, c, *_: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, KH, D), lambda b, c, *_: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((KH * G, D), jnp.float32),
+            pltpu.VMEM((KH * G, 128), jnp.float32),
+            pltpu.VMEM((KH * G, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_fused_decode_kernel, chunk=chunk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KH, G, D), out_dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # inputs incl. prefetch: 0=pos 1=scales 2=q 3=knew 4=vnew 5=k 6=v
+        input_output_aliases={5: 1, 6: 2},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * KH * G * S * D * KH,
+            bytes_accessed=2 * B * KH * S * D * k_cache.dtype.itemsize,
+            transcendentals=B * KH * G * S,
+        ),
+    )(pos.astype(jnp.int32), scales, q,
+      k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
+      k_cache, v_cache)
+
+
+def fused_decode_ok(q_shape, S: int, cache_dtype=None) -> bool:
+    """The fused write+attend kernel serves bf16 AND fp8 caches at decode
+    (unlike the read-only kernel, it also eliminates the per-layer cache
+    write, so it wins for bf16 too)."""
+    B, KH, G, D = q_shape
+    if jax.default_backend() != "tpu":
+        return False
+    return S <= 8192 and D % 64 == 0

@@ -61,6 +61,10 @@ class DecoderConfig:
     # its resmoothing exists exactly to enable it, quant_utils.py:1339)
     fused_qkv: bool = False
     fused_gate_up: bool = False
+    # EAGLE-3-style feature taps: layer indices whose post-block hidden
+    # states are concatenated (with the final hidden) into the
+    # ``output_hidden`` return — consumed by speculative/eagle.py
+    hidden_taps: Optional[tuple] = None
     # heterogeneous per-layer plan (Puzzletron-style): tuple with one entry
     # per layer, each a tuple of (key, value) pairs from
     # {("no_attn", True), ("ffn", <int>)}; () keeps the layer unchanged
@@ -94,7 +98,16 @@ def make_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
     Layout: per-layer TUPLES of [batch, max_len, kv_heads, head_dim] arrays
     rather than one stacked [L, ...] array — a stacked cache forces XLA to
     re-materialize the whole cache every step when the per-layer updates are
-    re-stacked (measured ~1.6 ms/step at 8B bs16)."""
+    re-stacked (measured ~1.6 ms/step at 8B bs16). The sequence dim sits
+    OUTSIDE the (kv_heads, head_dim) minor dims — the layout
+    jax.experimental.pallas.ops.tpu.ragged_paged_attention also uses — so
+    per-token cache writes are leading-dim DMA slices with no
+    sublane-tiling constraint, and the decode-attention kernel reads the
+    cache in place (kernels/attention.py).
+
+    Pass the cache through jitted decode steps with ``donate_argnums`` —
+    otherwise XLA keeps the input cache alive and the update copies the
+    entire cache every step (~6 ms at 8B bs64)."""
     shape = (batch, max_len, cfg.kv_heads, cfg.dims_per_head)
     dtype = dtype or cfg.dtype
     return {
@@ -155,8 +168,13 @@ class Attention(nn.Module):
         vq_mod = TensorQuantizer(name="v_quantizer")
 
         new_kv = None
+        page_table = None
         if cache_kv is not None:
-            ck, cv, positions_kv = cache_kv
+            if len(cache_kv) == 4:
+                # paged: ck/cv are GLOBAL page pools [n_pages, ps, KH, D]
+                ck, cv, positions_kv, page_table = cache_kv
+            else:
+                ck, cv, positions_kv = cache_kv  # ck/cv [B, S_max, KH, D]
             real_fp8 = ck.dtype == jnp.float8_e4m3fn
             if real_fp8:
                 k_codes, k_scale = kq_mod(k, with_scale=True)
@@ -168,23 +186,97 @@ class Attention(nn.Module):
             else:
                 k_codes, k_scale = kq_mod(k).astype(ck.dtype), None
                 v_codes, v_scale = vq_mod(v).astype(cv.dtype), None
-            bidx = jnp.arange(B)[:, None]
-            ck = ck.at[bidx, positions_kv].set(k_codes.astype(ck.dtype))
-            cv = cv.at[bidx, positions_kv].set(v_codes.astype(cv.dtype))
-            if real_fp8:
-                k = ck.astype(cfg.dtype) * k_scale.astype(cfg.dtype)
-                v = cv.astype(cfg.dtype) * v_scale.astype(cfg.dtype)
+            if page_table is not None:
+                # route each token's KV through the page table: page id +
+                # in-page offset are data, so one compiled program serves
+                # every page assignment
+                from ..kernels.paged_attention import paged_kv_write
+
+                ps = ck.shape[1]
+                rows = jnp.arange(B)[:, None]
+                pids = page_table[rows, positions_kv // ps]  # [B, T]
+                offs = positions_kv % ps
+                ck = paged_kv_write(ck, k_codes, pids, offs)
+                cv = paged_kv_write(cv, v_codes, pids, offs)
             else:
-                k, v = ck, cv  # [B, S_max, KH, D]
+                from ..kernels.attention import (
+                    dense_kv_write,
+                    fused_decode_attention,
+                    fused_decode_ok,
+                )
+
+                start = positions_kv[:, 0]
+                Gq = H // KH
+                if (T == 1 and cfg.attention_window is None
+                        and fused_decode_ok((B, KH, Gq, D), ck.shape[1],
+                                            ck.dtype)):
+                    # Fused decode step: the cache write DMA rides behind the
+                    # attention compute in ONE kernel (the separate
+                    # write+attend pair costs ~0.2 ms/layer of serialized
+                    # DMA latency, measured on v5e).
+                    qg = q[:, 0].reshape(B, KH, Gq, D)
+                    out, ck, cv = fused_decode_attention(
+                        qg, k_codes, v_codes, ck, cv, start,
+                        k_scale=(k_scale if real_fp8 else None),
+                        v_scale=(v_scale if real_fp8 else None),
+                        out_dtype=cfg.dtype,
+                    )
+                    out = out.reshape(B, 1, H * D)
+                    out = dense(cfg.hidden_size, "o_proj")(out)
+                    return out, (ck, cv)
+                # per-slot contiguous write at the slot's length, via an
+                # explicit Pallas DMA (kernels/attention.py dense_kv_write —
+                # XLA scatters compile pathologically for this pattern).
+                # Cache positions are always contiguous per slot.
+                ck = dense_kv_write(ck, k_codes, start)
+                cv = dense_kv_write(cv, v_codes, start)
             new_kv = (ck, cv)
         else:
             k = kq_mod(k)
             v = vq_mod(v)
 
         G = H // KH
+        if page_table is not None:
+            # Paged decode: Pallas kernel routes DMAs through the page table
+            # (no gather); fallback/prefill gathers the pages dense.
+            from ..kernels.paged_attention import (
+                paged_attention_ok,
+                paged_decode_attention,
+                paged_gather_dense,
+            )
+
+            ps = ck.shape[1]
+            if (T == 1 and cfg.attention_window is None
+                    and paged_attention_ok(B, KH, G, D, ps)):
+                qg = q[:, 0].reshape(B, KH, G, D)
+                lengths = positions[:, 0] + 1
+                out = paged_decode_attention(
+                    qg, ck, cv, page_table, lengths,
+                    k_scale=(k_scale if real_fp8 else None),
+                    v_scale=(v_scale if real_fp8 else None),
+                    out_dtype=cfg.dtype,
+                )
+                out = out.reshape(B, 1, H * D)
+                out = dense(cfg.hidden_size, "o_proj")(out)
+                return out, new_kv
+            kg = paged_gather_dense(ck, page_table)
+            vg = paged_gather_dense(cv, page_table)
+            if real_fp8:
+                k = kg.astype(cfg.dtype) * k_scale.astype(cfg.dtype)
+                v = vg.astype(cfg.dtype) * v_scale.astype(cfg.dtype)
+            else:
+                k, v = kg, vg  # [B, PMAX*ps, KH, D]
+        elif cache_kv is not None:
+            if real_fp8:
+                k = ck.astype(cfg.dtype) * k_scale.astype(cfg.dtype)
+                v = cv.astype(cfg.dtype) * v_scale.astype(cfg.dtype)
+            else:
+                k, v = ck, cv  # [B, S_max, KH, D]
+
         # Fused decode-attention kernel: reads (possibly fp8) KV straight
         # from the cache without materializing a dequantized copy in HBM.
-        if new_kv is not None and T == 1 and cfg.attention_window is None:
+        if (new_kv is not None and page_table is None and T == 1
+                and cfg.attention_window is None):
             from ..kernels.attention import decode_attention, decode_attention_ok
 
             S_c = new_kv[0].shape[1]
@@ -215,8 +307,9 @@ class Attention(nn.Module):
                 out = out.reshape(B, T, H * D)
                 return dense(cfg.hidden_size, "o_proj")(out), new_kv
 
-        S = k.shape[1]
         qg = q.reshape(B, T, KH, G, D)
+        # cached and uncached paths share the [B, S, KH, D] key/value layout
+        S = k.shape[1]
         scores = jnp.einsum(
             "btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32
         ) / jnp.sqrt(D).astype(jnp.float32)
@@ -352,8 +445,13 @@ class Decoder(nn.Module):
                                  name="embed_positions")(positions)
             x = x + pos_emb
 
+        paged = cache is not None and "page_table" in cache
         if cache is not None:
-            S = cache["k"][0].shape[1]
+            if paged:
+                # virtual dense length = page-table capacity
+                S = cache["page_table"].shape[1] * cache["k"][0].shape[1]
+            else:
+                S = cache["k"][0].shape[1]
             key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, :]  # [1,1,S]
             valid = key_pos <= positions[:, :, None]
         else:
@@ -367,22 +465,29 @@ class Decoder(nn.Module):
 
         new_cache = None
         ks, vs = [], []
+        taps = []
         for i in range(cfg.num_layers):
             cache_kv = None
             if cache is not None:
                 cache_kv = (cache["k"][i], cache["v"][i], positions)
+                if paged:
+                    cache_kv = cache_kv + (cache["page_table"],)
             x, new_kv = Block(cfg, layer_index=i, name=f"layers_{i}")(
                 x, positions, mask, cache_kv
             )
             if new_kv is not None:
                 ks.append(new_kv[0])
                 vs.append(new_kv[1])
+            if cfg.hidden_taps is not None and i in cfg.hidden_taps:
+                taps.append(x)
         if cache is not None:
             new_cache = {
                 "k": tuple(ks),
                 "v": tuple(vs),
                 "lengths": cache["lengths"] + T,
             }
+            if paged:
+                new_cache["page_table"] = cache["page_table"]
 
         x = (
             RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="final_norm")(x)
@@ -391,6 +496,9 @@ class Decoder(nn.Module):
                               param_dtype=cfg.param_dtype, name="final_norm")(x)
         )
         hidden = x  # post-final-norm hidden states (EAGLE draft input)
+        if cfg.hidden_taps is not None:
+            # EAGLE-3 feature vector: tapped mid-layer states + final hidden
+            hidden = jnp.concatenate([*taps, x], axis=-1)
         if cfg.tie_word_embeddings:
             logits = embed.attend(x)
         else:

@@ -11,6 +11,7 @@ from modelopt_tpu.kernels.attention import decode_attention
 
 
 def ref_attention(q, k, v, lengths):
+    """k/v in the native cache layout [B, S, KH, D]."""
     B, KH, G, D = q.shape
     S = k.shape[1]
     out = np.zeros((B, KH, G, D), np.float32)
@@ -41,7 +42,8 @@ def test_bf16_cache_parity(rng, interp):
     lengths = jnp.asarray([17, 64], jnp.int32)
     out = decode_attention(q, k, v, lengths, out_dtype=jnp.float32)
     ref = ref_attention(q, np.asarray(k), np.asarray(v), np.asarray(lengths))
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+    # kernel computes q/k/v in bf16 on the MXU: parity bounded by bf16 rounding
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-2)
 
 
 def test_fp8_cache_parity(rng, interp):
@@ -59,7 +61,7 @@ def test_fp8_cache_parity(rng, interp):
     kd = np.asarray(k8.astype(jnp.float32)) * k_scale
     vd = np.asarray(v8.astype(jnp.float32)) * v_scale
     ref = ref_attention(q, kd, vd, np.asarray(lengths))
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-2)
 
 
 def test_length_one(rng, interp):
@@ -69,8 +71,8 @@ def test_length_one(rng, interp):
     v = jnp.asarray(rng.standard_normal((B, S, KH, D)), jnp.float32)
     lengths = jnp.asarray([1], jnp.int32)
     out = decode_attention(q, k, v, lengths, out_dtype=jnp.float32)
-    # attending to a single key returns exactly that value row
+    # attending to a single key returns that value row (through bf16 rounding)
     np.testing.assert_allclose(
         np.asarray(out[0, 0]), np.tile(np.asarray(v[0, 0, 0]), (G, 1)),
-        rtol=1e-4, atol=1e-5,
+        rtol=8e-3, atol=8e-3,
     )
