@@ -10,9 +10,20 @@ this framework ships its own engine, designed around XLA's compilation model:
     programs, not one per prompt length;
   * slots admit new requests as others finish (continuous batching) with no
     recompilation, because activity is data (masks/lengths), not shape;
+  * scheduler: every tick admits up to ``max_admit`` queued requests AND
+    runs one decode for all active slots — decode never starves behind a
+    deep queue; prompts longer than the largest bucket stream in bucket-size
+    CHUNKS, one chunk per tick (chunked prefill);
+  * optional PAGED KV cache (``paged=True``): pages allocated on demand from
+    a global pool, so KV memory scales with active tokens and the pool can
+    be oversubscribed vs. max_batch*max_seq_len (serve/paged_cache.py +
+    kernels/paged_attention.py);
   * optional real-fp8 KV cache (pair with FP8_KV-style config) halves KV
     memory and doubles the max in-flight token budget;
-  * works with fake-quant, compressed (packed-weight), and plain bundles.
+  * speculative decode ticks (medusa or eagle bundles) verify k drafted
+    tokens per slot in one forward — greedy-lossless;
+  * caches are DONATED through every jitted step: XLA updates them in place
+    instead of copying (a non-donated 8B bs64 cache costs ~6 ms/step).
 
 On-device sampling: greedy or temperature (gumbel trick), chosen per slot by
 a temperature vector — again data, not shape.
@@ -31,6 +42,13 @@ import numpy as np
 
 from ..core.bundle import ModelBundle
 from ..models.transformer import make_cache
+from .paged_cache import (
+    PagedAllocator,
+    PagedCacheConfig,
+    make_paged_cache,
+    pages_needed,
+    write_page_table,
+)
 
 
 @dataclasses.dataclass
@@ -43,6 +61,7 @@ class Request:
     out_tokens: list = dataclasses.field(default_factory=list)
     done: bool = False
     slot: Optional[int] = None
+    prefill_pos: int = 0  # tokens of the prompt already ingested
 
 
 class ServingEngine:
@@ -55,97 +74,197 @@ class ServingEngine:
         kv_dtype=None,
         seed: int = 0,
         speculative: int = 0,
+        paged: bool = False,
+        page_size: int = 64,
+        kv_pages: Optional[int] = None,
+        max_admit: int = 2,
     ):
-        """``speculative=k`` enables batched draft-verify decode for
-        medusa-converted bundles: every tick verifies k drafted tokens per
+        """``speculative=k`` enables batched draft-verify decode for medusa-
+        or eagle-converted bundles: every tick verifies k drafted tokens per
         slot in one forward (greedy-lossless; per-slot acceptance just moves
-        the slot's cache length, so mixed acceptance needs no recompile)."""
+        the slot's cache length, so mixed acceptance needs no recompile).
+
+        ``paged=True`` switches to the paged KV cache; ``kv_pages`` sizes the
+        pool (default: worst case + null page — pass less to oversubscribe)."""
         self.bundle = bundle
         self.cfg = bundle.module.cfg
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
+        self.max_admit = max_admit
         self.prefill_buckets = tuple(sorted(prefill_buckets))
-        self.cache = make_cache(self.cfg, max_batch, max_seq_len, dtype=kv_dtype)
+        for i, small in enumerate(self.prefill_buckets):
+            for big in self.prefill_buckets[i + 1:]:
+                if big % small:
+                    raise ValueError(
+                        "each prefill bucket must divide every larger one "
+                        "(chunked-prefill starts must stay bucket-aligned)"
+                    )
+        self.paged = paged
+        if paged:
+            if max_seq_len % page_size:
+                raise ValueError("max_seq_len must be a page_size multiple")
+            pmax = max_seq_len // page_size
+            n_pages = kv_pages or (max_batch * pmax + 1)
+            self.pcfg = PagedCacheConfig(
+                page_size=page_size, n_pages=n_pages, max_pages_per_slot=pmax
+            )
+            self.cache = make_paged_cache(self.cfg, max_batch, self.pcfg,
+                                          dtype=kv_dtype)
+            self.allocator = PagedAllocator(n_pages)
+        else:
+            self.cache = make_cache(self.cfg, max_batch, max_seq_len,
+                                    dtype=kv_dtype)
         self._apply = bundle.make_fn()
         self._vars = bundle.variables
         self._key = jax.random.PRNGKey(seed)
         self._slots: list[Optional[Request]] = [None] * max_batch
         self._queue: deque[Request] = deque()
+        self._prefilling: set[int] = set()  # slots mid-chunked-prefill
         self._ids = itertools.count()
         self._tokens = jnp.zeros((max_batch, 1), jnp.int32)  # last token per slot
         self._temps = jnp.zeros((max_batch,), jnp.float32)
         self.spec_k = int(speculative)
         if self.spec_k:
-            from ..speculative.medusa import MedusaModel
-
-            if not isinstance(bundle.module, MedusaModel):
-                raise ValueError("speculative engine decode needs a medusa bundle")
-            self.spec_k = min(self.spec_k, bundle.module.medusa_cfg.medusa_num_heads)
+            self._draft_fn = self._resolve_draft()
             self._hidden = jnp.zeros(
-                (max_batch, self.cfg.hidden_size), bundle.module.cfg.dtype
+                (max_batch, self._hidden_width()), bundle.module.cfg.dtype
             )
-            self._spec_decode = jax.jit(self._make_spec_decode())
+            self._spec_decode = jax.jit(self._make_spec_decode(),
+                                        donate_argnums=(1,))
 
-        def prefill_fn(variables, cache, ids, slot, true_len, temp, key):
-            """Prefill one request into ``slot``; returns
-            (cache, first_token, last_hidden)."""
-            sub = {
-                "k": tuple(jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)
-                           for a in cache["k"]),
-                "v": tuple(jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)
-                           for a in cache["v"]),
-                "lengths": jnp.zeros((1,), jnp.int32),
-            }
-            logits, new_sub, hidden = self._apply(variables, ids, sub, output_hidden=True)
-            k = tuple(
-                jax.lax.dynamic_update_slice_in_dim(a, n, slot, axis=0)
-                for a, n in zip(cache["k"], new_sub["k"])
-            )
-            v = tuple(
-                jax.lax.dynamic_update_slice_in_dim(a, n, slot, axis=0)
-                for a, n in zip(cache["v"], new_sub["v"])
-            )
-            lengths = cache["lengths"].at[slot].set(true_len)
+        def prefill_fn(variables, cache, ids, slot, start, true_len, temp, key):
+            """Ingest one bucket-size chunk for ``slot`` beginning at prompt
+            position ``start``; returns (cache, last_token, last_hidden).
+            The token/hidden are only meaningful on the final chunk."""
+            if self.paged:
+                sub = {
+                    "k": cache["k"], "v": cache["v"],
+                    "lengths": jnp.full((1,), start, jnp.int32),
+                    "page_table": jax.lax.dynamic_slice_in_dim(
+                        cache["page_table"], slot, 1, axis=0
+                    ),
+                }
+            else:
+                sub = {
+                    "k": tuple(jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)
+                               for a in cache["k"]),
+                    "v": tuple(jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)
+                               for a in cache["v"]),
+                    "lengths": jnp.full((1,), start, jnp.int32),
+                }
+            logits, new_sub, hidden = self._apply(variables, ids, sub,
+                                                  output_hidden=True)
+            if self.paged:
+                cache = {**cache, "k": new_sub["k"], "v": new_sub["v"]}
+            else:
+                k = tuple(
+                    jax.lax.dynamic_update_slice_in_dim(a, n, slot, axis=0)
+                    for a, n in zip(cache["k"], new_sub["k"])
+                )
+                v = tuple(
+                    jax.lax.dynamic_update_slice_in_dim(a, n, slot, axis=0)
+                    for a, n in zip(cache["v"], new_sub["v"])
+                )
+                cache = {**cache, "k": k, "v": v}
+            lengths = cache["lengths"].at[slot].set(start + true_len)
+            cache = {**cache, "lengths": lengths}
             last = logits[0, true_len - 1]
             tok = _sample(last, temp, key)
-            return {"k": k, "v": v, "lengths": lengths}, tok, hidden[0, true_len - 1]
+            return cache, tok, hidden[0, true_len - 1]
 
-        def decode_fn(variables, cache, tokens, temps, key):
-            """One decode tick over all slots; returns (cache, next_tokens [B])."""
+        def decode_fn(variables, cache, tokens, temps, active, key):
+            """One decode tick over all slots. ``active`` [B] gates length
+            advancement so idle/prefilling slots are untouched (their KV
+            write lands on a position that is overwritten before it is ever
+            attended). Returns (cache, next_tokens [B])."""
+            old_lengths = cache["lengths"]
             logits, cache = self._apply(variables, tokens, cache)
+            cache = {**cache, "lengths": old_lengths + active.astype(jnp.int32)}
             keys = jax.random.split(key, logits.shape[0])
             toks = jax.vmap(_sample)(logits[:, -1], temps, keys)
             return cache, toks
 
-        self._prefill = jax.jit(prefill_fn)
-        self._decode = jax.jit(decode_fn)
+        self._prefill = jax.jit(prefill_fn, donate_argnums=(1,))
+        self._decode = jax.jit(decode_fn, donate_argnums=(1,))
 
-    def _make_spec_decode(self):
+    # -- speculative drafting ------------------------------------------------
+    def _hidden_width(self) -> int:
+        from ..speculative.eagle import EagleModel
+
+        if isinstance(self.bundle.module, EagleModel):
+            return self.bundle.module.feature_width()
+        return self.cfg.hidden_size
+
+    def _resolve_draft(self):
+        """Return draft(variables, tokens [B,1], hidden [B,F]) -> [B, K]
+        drafted tokens, for the bundle's speculative architecture."""
+        from ..speculative.eagle import EagleModel
         from ..speculative.medusa import MedusaModel
 
-        module: MedusaModel = self.bundle.module
+        module = self.bundle.module
         K = self.spec_k
 
-        def spec_decode(variables, cache, tokens, hidden):
-            """tokens [B,1] last emitted; hidden [B,H] at those tokens.
-            Returns (cache', emitted [B, K+1], n_acc [B], hidden' [B,H]).
+        if isinstance(module, MedusaModel):
+            self.spec_k = K = min(K, module.medusa_cfg.medusa_num_heads)
+
+            def draft_medusa(variables, tokens, hidden):
+                with self.bundle.contexts():
+                    heads = module.apply(variables, hidden[:, None, :],
+                                         method=MedusaModel.medusa_logits)
+                return jnp.concatenate(
+                    [jnp.argmax(h[:, -1:], -1).astype(jnp.int32)
+                     for h in heads[:K]], axis=1)
+
+            return draft_medusa
+
+        if isinstance(module, EagleModel):
+            def draft_eagle(variables, tokens, hidden):
+                """EAGLE autoregression: fuse base features once, then the
+                draft head re-runs over the growing [token; state] sequence,
+                feeding its own hidden states for unverified steps
+                (reference: eagle_model.py pseudo-autoregressive drafting)."""
+                with self.bundle.contexts():
+                    g = module.apply(variables, hidden[:, None, :],
+                                     method=EagleModel.fuse_features)
+                ids = tokens  # [B, 1]
+                gs = g  # [B, 1, H]
+                drafts = []
+                for _ in range(K):
+                    with self.bundle.contexts():
+                        dl, dh = module.apply(variables, ids, gs,
+                                              method=EagleModel.draft_fused)
+                    nxt = jnp.argmax(dl[:, -1:], -1).astype(jnp.int32)
+                    drafts.append(nxt)
+                    ids = jnp.concatenate([ids, nxt], axis=1)
+                    gs = jnp.concatenate([gs, dh[:, -1:]], axis=1)
+                return jnp.concatenate(drafts, axis=1)
+
+            return draft_eagle
+
+        raise ValueError(
+            "speculative engine decode needs a medusa or eagle bundle"
+        )
+
+    def _make_spec_decode(self):
+        K = self.spec_k
+        draft_fn = self._draft_fn
+
+        def spec_decode(variables, cache, tokens, hidden, active):
+            """tokens [B,1] last emitted; hidden [B,F] at those tokens.
+            Returns (cache', emitted [B, K+1], n_acc [B], hidden' [B,F]).
             Per slot, emitted[:n_acc[b]+1] are valid (all are base-greedy
             tokens — lossless)."""
-            with self.bundle.contexts():
-                heads = module.apply(variables, hidden[:, None, :],
-                                     method=MedusaModel.medusa_logits)
-            draft = jnp.concatenate(
-                [jnp.argmax(h[:, -1:], -1).astype(jnp.int32) for h in heads[:K]],
-                axis=1,
-            )  # [B, K]
+            draft = draft_fn(variables, tokens, hidden)  # [B, K]
             ids = jnp.concatenate([tokens, draft], axis=1)  # [B, K+1]
             old_lengths = cache["lengths"]
-            logits, cache2, hseq = self._apply(variables, ids, cache, output_hidden=True)
+            logits, cache2, hseq = self._apply(variables, ids, cache,
+                                               output_hidden=True)
             preds = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, K+1]
             match = preds[:, :K] == draft  # [B, K]
             n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
             # roll back lengths to the accepted prefix (+1 for the token fed)
-            cache2 = {**cache2, "lengths": old_lengths + n_acc + 1}
+            adv = (n_acc + 1) * active.astype(jnp.int32)
+            cache2 = {**cache2, "lengths": old_lengths + adv}
             bidx = jnp.arange(preds.shape[0])
             hidden_next = hseq[bidx, n_acc]
             return cache2, preds, n_acc, hidden_next
@@ -157,9 +276,13 @@ class ServingEngine:
                eos_id=None) -> Request:
         if self.spec_k and temperature > 0:
             raise ValueError("speculative engine decode is greedy-only")
+        prompt = list(map(int, prompt_tokens))
+        if len(prompt) >= self.max_seq_len:
+            raise ValueError("prompt exceeds max_seq_len")
         req = Request(
-            id=next(self._ids), prompt=list(map(int, prompt_tokens)),
-            max_new_tokens=max_new_tokens, temperature=temperature, eos_id=eos_id,
+            id=next(self._ids), prompt=prompt,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            eos_id=eos_id,
         )
         self._queue.append(req)
         return req
@@ -168,56 +291,125 @@ class ServingEngine:
     def num_active(self) -> int:
         return sum(r is not None for r in self._slots)
 
+    @property
+    def num_decoding(self) -> int:
+        return sum(
+            r is not None and i not in self._prefilling
+            for i, r in enumerate(self._slots)
+        )
+
     def _bucket(self, n: int) -> int:
         for b in self.prefill_buckets:
             if n <= b:
                 return b
-        raise ValueError(f"prompt length {n} exceeds largest bucket")
+        return self.prefill_buckets[-1]  # longer prompts stream in chunks
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
 
     # ------------------------------------------------------------------
-    def step(self) -> int:
-        """One scheduler tick. Returns number of tokens produced."""
-        # Admit one queued request per tick if a slot is free (prefill).
-        free = [i for i, r in enumerate(self._slots) if r is None]
-        if self._queue and free:
-            req = self._queue.popleft()
-            slot = free[0]
-            bucket = self._bucket(len(req.prompt))
-            ids = np.zeros((1, bucket), np.int32)
-            ids[0, : len(req.prompt)] = req.prompt
-            self.cache, tok, hid = self._prefill(
-                self._vars, self.cache, jnp.asarray(ids), slot,
-                len(req.prompt), jnp.float32(req.temperature), self._next_key(),
-            )
-            if self.spec_k:
-                self._hidden = self._hidden.at[slot].set(hid)
-            req.slot = slot
-            self._slots[slot] = req
-            self._tokens = self._tokens.at[slot, 0].set(tok)
-            self._temps = self._temps.at[slot].set(req.temperature)
-            req.out_tokens.append(int(tok))
-            self._finish_if_done(req)
-            return 1
+    def _admit(self, req: Request, slot: int) -> None:
+        req.slot = slot
+        self._slots[slot] = req
+        self._prefilling.add(slot)
+        if self.paged:
+            n = pages_needed(len(req.prompt) + 1, self.pcfg.page_size)
+            pages = self.allocator.alloc(slot, n)
+            if pages is None:  # pool exhausted: requeue and leave the slot
+                self._slots[slot] = None
+                self._prefilling.discard(slot)
+                req.slot = None
+                self._queue.appendleft(req)
+                return
+            self.cache = write_page_table(self.cache, slot, pages)
 
-        if self.num_active == 0:
+    def _prefill_chunk(self, req: Request) -> int:
+        """Ingest the next chunk of req's prompt; returns tokens emitted."""
+        slot = req.slot
+        start = req.prefill_pos
+        remaining = len(req.prompt) - start
+        bucket = self._bucket(remaining)
+        chunk = req.prompt[start : start + bucket]
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, : len(chunk)] = chunk
+        final = start + len(chunk) >= len(req.prompt)
+        self.cache, tok, hid = self._prefill(
+            self._vars, self.cache, jnp.asarray(ids), slot, start,
+            len(chunk), jnp.float32(req.temperature), self._next_key(),
+        )
+        req.prefill_pos = start + len(chunk)
+        if not final:
             return 0
-
+        self._prefilling.discard(slot)
         if self.spec_k:
-            return self._step_speculative()
+            self._hidden = self._hidden.at[slot].set(hid)
+        self._tokens = self._tokens.at[slot, 0].set(tok)
+        self._temps = self._temps.at[slot].set(req.temperature)
+        req.out_tokens.append(int(tok))
+        self._finish_if_done(req)
+        return 1
 
-        # Decode tick over all slots (inactive slots produce ignored tokens).
+    def _active_mask(self):
+        return jnp.asarray(
+            [1.0 if (r is not None and i not in self._prefilling) else 0.0
+             for i, r in enumerate(self._slots)], jnp.float32)
+
+    def _grow_pages(self) -> None:
+        """Ensure each decoding slot has a page for its next token."""
+        for slot, req in enumerate(self._slots):
+            if req is None or slot in self._prefilling:
+                continue
+            cur_len = len(req.prompt) + len(req.out_tokens)
+            need = pages_needed(cur_len + 1 + self.spec_k, self.pcfg.page_size)
+            have = len(self.allocator.owned.get(slot, []))
+            if need > have:
+                new = self.allocator.alloc(slot, need - have)
+                if new is None:
+                    raise RuntimeError(
+                        "KV page pool exhausted; raise kv_pages or lower load"
+                    )
+                self.cache = write_page_table(
+                    self.cache, slot, self.allocator.owned[slot]
+                )
+
+    def step(self) -> int:
+        """One scheduler tick: admissions/prefill chunks, then decode.
+        Returns number of tokens produced."""
+        produced = 0
+        # 1) advance chunked prefills already in flight (one chunk each)
+        for slot in sorted(self._prefilling):
+            req = self._slots[slot]
+            if req is not None:
+                produced += self._prefill_chunk(req)
+        # 2) admit queued requests into free slots
+        admitted = 0
+        while self._queue and admitted < self.max_admit:
+            free = [i for i, r in enumerate(self._slots) if r is None]
+            if not free:
+                break
+            req = self._queue.popleft()
+            self._admit(req, free[0])
+            if req.slot is None:
+                break  # page pool full — stop admitting this tick
+            produced += self._prefill_chunk(req)
+            admitted += 1
+        # 3) decode every tick for fully-prefilled slots
+        if self.num_decoding == 0:
+            return produced
+        if self.paged:
+            self._grow_pages()
+        if self.spec_k:
+            return produced + self._step_speculative()
+        active = self._active_mask()
         self.cache, toks = self._decode(
-            self._vars, self.cache, self._tokens, self._temps, self._next_key()
+            self._vars, self.cache, self._tokens, self._temps, active,
+            self._next_key(),
         )
         self._tokens = toks[:, None]
-        produced = 0
         toks_host = np.asarray(toks)
         for slot, req in enumerate(self._slots):
-            if req is None:
+            if req is None or slot in self._prefilling:
                 continue
             req.out_tokens.append(int(toks_host[slot]))
             produced += 1
@@ -226,15 +418,16 @@ class ServingEngine:
 
     def _step_speculative(self) -> int:
         """One batched draft-verify tick: up to spec_k+1 tokens per slot."""
+        active = self._active_mask()
         self.cache, preds, n_acc, hidden = self._spec_decode(
-            self._vars, self.cache, self._tokens, self._hidden
+            self._vars, self.cache, self._tokens, self._hidden, active
         )
         self._hidden = hidden
         preds_h = np.asarray(preds)
         n_h = np.asarray(n_acc)
         produced = 0
         for slot, req in enumerate(self._slots):
-            if req is None:
+            if req is None or slot in self._prefilling:
                 continue
             emitted = preds_h[slot, : int(n_h[slot]) + 1]
             for tok in emitted:
@@ -249,14 +442,23 @@ class ServingEngine:
     def _finish_if_done(self, req: Request):
         hit_eos = req.eos_id is not None and req.out_tokens and req.out_tokens[-1] == req.eos_id
         total_len = len(req.prompt) + len(req.out_tokens)
+        # A speculative tick writes spec_k+1 cache positions at once; finish
+        # early enough that the scatter can never run past max_seq_len
+        # (out-of-bounds KV writes are dropped silently and the verify
+        # forward would read garbage).
+        seq_cap = self.max_seq_len - self.spec_k
         if (
             len(req.out_tokens) >= req.max_new_tokens
             or hit_eos
-            or total_len >= self.max_seq_len
+            or total_len >= seq_cap
         ):
             req.done = True
             if req.slot is not None:
+                if self.paged:
+                    self.allocator.free_slot(req.slot)
+                    self.cache = write_page_table(self.cache, req.slot, [])
                 self._slots[req.slot] = None
+                self._prefilling.discard(req.slot)
                 req.slot = None
 
     def run(self, max_ticks: int = 100000) -> None:

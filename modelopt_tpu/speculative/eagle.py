@@ -1,8 +1,15 @@
 """EAGLE-style speculative decoding: a one-block draft transformer predicts
-the base model's next hidden state from [embedding(token); hidden], sharing
+the base model's next hidden state from [embedding(token); features], sharing
 the base LM head (reference: modelopt/torch/speculative/eagle/eagle_model.py:21,
 plugins/hf_eagle.py — re-architected as a wrapper module instead of in-place
 model mutation).
+
+EAGLE-1: features = the base's final-norm hidden state.
+EAGLE-3 (``feature_layers``): features = concat of tapped mid-layer hidden
+states + the final hidden ("low/mid/high" taps, reference hf_eagle.py
+EAGLE-3 feature collection); a fuse projection maps them to model width
+once, and the draft autoregression then runs on its OWN hidden states for
+unverified steps (no feature-prediction constraint).
 """
 
 from __future__ import annotations
@@ -22,23 +29,35 @@ from ..utils.evaluate import lm_cross_entropy
 @dataclasses.dataclass
 class EagleConfig:
     num_draft_layers: int = 1
+    # EAGLE-3 style multi-layer taps: indices of base layers whose hidden
+    # states are concatenated with the final hidden as draft features
+    # (None = EAGLE-1, final hidden only)
+    feature_layers: Optional[tuple] = None
+
+    def __post_init__(self):
+        if isinstance(self.feature_layers, list):
+            self.feature_layers = tuple(self.feature_layers)
 
     def to_dict(self):
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        if d["feature_layers"] is not None:
+            d["feature_layers"] = list(d["feature_layers"])
+        return d
 
 
 class EagleHead(nn.Module):
-    """fuse([emb; hidden]) -> draft decoder block(s) -> draft hidden."""
+    """fuse([emb; g]) -> draft decoder block(s) -> draft hidden (g is the
+    model-width draft state: fused base features or prior draft hidden)."""
 
     cfg: DecoderConfig
     num_layers: int = 1
 
     @nn.compact
-    def __call__(self, emb, hidden, positions):
+    def __call__(self, emb, g, positions):
         cfg = self.cfg
         x = QuantDense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
                        param_dtype=cfg.param_dtype, name="fc")(
-            jnp.concatenate([emb, hidden.astype(emb.dtype)], axis=-1)
+            jnp.concatenate([emb, g.astype(emb.dtype)], axis=-1)
         )
         B, T = positions.shape
         k_pos = positions[:, None, :]
@@ -50,16 +69,32 @@ class EagleHead(nn.Module):
 
 class EagleModel(nn.Module):
     """Base decoder + EAGLE draft head. Methods:
-      __call__    — base forward (logits, cache[, hidden])
-      draft       — draft logits from (prev tokens, base hidden)
+      __call__       — base forward (logits, cache[, features])
+      fuse_features  — base features [B,T,F] -> draft state g [B,T,H]
+      draft_fused    — draft logits from (tokens, g sequence)
+      draft          — convenience: fuse + draft_fused
     """
 
     cfg: DecoderConfig
     eagle_cfg: EagleConfig = dataclasses.field(default_factory=EagleConfig)
 
     def setup(self):
-        self.base = Decoder(self.cfg)
+        base_cfg = self.cfg
+        if self.eagle_cfg.feature_layers is not None:
+            base_cfg = dataclasses.replace(
+                self.cfg, hidden_taps=tuple(self.eagle_cfg.feature_layers)
+            )
+        self.base = Decoder(base_cfg)
         self.eagle = EagleHead(self.cfg, self.eagle_cfg.num_draft_layers)
+        if self.eagle_cfg.feature_layers is not None:
+            self.fuse = QuantDense(
+                self.cfg.hidden_size, use_bias=False, dtype=self.cfg.dtype,
+                param_dtype=self.cfg.param_dtype, name="fuse",
+            )
+
+    def feature_width(self) -> int:
+        taps = self.eagle_cfg.feature_layers
+        return self.cfg.hidden_size * (1 + (len(taps) if taps else 0))
 
     def __call__(self, input_ids, cache=None, positions=None, output_hidden=False):
         return self.base(input_ids, cache, positions, output_hidden=output_hidden)
@@ -70,15 +105,28 @@ class EagleModel(nn.Module):
         self.draft(input_ids, hidden)
         return logits
 
-    def draft(self, input_ids, hidden, positions=None):
-        """Draft next-token logits for each position: token t's embedding is
-        fused with the base hidden state at t (which encodes up to t)."""
+    def fuse_features(self, features):
+        """[B, T, F] base features -> [B, T, H] draft state. Identity for
+        EAGLE-1 (F == H); learned projection for EAGLE-3 taps."""
+        if self.eagle_cfg.feature_layers is None:
+            return features
+        return self.fuse(features)
+
+    def draft_fused(self, input_ids, g, positions=None):
+        """Draft next-token logits from an H-wide draft-state sequence
+        (fused base features at verified steps, the draft's own hidden at
+        unverified steps)."""
         B, T = input_ids.shape
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
         emb = self._embed(input_ids)
-        h = self.eagle(emb, hidden, positions)
+        h = self.eagle(emb, g, positions)
         return self._lm_head(h), h
+
+    def draft(self, input_ids, features, positions=None):
+        """Draft next-token logits for each position: token t's embedding is
+        fused with the base features at t (which encode up to t)."""
+        return self.draft_fused(input_ids, self.fuse_features(features), positions)
 
     def _embed(self, ids):
         # reuse the base embedding table
@@ -95,44 +143,50 @@ class EagleModel(nn.Module):
 
 def make_eagle_train_step(bundle, tx):
     """Draft-head training: frozen base produces hidden states; the draft
-    learns to predict token t+1 from (token t's embedding, hidden t) — CE on
-    shifted targets + hidden-state regression, the EAGLE recipe
+    learns to predict token t+1 from (token t's embedding, features t) — CE
+    on shifted targets + hidden-state regression, the EAGLE recipe
     (reference: eagle training loss in plugins/hf_eagle.py)."""
     import optax
 
     module: EagleModel = bundle.module
+    H = module.cfg.hidden_size
 
-    def loss_fn(eagle_params, frozen_params, batch):
-        params = {**frozen_params, "eagle": eagle_params}
+    def loss_fn(draft_params, frozen_params, batch):
+        params = {**frozen_params, **draft_params}
         variables = {**bundle.variables, "params": params}
         with bundle.contexts():
-            logits, _, hidden = module.apply(variables, batch, output_hidden=True)
+            logits, _, features = module.apply(variables, batch, output_hidden=True)
             draft_logits, draft_h = module.apply(
-                variables, batch, hidden, method=EagleModel.draft
+                variables, batch, features, method=EagleModel.draft
             )
         # draft at position t predicts token t+1 (same target as base shift)
         ce = lm_cross_entropy(draft_logits[:, :-1], batch[:, 1:])
-        # hidden regression: draft hidden t ~ base hidden t+1
+        # hidden regression: draft hidden t ~ base FINAL hidden t+1 (the
+        # last H slice of the feature vector when EAGLE-3 taps are on)
+        target = features[..., -H:]
         hr = jnp.mean(
             (draft_h[:, :-1].astype(jnp.float32) - jax.lax.stop_gradient(
-                hidden[:, 1:].astype(jnp.float32)
+                target[:, 1:].astype(jnp.float32)
             )) ** 2
         )
         return ce + 0.1 * hr
 
+    def _draft_params(params):
+        return {k: v for k, v in params.items() if k != "base"}
+
     def init_state():
-        eagle_params = bundle.variables["params"]["eagle"]
-        return eagle_params, tx.init(eagle_params)
+        draft_params = _draft_params(bundle.variables["params"])
+        return draft_params, tx.init(draft_params)
 
     @jax.jit
     def step(state, batch):
-        eagle_params, opt_state = state
-        frozen = {k: v for k, v in bundle.variables["params"].items() if k != "eagle"}
-        loss, grads = jax.value_and_grad(loss_fn)(eagle_params, frozen, batch)
-        updates, opt_state = tx.update(grads, opt_state, eagle_params)
+        draft_params, opt_state = state
+        frozen = {"base": bundle.variables["params"]["base"]}
+        loss, grads = jax.value_and_grad(loss_fn)(draft_params, frozen, batch)
+        updates, opt_state = tx.update(grads, opt_state, draft_params)
         import optax as _o
 
-        eagle_params = _o.apply_updates(eagle_params, updates)
-        return (eagle_params, opt_state), loss
+        draft_params = _o.apply_updates(draft_params, updates)
+        return (draft_params, opt_state), loss
 
     return init_state, step

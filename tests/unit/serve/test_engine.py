@@ -95,6 +95,103 @@ class TestEngine:
         assert req.out_tokens == naive_greedy(c, [5, 17, 42], 5)
 
 
+class TestScheduler:
+    def test_chunked_prefill_matches_naive(self, bundle):
+        """Prompt longer than the largest bucket streams in chunks."""
+        rng = np.random.default_rng(0)
+        prompt = list(map(int, rng.integers(0, 255, 23)))  # bucket is 8
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(8,))
+        req = eng.submit(prompt, max_new_tokens=5)
+        eng.run()
+        assert req.done
+        assert req.out_tokens == naive_greedy(bundle, prompt, 5)
+
+    def test_decode_never_starves(self, bundle):
+        """With a deep queue, every tick still decodes all active slots."""
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,), max_admit=1)
+        reqs = [eng.submit([i + 1, i + 2, i + 3], max_new_tokens=20)
+                for i in range(8)]
+        eng.step()  # admits req0 (prefill emits its first token)
+        eng.step()  # admits req1 + decodes req0
+        for _ in range(10):
+            if eng.num_decoding == 0:
+                break
+            before = [len(r.out_tokens) for r in reqs]
+            n_dec = eng.num_decoding
+            eng.step()
+            after = [len(r.out_tokens) for r in reqs]
+            grew = sum(b != a for b, a in zip(before, after))
+            # every decoding slot progressed despite the queue backlog
+            assert grew >= n_dec
+        # correctness of the first two requests against the naive loop
+        eng.run()
+        for r in reqs:
+            assert r.done and len(r.out_tokens) == 20
+
+    def test_multi_admission_per_tick(self, bundle):
+        eng = ServingEngine(bundle, max_batch=4, max_seq_len=64,
+                            prefill_buckets=(16,), max_admit=4)
+        reqs = [eng.submit([i + 1, 2], max_new_tokens=4) for i in range(4)]
+        eng.step()
+        assert eng.num_active == 4  # all four admitted in one tick
+        eng.run()
+        for r in reqs:
+            assert r.done and len(r.out_tokens) == 4
+
+
+class TestPagedEngine:
+    def test_paged_matches_naive(self, bundle):
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,), paged=True, page_size=16)
+        prompts = [[5, 17, 42, 7], [9, 9, 1, 30]]
+        reqs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+        eng.run()
+        for p, r in zip(prompts, reqs):
+            assert r.done
+            assert r.out_tokens == naive_greedy(bundle, p, 6), (p, r.out_tokens)
+
+    def test_paged_memory_scales_with_active_tokens(self, bundle):
+        # pool smaller than worst case: 2 slots * 4 pages would need 8+null;
+        # give 6 — fine for short requests
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,), paged=True, page_size=16,
+                            kv_pages=6)
+        r1 = eng.submit([1, 2, 3], max_new_tokens=4)
+        r2 = eng.submit([4, 5], max_new_tokens=4)
+        eng.run()
+        assert r1.done and r2.done
+        assert eng.allocator.free_pages == 5  # all pages returned
+
+    def test_paged_pool_exhaustion_requeues(self, bundle):
+        # 3 usable pages of 16 = 48 tokens; two 33-token prompts need
+        # 3 pages each -> second must wait until the first finishes
+        rng = np.random.default_rng(1)
+        p1 = list(map(int, rng.integers(0, 255, 33)))
+        p2 = list(map(int, rng.integers(0, 255, 33)))
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(64,), paged=True, page_size=16,
+                            kv_pages=4)
+        r1 = eng.submit(p1, max_new_tokens=3)
+        r2 = eng.submit(p2, max_new_tokens=3)
+        eng.step()
+        assert eng.num_active == 1  # r2 couldn't get pages yet
+        eng.run()
+        assert r1.done and r2.done
+        assert r2.out_tokens == naive_greedy(bundle, p2, 3)
+
+    def test_paged_chunked_long_prompt(self, bundle):
+        rng = np.random.default_rng(2)
+        prompt = list(map(int, rng.integers(0, 255, 40)))
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,), paged=True, page_size=16)
+        req = eng.submit(prompt, max_new_tokens=4)
+        eng.run()
+        assert req.done
+        assert req.out_tokens == naive_greedy(bundle, prompt, 4)
+
+
 class TestSpeculativeEngine:
     def test_spec_decode_lossless(self, bundle):
         import modelopt_tpu.speculative as mtsp
@@ -118,6 +215,46 @@ class TestSpeculativeEngine:
                             prefill_buckets=(16,), speculative=2)
         with _pt.raises(ValueError):
             eng.submit([1, 2], temperature=0.5)
+
+    def test_eagle_engine_lossless(self, bundle):
+        import modelopt_tpu.speculative as mtsp
+
+        m = mtsp.convert(bundle, [("eagle", {"num_draft_layers": 1})])
+        eng = ServingEngine(m, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,), speculative=2)
+        prompts = [[5, 17, 42, 7], [9, 1, 30]]
+        reqs = [eng.submit(p, max_new_tokens=7) for p in prompts]
+        eng.run()
+        for p, r in zip(prompts, reqs):
+            assert r.done and len(r.out_tokens) == 7
+            assert r.out_tokens == naive_greedy(m, p, 7), (p, r.out_tokens)
+
+    def test_eagle3_taps_engine_lossless(self, bundle):
+        """EAGLE-3-style feature taps: drafts come from multi-layer
+        features; verification stays greedy-lossless."""
+        import modelopt_tpu.speculative as mtsp
+
+        m = mtsp.convert(
+            bundle, [("eagle", {"num_draft_layers": 1, "feature_layers": (0,)})]
+        )
+        eng = ServingEngine(m, max_batch=1, max_seq_len=64,
+                            prefill_buckets=(16,), speculative=2)
+        req = eng.submit([5, 17, 42, 7], max_new_tokens=6)
+        eng.run()
+        assert req.done
+        assert req.out_tokens == naive_greedy(m, [5, 17, 42, 7], 6)
+
+    def test_eagle_paged_engine(self, bundle):
+        import modelopt_tpu.speculative as mtsp
+
+        m = mtsp.convert(bundle, [("eagle", {})])
+        eng = ServingEngine(m, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,), speculative=2,
+                            paged=True, page_size=16)
+        req = eng.submit([5, 17, 42], max_new_tokens=6)
+        eng.run()
+        assert req.done
+        assert req.out_tokens == naive_greedy(m, [5, 17, 42], 6)
 
     def test_spec_ticks_not_more_than_tokens(self, bundle):
         import modelopt_tpu.speculative as mtsp
