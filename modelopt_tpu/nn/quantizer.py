@@ -50,6 +50,25 @@ _CAPTURE: contextvars.ContextVar = contextvars.ContextVar("quant_capture", defau
 _CAPTURE_FILTER: contextvars.ContextVar = contextvars.ContextVar(
     "quant_capture_filter", default=None
 )
+# {dense_path: zero-valued array} added to each module's OUTPUT in CAPTURE
+# phase. jax.grad w.r.t. these perturbations yields dL/d(output) at every
+# quantized module in ONE backward pass — the TPU-native equivalent of the
+# reference's backward hooks feeding the AutoQuantize gradient score
+# (reference: algorithms.py:1432 _get_auto_quantize_score).
+_PERTURB: contextvars.ContextVar = contextvars.ContextVar(
+    "quant_perturb", default=None
+)
+
+
+@contextlib.contextmanager
+def output_perturbations(perturbs: dict):
+    """Bind a {dense_path: zeros_like(output)} dict whose entries are added
+    to module outputs in CAPTURE phase (see ``_PERTURB``)."""
+    tok = _PERTURB.set(perturbs)
+    try:
+        yield
+    finally:
+        _PERTURB.reset(tok)
 
 
 @contextlib.contextmanager
@@ -162,6 +181,12 @@ class TensorQuantizer(nn.Module):
 
                 if filt is None or _fnm("/".join(self.path), filt):
                     self.sow("quant_capture", "x", x.reshape(-1, x.shape[-1]))
+            if self.path and self.path[-1] == "output_quantizer":
+                perturbs = _PERTURB.get()
+                if perturbs is not None:
+                    p = perturbs.get("/".join(self.path[:-1]))
+                    if p is not None:
+                        x = x + p.astype(x.dtype)
             return ret(x)
 
         if not specs:
