@@ -67,12 +67,13 @@ class QuantDense(nn.Module):
                 )
             qt = self.get_variable("quant", "qweight")
             x2d = x.reshape(-1, in_features)
-            # W8A8: int8 activations ride the int8 MXU on compute-bound
-            # (prefill-sized) calls when the input quantizer is int8
+            # int8 activations ride the int8 MXU: W8A8 on compute-bound
+            # (prefill-sized) calls, the fused W4A8 kernel at decode —
+            # size dispatch happens in backends.qgemm
             aspecs = cfg.resolve("/".join(self.path) + "/input_quantizer")
             act_int8 = bool(
                 aspecs and aspecs[0].enable and not aspecs[0].is_fp
-                and aspecs[0].num_bits == 8 and x2d.shape[0] > 256
+                and aspecs[0].num_bits == 8
             )
             y2d = qgemm(x2d, qt, specs[0], (in_features, self.features),
                         out_dtype=dtype, act_int8=act_int8)

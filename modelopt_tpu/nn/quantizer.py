@@ -202,6 +202,7 @@ class TensorQuantizer(nn.Module):
             and specs[0].block is None
             and specs[0].axis is None
             and not specs[0].dynamic
+            and not specs[0].rotate
             and (specs[0].fp_format.exp_bits, specs[0].fp_format.man_bits) == (4, 3)
             and self.has_variable("quant", "amax")
         ):
@@ -212,10 +213,22 @@ class TensorQuantizer(nn.Module):
             )
             return codes, scale
 
+        # Hadamard rotation (QuaRot-style): quantize in the rotated basis,
+        # rotate back — calibration statistics are likewise collected on the
+        # rotated tensor (reference: config.py:289 RotateConfig).
+        rotated = any(s.enable and s.rotate for s in specs)
+        if rotated:
+            from ..quant.rotation import hadamard_rotate
+
+            x = hadamard_rotate(x)
         for i, spec in enumerate(specs):
             if not spec.enable:
                 continue
             x = self._apply_one(x, spec, "amax" if i == 0 else f"amax_{i}", phase)
+        if rotated:
+            from ..quant.rotation import hadamard_rotate
+
+            x = hadamard_rotate(x)
         return ret(x)
 
     def _apply_one(self, x, spec: QuantizerSpec, amax_name: str, phase: str):

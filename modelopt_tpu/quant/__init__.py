@@ -32,6 +32,7 @@ from .config import (  # noqa: F401 — preset names re-exported
     KV_CACHE_FP8,
     KV_CACHE_NVFP4,
     MXFP4_DEFAULT_CFG,
+    MXFP4_MLP_WEIGHT_ONLY_CFG,
     MXFP6_DEFAULT_CFG,
     MXFP8_DEFAULT_CFG,
     MXINT8_DEFAULT_CFG,
@@ -39,11 +40,16 @@ from .config import (  # noqa: F401 — preset names re-exported
     NVFP4_AWQ_FULL_CFG,
     NVFP4_AWQ_LITE_CFG,
     NVFP4_DEFAULT_CFG,
+    NVFP4_EXPERTS_ONLY_CFG,
+    NVFP4_FOUR_OVER_SIX_CFG,
     NVFP4_KV_CFG,
+    NVFP4_KV_ROTATE_CFG,
     NVFP4_MLP_ONLY_CFG,
     NVFP4_SVDQUANT_CFG,
     NVFP4_WEIGHT_ONLY_CFG,
+    W4A16_NVFP4_CFG,
     W4A8_AWQ_BETA_CFG,
+    W4A8_INT8_DYNAMIC_CFG,
     W4A8_MXFP4_FP8_CFG,
     W4A8_NVFP4_FP8_CFG,
     QuantizeConfig,

@@ -58,16 +58,28 @@ def int8_dynamic_gemm(x2d, data, scale, out_dtype):
 def qgemm(x2d, qt: dict, spec: QuantizerSpec, kn, out_dtype=None,
           act_int8: bool = False):
     """x2d [M, K] @ packed weight -> [M, N]. ``act_int8`` selects the
-    dynamic W8A8 int8-MXU path (int8 formats, compute-bound shapes)."""
+    int8-MXU paths: dynamic W8A8 for int8 weights (compute-bound shapes),
+    the fused W4A8 kernel for int4 weights at decode shapes."""
     fmt = compressible_format(spec, kn)
     out_dtype = out_dtype or x2d.dtype
     if fmt is None:
         raise ValueError(f"no compressed format for spec {spec}")
-    if fmt == "int8" and act_int8:
+    if fmt == "int8" and act_int8 and x2d.shape[0] > 256:
         return int8_dynamic_gemm(x2d, qt["data"], qt["scale"], out_dtype)
     if _pallas_ok(fmt, x2d, kn):
         from ..kernels import quant_gemm as kq
 
+        if fmt == "int4" and act_int8:
+            # W4A8: per-token dynamic int8 activations ride the int8 MXU
+            # (x arrives already fake-quantized to the int8 grid by the
+            # input quantizer, so this re-quantization is ~lossless)
+            xf = x2d.astype(jnp.float32)
+            xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                             1e-12) / 127.0
+            xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+            out = kq.w4a8_gemm(xq, qt["data"], qt["scale"],
+                               block=block_of(spec))
+            return (out * xs).astype(out_dtype)
         if fmt == "int4":
             return kq.w4a16_gemm(x2d, qt["data"], qt["scale"],
                                  block=block_of(spec), out_dtype=out_dtype)

@@ -199,6 +199,14 @@ W4A8_AWQ_BETA_CFG = _cfg(
     _A_FP8,
     algorithm={"method": "awq_lite"},
 )
+# TPU-native W4A8: int4 block-128 weights + per-token dynamic INT8
+# activations — v5e has no fp8 MXU, so the int8 MXU (394 TOPS) is the
+# 8-bit-activation serving path here (reference intent: the W4A8 family,
+# config.py W4A8_AWQ_BETA_CFG; compute path: kernels/quant_gemm.py
+# w4a8_gemm). awq_lite preconditions the weights like the reference's.
+_A_INT8_PER_TOKEN = {"num_bits": 8, "block_sizes": {-1: 0, "type": "dynamic"}}
+W4A8_INT8_DYNAMIC_CFG = _cfg(_W_INT4_BLOCK, _A_INT8_PER_TOKEN,
+                             algorithm={"method": "awq_lite"})
 NVFP4_DEFAULT_CFG = _cfg(_W_NVFP4, _A_NVFP4)
 NVFP4_AWQ_LITE_CFG = _cfg(_W_NVFP4, _A_NVFP4, algorithm={"method": "awq_lite"})
 NVFP4_AWQ_CLIP_CFG = _cfg(_W_NVFP4, _A_NVFP4, algorithm={"method": "awq_clip"})
@@ -214,15 +222,42 @@ NVFP4_MLP_ONLY_CFG = _cfg(
 )
 W4A8_NVFP4_FP8_CFG = _cfg(_W_NVFP4, _A_FP8)
 
-_MX = lambda nb: {  # noqa: E731
+# MX blocks run along the contracting dim: axis 0 for [in, out] weight
+# kernels, the feature (-1) axis for activations
+_MX_W = lambda nb: {  # noqa: E731
+    "num_bits": nb,
+    "block_sizes": {0: 32, "type": "dynamic", "scale_format": "e8m0", "two_level": False},
+}
+_MX_A = lambda nb: {  # noqa: E731
     "num_bits": nb,
     "block_sizes": {-1: 32, "type": "dynamic", "scale_format": "e8m0", "two_level": False},
 }
-MXFP8_DEFAULT_CFG = _cfg(_MX((4, 3)), _MX((4, 3)))
-MXFP6_DEFAULT_CFG = _cfg(_MX((3, 2)), _MX((3, 2)))
-MXFP4_DEFAULT_CFG = _cfg(_MX((2, 1)), _MX((2, 1)))
-MXINT8_DEFAULT_CFG = _cfg(_MX(8), _MX(8))
-W4A8_MXFP4_FP8_CFG = _cfg(_MX((2, 1)), _A_FP8)
+MXFP8_DEFAULT_CFG = _cfg(_MX_W((4, 3)), _MX_A((4, 3)))
+MXFP6_DEFAULT_CFG = _cfg(_MX_W((3, 2)), _MX_A((3, 2)))
+MXFP4_DEFAULT_CFG = _cfg(_MX_W((2, 1)), _MX_A((2, 1)))
+MXINT8_DEFAULT_CFG = _cfg(_MX_W(8), _MX_A(8))
+W4A8_MXFP4_FP8_CFG = _cfg(_MX_W((2, 1)), _A_FP8)
+MXFP4_MLP_WEIGHT_ONLY_CFG = _cfg(
+    {"enable": False}, None,
+    extra={"*mlp*weight_quantizer": _MX_W((2, 1)),
+           "*moe*weight_quantizer": _MX_W((2, 1))},
+)
+
+# NVFP4 4/6: per-block MSE choice between scale-to-6 and scale-to-4 grids
+# (reference: NVFP4_FOUR_OVER_SIX_CFG, config.py:1771)
+_W_NVFP4_46 = {
+    "num_bits": (2, 1),
+    "block_sizes": {0: 16, "type": "dynamic", "scale_format": "e4m3",
+                    "two_level": True, "four_over_six": True},
+}
+NVFP4_FOUR_OVER_SIX_CFG = _cfg(_W_NVFP4_46, _A_NVFP4)
+W4A16_NVFP4_CFG = _cfg(_W_NVFP4, None)
+# expert weights only (MoE PTQ at minimum quality risk; reference:
+# NVFP4_EXPERTS_ONLY_CFG, config.py:1820)
+NVFP4_EXPERTS_ONLY_CFG = _cfg(
+    {"enable": False}, None,
+    extra={"*moe*weight_quantizer": _W_NVFP4},
+)
 
 # KV-cache quantization add-ons (merge into another config's quant_cfg).
 # Reference: FP8_KV_CFG / NVFP4_KV_CFG (config.py) + bmm quantizers
@@ -241,6 +276,15 @@ KV_CACHE_FP8_AFFINE = {
 FP8_KV_CFG = _cfg(_W_FP8, _A_FP8, extra=KV_CACHE_FP8)
 FP8_AFFINE_KV_CFG = _cfg(_W_FP8, _A_FP8, extra=KV_CACHE_FP8_AFFINE)
 NVFP4_KV_CFG = _cfg(_W_NVFP4, _A_NVFP4, extra=KV_CACHE_NVFP4)
+# Hadamard-rotated NVFP4 KV cache: k/v (and q, so scores stay consistent
+# under the same basis change) quantize in the rotated head-dim basis
+# (reference: NVFP4_KV_ROTATE_CFG config.py:1802 + RotateConfig :289)
+KV_CACHE_NVFP4_ROTATE = {
+    "*k_quantizer": dict(_A_NVFP4, rotate=True),
+    "*v_quantizer": dict(_A_NVFP4, rotate=True),
+    "*q_quantizer": dict(_A_NVFP4, rotate=True),
+}
+NVFP4_KV_ROTATE_CFG = _cfg(_W_NVFP4, _A_NVFP4, extra=KV_CACHE_NVFP4_ROTATE)
 
 choices = {
     name: obj

@@ -169,16 +169,15 @@ def _block_scales_two_level(block_amax, elem_max, scale_fmt: FPFormat, tensor_am
 
 
 def _block_scales_e8m0(block_amax, elem_max: float):
-    """MX-style shared power-of-two scale: 2^(floor(log2(amax)) - emax_elem),
-    per the OCP MX spec (reference: kernels/quantization/gemm/tensor_quant_mx.cu).
-    """
-    amax = jnp.maximum(block_amax, _TINY)
-    import math
+    """MX shared power-of-two scale: 2^ceil(log2(amax / elem_max)), clamped
+    to >= 2^-127 — the ceil guarantees the block max never clips
+    (reference: qtensor/mxfp4_tensor.py:74-75 e8m0_scale; matches the real
+    storage in quant/qtensor.py quantize_mxfp4/8)."""
+    from .qtensor import _ceil_log2, _exp2_int
 
-    from .formats import exp2_int, floor_log2
-
-    emax_elem = math.floor(math.log2(elem_max))
-    return exp2_int(floor_log2(amax) - emax_elem)
+    descale = jnp.maximum(block_amax, _TINY) / elem_max
+    e = jnp.maximum(_ceil_log2(descale), -127)
+    return _exp2_int(e)
 
 
 def fake_quant_block(x, spec: QuantizerSpec, amax=None, tensor_amax=None):
@@ -200,6 +199,25 @@ def fake_quant_block(x, spec: QuantizerSpec, amax=None, tensor_amax=None):
 
     scale_fmt = parse_format(block.scale_format) if block.scale_format else None
     elem_max = spec.maxval
+
+    if block.four_over_six and scale_fmt is not None and block.two_level:
+        # NVFP4 4/6: per block, pick scale-to-6 vs scale-to-4 by lower MSE;
+        # the clipped-max grid often wins on outlier-light blocks. E4M3
+        # scale normalization bound is 256 (reference: numeric_utils.py:41
+        # E4M3_MAX_46, config.py four_over_six block key).
+        fmt = spec.fp_format
+        t_amax = tensor_amax if tensor_amax is not None else jnp.max(jnp.abs(xf))
+        s2 = jnp.maximum(t_amax.astype(jnp.float32), _TINY) / (elem_max * 256.0)
+        cands = []
+        for m in (6.0, 4.0):
+            s1 = cast_to_fp(block_amax / m / s2, scale_fmt)
+            sc = jnp.maximum(s1 * s2, _TINY)
+            y = ste_cast(jnp.clip(xb / sc, -fmt.maxval, fmt.maxval), fmt) * sc
+            err = jnp.sum(jnp.square(y - xb), axis=block_axes, keepdims=True)
+            cands.append((y, err))
+        (y6, e6), (y4, e4) = cands
+        y = jnp.where(e4 < e6, y4, y6)
+        return unblock(y).astype(orig_dtype)
 
     if scale_fmt is not None and scale_fmt.man_bits == 0:
         scale = _block_scales_e8m0(block_amax, elem_max)

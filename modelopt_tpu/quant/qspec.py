@@ -34,6 +34,10 @@ class BlockSpec:
     scale_format: Optional[str] = None  # e.g. "e4m3" or "e8m0"
     # second-level (per-tensor) scale kept in fp32 when scale_format is set
     two_level: bool = False
+    # NVFP4 4/6: per block, choose the scale mapping block amax to 6 OR to 4
+    # by lower MSE; e4m3 scale normalization bound drops to 256
+    # (reference: config.py four_over_six key, numeric_utils.py E4M3_MAX_46)
+    four_over_six: bool = False
 
     @staticmethod
     def from_dict(d: dict) -> "BlockSpec":
@@ -44,6 +48,7 @@ class BlockSpec:
             dynamic=d.get("type", "dynamic") == "dynamic",
             scale_format=d.get("scale_format"),
             two_level=bool(d.get("two_level", d.get("scale_format") is not None)),
+            four_over_six=bool(d.get("four_over_six", False)),
         )
 
     @property
@@ -82,6 +87,9 @@ class QuantizerSpec:
     calibrator: str = "max"
     # Learned scale (LSQ) — amax becomes trainable (reference: model_calib.py lsq)
     learn_amax: bool = False
+    # Non-uniform code variant: "nf4" selects the 16-entry normal-float grid
+    # (reference: qtensor/nf4_tensor.py); None = uniform int / IEEE-style fp
+    variant: Optional[str] = None
 
     def __post_init__(self):
         if isinstance(self.num_bits, list):
@@ -135,6 +143,8 @@ class QuantizerSpec:
             if b["scale_format"]:
                 d["block_sizes"]["scale_format"] = b["scale_format"]
                 d["block_sizes"]["two_level"] = b["two_level"]
+            if b["four_over_six"]:
+                d["block_sizes"]["four_over_six"] = True
         else:
             d.pop("block")
         return d

@@ -40,6 +40,21 @@ def test_w4a16_odd_m(rng, interp):
     assert y.shape == (3, N)
 
 
+def test_w4a8_parity(rng, interp):
+    """Int8-MXU W4A8 kernel: exact vs integer reference (the kernel's
+    bitcast unpack + rank-1 correction must reproduce dot(x, q) exactly)."""
+    K, N, M = 512, 256, 8
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    xq = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    packed = qt.quantize_int4(w, block=128)
+    y = kq.w4a8_gemm(xq, packed["data"], packed["scale"], block=128)
+    q = qt.unpack_int4(packed["data"]).astype(jnp.float32)  # [K, N] ints
+    scale = jnp.repeat(packed["scale"], 128, axis=0)  # [K, N] per-row scale
+    ref = xq.astype(jnp.float32) @ (q * scale)
+    # integer dots are exact; the f32 scale-accumulation order differs
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-2)
+
+
 def test_w8a16_parity(rng, interp):
     K, N, M = 256, 128, 8
     w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
