@@ -20,11 +20,19 @@ import numpy as np
 
 
 def build_model(name: str, seed: int = 0):
+    """``name`` is a registered config name OR a path to a mounted Hugging
+    Face checkpoint directory (config.json + safetensors shards), streamed
+    via models.load_hf_checkpoint (reference: hf_ptq.py --pyt_ckpt_path)."""
+    import os
+
     from modelopt_tpu.core import ModelBundle
     from modelopt_tpu.models import (
-        Decoder, gpt2_config, llama3_8b_config, tiny_test_config, tinyllama_config,
+        Decoder, gpt2_config, llama3_8b_config, load_hf_checkpoint,
+        tiny_test_config, tinyllama_config,
     )
 
+    if os.path.isdir(name):
+        return load_hf_checkpoint(name, example_len=64)
     cfgs = {
         "tiny": lambda: tiny_test_config(),
         "gpt2": gpt2_config,
@@ -44,19 +52,36 @@ def main():
     from modelopt_tpu.utils import perplexity, synthetic_token_batches
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="tiny", choices=["tiny", "gpt2", "tinyllama", "llama3-8b"])
+    ap.add_argument("--model", default="tiny",
+                    help="tiny | gpt2 | tinyllama | llama3-8b | /path/to/hf_checkpoint_dir")
     ap.add_argument("--preset", default=None, help="e.g. INT4_AWQ_CFG / FP8_KV_CFG")
     ap.add_argument("--recipe", default=None, help="e.g. llama_fp8 / llama_int4_awq")
     ap.add_argument("--override", action="append", default=[], help="dotlist a.b=c")
     ap.add_argument("--calib-batches", type=int, default=8)
     ap.add_argument("--compress", action="store_true")
     ap.add_argument("--export-dir", default=None)
+    ap.add_argument("--eval-text", default=None,
+                    help="local text file for real-data perplexity (needs --tokenizer)")
+    ap.add_argument("--tokenizer", default=None,
+                    help="local tokenizer dir for --eval-text")
     args = ap.parse_args()
 
     bundle = build_model(args.model)
     cfg = bundle.module.cfg
-    batches = synthetic_token_batches(cfg.vocab_size, args.calib_batches, 2, 64)
-    eval_batches = synthetic_token_batches(cfg.vocab_size, 4, 2, 64, seed=99)
+    if args.eval_text:
+        from transformers import AutoTokenizer
+
+        from modelopt_tpu.utils.dataset import text_file_token_batches
+
+        tok = AutoTokenizer.from_pretrained(
+            args.tokenizer or args.model, local_files_only=True
+        )
+        eval_batches = text_file_token_batches(args.eval_text, tok, 4, 2, 512)
+        batches = text_file_token_batches(args.eval_text, tok,
+                                          args.calib_batches, 2, 512)
+    else:
+        batches = synthetic_token_batches(cfg.vocab_size, args.calib_batches, 2, 64)
+        eval_batches = synthetic_token_batches(cfg.vocab_size, 4, 2, 64, seed=99)
 
     def forward_loop(model_fn):
         for b in batches:

@@ -1,7 +1,7 @@
 """Model zoo: native quantization-aware decoders + HF checkpoint import."""
 
 from .dit import DiT, DiTConfig, ddim_sample, dit_config_s
-from .hf_import import config_from_hf, from_hf
+from .hf_import import LazyStateDict, config_from_hf, from_hf, load_hf_checkpoint
 from .transformer import (
     Decoder,
     DecoderConfig,
@@ -20,8 +20,10 @@ from .transformer import (
 __all__ = [
     "Decoder",
     "DecoderConfig",
+    "LazyStateDict",
     "config_from_hf",
     "from_hf",
+    "load_hf_checkpoint",
     "gpt2_config",
     "llama3_8b_config",
     "llama_config",

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Mapping
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,9 +88,13 @@ def config_from_hf(hf_config) -> DecoderConfig:
     raise ValueError(f"Unsupported HF model_type: {mt!r}")
 
 
-def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.") -> dict:
+def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> dict:
+    """``commit`` (default identity) is applied to each finished layer
+    subtree — the streaming loader passes a device-put/cast here so at most
+    one decoder layer of weights is ever resident on the host."""
+    commit = commit or (lambda t: t)
     p: dict = {}
-    p["embed_tokens"] = {"embedding": _np(sd[f"{prefix}embed_tokens.weight"])}
+    p["embed_tokens"] = commit({"embedding": _np(sd[f"{prefix}embed_tokens.weight"])})
     for i in range(cfg.num_layers):
         L = f"{prefix}layers.{i}."
         layer: dict = {
@@ -122,10 +127,10 @@ def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.") -> dict:
                 name: {"kernel": _np(sd[L + f"mlp.{name}.weight"]).T}
                 for name in ("gate_proj", "up_proj", "down_proj")
             }
-        p[f"layers_{i}"] = layer
-    p["final_norm"] = {"scale": _np(sd[f"{prefix}norm.weight"])}
+        p[f"layers_{i}"] = commit(layer)
+    p["final_norm"] = commit({"scale": _np(sd[f"{prefix}norm.weight"])})
     if not cfg.tie_word_embeddings:
-        p["lm_head"] = {"kernel": _np(sd["lm_head.weight"]).T}
+        p["lm_head"] = commit({"kernel": _np(sd["lm_head.weight"]).T})
     return p
 
 
@@ -177,18 +182,17 @@ def _gpt2_params(sd, cfg: DecoderConfig) -> dict:
     return p
 
 
-def from_hf(model, hf_config=None, example_len: int = 8) -> ModelBundle:
+def from_hf(model, hf_config=None, example_len: int = 8, commit=None) -> ModelBundle:
     """Convert an HF torch model (or (state_dict, config)) into a ModelBundle."""
     if hf_config is None:
         hf_config = model.config
     cfg = config_from_hf(hf_config)
     sd = _sd(model)
-    sd = {k: v for k, v in sd.items()}
     mt = (hf_config.model_type if not isinstance(hf_config, dict) else hf_config["model_type"]).lower()
     if mt == "gpt2":
         params = _gpt2_params(sd, cfg)
     else:
-        params = _llama_like_params(sd, cfg)
+        params = _llama_like_params(sd, cfg, commit=commit)
     params = {k: _to_jnp(v) for k, v in params.items()}
     module = Decoder(cfg)
     ids = jnp.zeros((1, example_len), jnp.int32)
@@ -198,6 +202,91 @@ def from_hf(model, hf_config=None, example_len: int = 8) -> ModelBundle:
         example_inputs=(ids,),
         metadata={"hf_config": _config_dict(hf_config), "model_type": mt},
     )
+
+
+class LazyStateDict(Mapping):
+    """Read-on-demand view over a Hugging Face checkpoint directory's
+    safetensors shards — each ``__getitem__`` reads ONE tensor from its
+    shard's memory-map, so importing an N-GB model never materializes more
+    than one tensor (plus one committed layer) on the host (reference
+    counterpart: the sharded loaders behind examples/hf_ptq.py; the
+    streaming concern mirrors unified_export_hf_streaming.py in reverse)."""
+
+    def __init__(self, path: str):
+        import glob
+        import json
+        import os
+
+        self._path = path
+        self._handles: dict = {}
+        index = os.path.join(path, "model.safetensors.index.json")
+        single = os.path.join(path, "model.safetensors")
+        self._map: dict[str, str] = {}
+        if os.path.exists(index):
+            with open(index) as f:
+                self._map = dict(json.load(f)["weight_map"])
+        elif os.path.exists(single):
+            for k in self._shard_keys("model.safetensors"):
+                self._map[k] = "model.safetensors"
+        else:
+            shards = sorted(
+                os.path.basename(p)
+                for p in glob.glob(os.path.join(path, "*.safetensors"))
+            )
+            if not shards:
+                raise FileNotFoundError(
+                    f"no safetensors checkpoint under {path!r}"
+                )
+            for s in shards:
+                for k in self._shard_keys(s):
+                    self._map[k] = s
+
+    def _open(self, shard: str):
+        if shard not in self._handles:
+            from safetensors import safe_open
+
+            self._handles[shard] = safe_open(
+                f"{self._path}/{shard}", framework="pt"
+            )
+        return self._handles[shard]
+
+    def _shard_keys(self, shard: str):
+        return list(self._open(shard).keys())
+
+    def __getitem__(self, key: str):
+        return self._open(self._map[key]).get_tensor(key)
+
+    def __iter__(self):
+        return iter(self._map)
+
+    def __len__(self):
+        return len(self._map)
+
+
+def load_hf_checkpoint(path: str, example_len: int = 8,
+                       param_dtype=None) -> ModelBundle:
+    """Stream a Hugging Face checkpoint directory (``config.json`` +
+    safetensors shard(s)) into a ModelBundle, shard-by-shard: tensors are
+    read lazily and each finished decoder layer is committed to a jax array
+    (cast to ``param_dtype``, default bf16) before the next layer is read —
+    required on this relay where whole-model host materialization is not an
+    option (reference: examples/hf_ptq.py --model <dir>)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf_config = json.load(f)
+    dtype = param_dtype or jnp.bfloat16
+
+    def commit(subtree):
+        return jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=dtype), subtree
+        )
+
+    sd = LazyStateDict(path)
+    bundle = from_hf(sd, hf_config, example_len=example_len, commit=commit)
+    bundle.metadata["checkpoint_path"] = path
+    return bundle
 
 
 def _to_jnp(tree):

@@ -27,6 +27,36 @@ def create_forward_loop(batches: Iterable) -> Callable:
     return forward_loop
 
 
+def text_file_token_batches(
+    path: str,
+    tokenizer,
+    num_batches: int = 16,
+    batch_size: int = 4,
+    seq_len: int = 512,
+):
+    """Tokenize a local text file (one document per line, or raw text) into
+    [batch, seq_len] id batches — the offline stand-in for WikiText-2-style
+    evaluation sets when a corpus file is mounted (reference:
+    examples/llm_eval/ perplexity harness)."""
+    with open(path, encoding="utf-8", errors="replace") as f:
+        text = f.read()
+    ids = tokenizer(text)["input_ids"] if not isinstance(tokenizer, str) else None
+    if ids is None:
+        raise ValueError("pass a callable tokenizer")
+    out = []
+    step = batch_size * seq_len
+    for off in range(0, len(ids) - step + 1, step):
+        chunk = np.asarray(ids[off : off + step], np.int32)
+        out.append(jnp.asarray(chunk.reshape(batch_size, seq_len)))
+        if len(out) >= num_batches:
+            break
+    if not out:
+        raise ValueError(
+            f"{path!r} has {len(ids)} tokens < one {batch_size}x{seq_len} batch"
+        )
+    return out
+
+
 def get_dataset_batches(
     name: str = "synthetic",
     vocab_size: int = 32000,
