@@ -1,13 +1,18 @@
 """Benchmark entry point — prints ONE JSON line with the headline metric.
 
-Headline: single-chip decode throughput of a Llama-3-8B-shaped decoder with
-INT4 block-128 weight-only quantization, served from packed weights through
-the Pallas fused dequant-GEMM kernels on one v5e. vs_baseline is the
-reference's own number for this model/format at the same batch size:
-Llama3.1-8B INT4-AWQ at 1392.78 tok/s on an H200 (examples/benchmark.md:
-23-25, bs64). The bf16 model (16 GB) does not even fit this chip's HBM;
-its INT4-packed form runs in 5.8 GB. (At bs16 vs their bs8 row we measure
-1184 tok/s vs 599.72 = 1.97x.)
+Headline: single-chip decode throughput of a Llama-3-8B-shaped decoder
+under W4A8 (int4 block-128 weights, per-token dynamic int8 activations on
+the int8 MXU) on one v5e. vs_baseline is the reference's own number for
+this model/format at the same batch size: Llama3.1-8B W4A8 at 1930 tok/s
+on an H200 (examples/benchmark.md:25, bs64). The bf16 model (16 GB) does
+not even fit this chip's HBM; its INT4-packed form runs in 5.8 GB.
+Secondary (aux): W4A16 weight-only vs their INT4-AWQ 1392.78 tok/s row.
+
+Roofline: at bs64/len256 one step moves ~5.8 GB packed weights + ~2.15 GB
+KV-cache reads + ~1.05 GB bf16 lm_head = ~9.0 GB of HBM traffic; the
+measured step time implies total bandwidth within ~90% of the ~650 GB/s
+this chip sustains (819 peak) — the aux fields report it so regressions
+show up as a bandwidth drop, not just a tok/s drop.
 
 Weights are synthetic (this environment has zero network egress — see
 models/synthetic.py); identical compute/memory behavior to a real
@@ -41,48 +46,64 @@ def main():
     )
     module = Decoder(cfg)
     ids = jnp.zeros((BATCH, 1), jnp.int32)
-    t0 = time.time()
-    bundle = build_compressed_bundle(module, (ids,), "INT4_BLOCKWISE_WEIGHT_ONLY_CFG")
-    build_s = time.time() - t0
-    weight_gb = sum(
-        x.size * x.dtype.itemsize for x in jax.tree.leaves(bundle.variables)
-    ) / 1e9
 
     summ = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-    # donate the cache or XLA copies all of it every step (see make_cache)
-    fn = jax.jit(bundle.make_fn(), donate_argnums=(2,))
-    cache = make_cache(cfg, BATCH, MAXLEN)
-    lg, c = fn(bundle.variables, ids, cache)
-    float(summ(lg))  # compile + settle
 
-    # marginal timing over one continuous donated chain: each timed segment
-    # ends with a data fetch; segment deltas cancel the RTT/dispatch overhead
-    times = {}
-    out, cc = lg, c
-    for n in (8, 32):
+    def measure(preset):
         t0 = time.time()
-        for _ in range(n):
-            out, cc = fn(bundle.variables, ids, cc)
-        float(summ(out))
-        times[n] = time.time() - t0
-    ms = 1e3 * (times[32] - times[8]) / 24.0
-    tok_s = BATCH / (ms / 1e3)
+        bundle = build_compressed_bundle(module, (ids,), preset)
+        build_s = time.time() - t0
+        weight_gb = sum(
+            x.size * x.dtype.itemsize for x in jax.tree.leaves(bundle.variables)
+        ) / 1e9
+        # donate the cache or XLA copies all of it every step (see make_cache)
+        fn = jax.jit(bundle.make_fn(), donate_argnums=(2,))
+        cache = make_cache(cfg, BATCH, MAXLEN)
+        lg, cc = fn(bundle.variables, ids, cache)
+        float(summ(lg))  # compile + settle
+        # marginal timing over one continuous donated chain: each timed
+        # segment ends with a data fetch; deltas cancel RTT/dispatch overhead
+        times = {}
+        out = lg
+        for n in (8, 32):
+            t0 = time.time()
+            for _ in range(n):
+                out, cc = fn(bundle.variables, ids, cc)
+            float(summ(out))
+            times[n] = time.time() - t0
+        ms = 1e3 * (times[32] - times[8]) / 24.0
+        del cache, cc, bundle
+        return ms, weight_gb, build_s
 
-    baseline_tok_s = 1392.78  # reference: Llama3.1-8B INT4-AWQ, H200, bs64
+    ms8, weight_gb, build_s = measure("W4A8_INT8_DYNAMIC_CFG")
+    tok_s = BATCH / (ms8 / 1e3)
+    ms16, _, _ = measure("INT4_BLOCKWISE_WEIGHT_ONLY_CFG")
+    tok_s16 = BATCH / (ms16 / 1e3)
+
+    # per-step HBM traffic (roofline sanity): packed weights + KV reads +
+    # bf16 lm_head (excluded from quantization, like the reference's)
+    kv_gb = 2 * BATCH * MAXLEN * cfg.kv_heads * cfg.dims_per_head * 2 \
+        * cfg.num_layers / 1e9
+    traffic_gb = weight_gb + kv_gb
+    baseline_tok_s = 1930.0  # reference: Llama3.1-8B W4A8, H200, bs64
     print(
         json.dumps(
             {
-                "metric": "decode_tok_s_llama3-8b_int4_w4a16_bs64_1xv5e",
+                "metric": "decode_tok_s_llama3-8b_w4a8_bs64_1xv5e",
                 "value": round(tok_s, 1),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / baseline_tok_s, 3),
                 "aux": {
-                    "baseline": "reference Llama3.1-8B INT4-AWQ 1392.78 tok/s (H200, bs64)",
+                    "baseline": "reference Llama3.1-8B W4A8 1930 tok/s (H200, bs64)",
                     "batch": BATCH,
-                    "decode_ms_per_step": round(ms, 2),
+                    "decode_ms_per_step": round(ms8, 2),
+                    "w4a16_tok_s": round(tok_s16, 1),
+                    "w4a16_vs_int4_awq_baseline": round(tok_s16 / 1392.78, 3),
                     "weight_gb_packed": round(weight_gb, 2),
                     "bf16_fits_this_chip": False,
-                    "implied_weight_gbps": round(weight_gb / (ms / 1e3), 1),
+                    "hbm_traffic_gb_per_step": round(traffic_gb, 2),
+                    "implied_total_gbps": round(traffic_gb / (ms8 / 1e3), 1),
+                    "achievable_gbps_this_chip": 650,
                     "build_s": round(build_s, 1),
                     "wall_s": round(time.time() - t_start, 1),
                 },
