@@ -70,6 +70,11 @@ class DecoderConfig:
     # {("no_attn", True), ("ffn", <int>)}; () keeps the layer unchanged
     # (reference analogue: puzzletron anymodel block descriptors)
     layer_plan: Optional[tuple] = None
+    # data-dependent attention sparsity (calibrated skip-softmax): a frozen
+    # sparsity.skip_softmax.SkipSoftmaxConfig, or None. Decode steps then
+    # attend only KV blocks whose Quest-style score upper bound survives the
+    # calibrated threshold (kernels/block_sparse_attention.py)
+    skip_softmax: Optional[Any] = None
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -110,11 +115,24 @@ def make_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
     entire cache every step (~6 ms at 8B bs64)."""
     shape = (batch, max_len, cfg.kv_heads, cfg.dims_per_head)
     dtype = dtype or cfg.dtype
-    return {
+    cache = {
         "k": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
         "v": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
         "lengths": jnp.zeros((batch,), jnp.int32),
     }
+    if cfg.skip_softmax is not None:
+        from ..sparsity.skip_softmax import init_block_summaries
+
+        bs = cfg.skip_softmax.block_size
+        if max_len % bs != 0:
+            raise ValueError(f"max_len {max_len} not divisible by "
+                             f"skip_softmax block_size {bs}")
+        kmax, kmin = init_block_summaries(
+            batch, max_len, cfg.kv_heads, cfg.dims_per_head, bs
+        )
+        cache["kmax"] = tuple(kmax for _ in range(cfg.num_layers))
+        cache["kmin"] = tuple(kmin for _ in range(cfg.num_layers))
+    return cache
 
 
 def _rope(x, positions, theta):
@@ -169,8 +187,12 @@ class Attention(nn.Module):
 
         new_kv = None
         page_table = None
+        kmax = kmin = None
         if cache_kv is not None:
-            if len(cache_kv) == 4:
+            if len(cache_kv) == 5:
+                # skip-softmax: per-block K summaries ride with the cache
+                ck, cv, positions_kv, kmax, kmin = cache_kv
+            elif len(cache_kv) == 4:
                 # paged: ck/cv are GLOBAL page pools [n_pages, ps, KH, D]
                 ck, cv, positions_kv, page_table = cache_kv
             else:
@@ -208,6 +230,7 @@ class Attention(nn.Module):
                 start = positions_kv[:, 0]
                 Gq = H // KH
                 if (T == 1 and cfg.attention_window is None
+                        and kmax is None
                         and fused_decode_ok((B, KH, Gq, D), ck.shape[1],
                                             ck.dtype)):
                     # Fused decode step: the cache write DMA rides behind the
@@ -231,6 +254,45 @@ class Attention(nn.Module):
                 ck = dense_kv_write(ck, k_codes, start)
                 cv = dense_kv_write(cv, v_codes, start)
             new_kv = (ck, cv)
+            if kmax is not None:
+                # skip-softmax bookkeeping: fold the just-written tokens into
+                # their blocks' min/max summaries (real values, so the bound
+                # holds regardless of the cache's storage dtype)
+                from ..sparsity.skip_softmax import update_block_summaries
+
+                sscfg = cfg.skip_softmax
+                k_real = k_codes.astype(jnp.float32)
+                if real_fp8:
+                    k_real = k_real * k_scale.astype(jnp.float32)
+                kmax, kmin = update_block_summaries(
+                    kmax, kmin, k_real, positions_kv[:, 0], sscfg.block_size
+                )
+                new_kv = (ck, cv, kmax, kmin)
+                if T == 1 and cfg.attention_window is None:
+                    from ..kernels.block_sparse_attention import (
+                        block_sparse_decode_attention,
+                        block_sparse_decode_attention_xla,
+                        block_sparse_ok,
+                    )
+                    from ..sparsity.skip_softmax import select_blocks
+
+                    qg = q[:, 0].reshape(B, KH, H // KH, D)
+                    lengths = positions_kv[:, 0] + 1
+                    sel, nvalid = select_blocks(qg, kmax, kmin, lengths, sscfg)
+                    attend = (
+                        block_sparse_decode_attention
+                        if block_sparse_ok(B, KH, H // KH, D, sscfg.block_size)
+                        else block_sparse_decode_attention_xla
+                    )
+                    out = attend(
+                        qg, ck, cv, sel, nvalid, lengths,
+                        k_scale=(k_scale if real_fp8 else None),
+                        v_scale=(v_scale if real_fp8 else None),
+                        block_size=sscfg.block_size, out_dtype=cfg.dtype,
+                    )
+                    out = out.reshape(B, 1, H * D)
+                    out = dense(cfg.hidden_size, "o_proj")(out)
+                    return out, new_kv
         else:
             k = kq_mod(k)
             v = vq_mod(v)
@@ -407,6 +469,8 @@ class Block(nn.Module):
             x = x + h
         elif cache_kv is not None:
             new_kv = (cache_kv[0], cache_kv[1])  # untouched cache slots
+            if len(cache_kv) == 5:  # skip-softmax summaries ride along
+                new_kv = new_kv + (cache_kv[3], cache_kv[4])
         mlp_in = norm("post_attn_norm")(x)
         if cfg.num_experts > 0:
             x = x + MoEBlock(cfg, name="moe")(mlp_in)
@@ -465,19 +529,26 @@ class Decoder(nn.Module):
 
         new_cache = None
         ks, vs = [], []
+        kmaxs, kmins = [], []
         taps = []
+        skip = cache is not None and "kmax" in cache
         for i in range(cfg.num_layers):
             cache_kv = None
             if cache is not None:
                 cache_kv = (cache["k"][i], cache["v"][i], positions)
                 if paged:
                     cache_kv = cache_kv + (cache["page_table"],)
+                elif skip:
+                    cache_kv = cache_kv + (cache["kmax"][i], cache["kmin"][i])
             x, new_kv = Block(cfg, layer_index=i, name=f"layers_{i}")(
                 x, positions, mask, cache_kv
             )
             if new_kv is not None:
                 ks.append(new_kv[0])
                 vs.append(new_kv[1])
+                if skip:
+                    kmaxs.append(new_kv[2])
+                    kmins.append(new_kv[3])
             if cfg.hidden_taps is not None and i in cfg.hidden_taps:
                 taps.append(x)
         if cache is not None:
@@ -488,6 +559,9 @@ class Decoder(nn.Module):
             }
             if paged:
                 new_cache["page_table"] = cache["page_table"]
+            if skip:
+                new_cache["kmax"] = tuple(kmaxs)
+                new_cache["kmin"] = tuple(kmins)
 
         x = (
             RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="final_norm")(x)

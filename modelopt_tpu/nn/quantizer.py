@@ -175,12 +175,18 @@ class TensorQuantizer(nn.Module):
         if phase == PHASE_CAPTURE:
             # record this quantization point's input for layer-wise algorithms
             # (reference: cached activations in awq/gptq, model_calib.py:1395)
-            if self.path and self.path[-1] == "input_quantizer":
-                filt = _CAPTURE_FILTER.get()
-                from fnmatch import fnmatch as _fnm
+            last = self.path[-1] if self.path else ""
+            filt = _CAPTURE_FILTER.get()
+            from fnmatch import fnmatch as _fnm
 
+            if last == "input_quantizer":
                 if filt is None or _fnm("/".join(self.path), filt):
                     self.sow("quant_capture", "x", x.reshape(-1, x.shape[-1]))
+            elif (last in ("q_quantizer", "k_quantizer", "v_quantizer")
+                  and filt is not None and _fnm("/".join(self.path), filt)):
+                # attention tensors sow only under an explicit filter (used
+                # by skip-softmax threshold calibration)
+                self.sow("quant_capture", "x", x.reshape(-1, x.shape[-1]))
             if self.path and self.path[-1] == "output_quantizer":
                 perturbs = _PERTURB.get()
                 if perturbs is not None:

@@ -4,5 +4,22 @@
 from .magnitude import create_nm_mask
 from .sparsification import export_sparse, sparsify
 from . import attention_sparsity  # noqa: F401
+from . import skip_softmax  # noqa: F401
+from .skip_softmax import (
+    SkipSoftmaxConfig,
+    calibrate_skip_softmax,
+    ruler_needle_batches,
+    sparsify_attention_dynamic,
+)
 
-__all__ = ["create_nm_mask", "export_sparse", "sparsify", "attention_sparsity"]
+__all__ = [
+    "SkipSoftmaxConfig",
+    "attention_sparsity",
+    "calibrate_skip_softmax",
+    "create_nm_mask",
+    "export_sparse",
+    "ruler_needle_batches",
+    "skip_softmax",
+    "sparsify",
+    "sparsify_attention_dynamic",
+]
