@@ -123,6 +123,50 @@ class TestMSE:
         assert float(a_mse) <= float(a_max) + 1e-6
 
 
+class TestLocalHessian:
+    """reference: model_calib.py:1005 local_hessian_calibrate — amax search
+    under the Hessian-weighted (output-space) error."""
+
+    _CFG = {
+        "quant_cfg": {
+            "*": {"enable": False},
+            "*weight_quantizer": {"enable": True, "num_bits": 4,
+                                  "block_sizes": {0: 16, "type": "static"}},
+        },
+        "algorithm": "local_hessian",
+    }
+
+    def test_refines_amax_and_bounds_output_error(self):
+        bundle = heavy_tailed_bundle(in_dim=64, hidden=64)
+        x = bundle.example_inputs[0]
+        cfg_max = {**self._CFG, "algorithm": "max"}
+        q_max = mtq.quantize(bundle, cfg_max, loop(x))
+        q_lh = mtq.quantize(bundle, self._CFG, loop(x))
+        a_max = q_max.variables["quant"]["fc1"]["weight_quantizer"]["amax"]
+        a_lh = q_lh.variables["quant"]["fc1"]["weight_quantizer"]["amax"]
+        assert a_lh.shape == a_max.shape
+        assert not np.allclose(np.asarray(a_lh), np.asarray(a_max))
+        # optimizing the output-space (Hessian) error must not lose to max
+        # calibration on the actual layer outputs
+        e_max = quant_err(bundle, q_max, x)
+        e_lh = quant_err(bundle, q_lh, x)
+        assert e_lh <= e_max * 1.001, (e_lh, e_max)
+
+    def test_beats_plain_mse_on_correlated_inputs(self):
+        """With strongly correlated input channels the Hessian is far from
+        diagonal — weight-space MSE optimizes the wrong metric."""
+        bundle = simple_mlp_bundle(in_dim=64, batch=32, hidden=64)
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((32, 8)).astype(np.float32)
+        mix = rng.standard_normal((8, 64)).astype(np.float32)
+        x = jnp.asarray(base @ mix + 0.05 * rng.standard_normal((32, 64)).astype(np.float32))
+        bundle = bundle.replace(example_inputs=(x,))
+        cfg_mse = {**self._CFG, "algorithm": "mse"}
+        e_mse = quant_err(bundle, mtq.quantize(bundle, cfg_mse, loop(x)), x)
+        e_lh = quant_err(bundle, mtq.quantize(bundle, self._CFG, loop(x)), x)
+        assert e_lh <= e_mse * 1.05, (e_lh, e_mse)
+
+
 class TestGPTQ:
     def test_gptq_beats_rtn_int4(self):
         """GPTQ error compensation should beat round-to-nearest on the
