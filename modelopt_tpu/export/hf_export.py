@@ -181,11 +181,12 @@ def _quant_algo(cfg) -> dict:
     return {"quantization": q}
 
 
-def export_hf_checkpoint(bundle: ModelBundle, export_dir: str) -> dict:
-    """Export quantized weights + configs; returns the state dict it wrote."""
-    os.makedirs(export_dir, exist_ok=True)
-    cfg = active_config(bundle)
-    state: dict[str, np.ndarray] = {}
+def _iter_export_tensors(bundle: ModelBundle, cfg):
+    """Yield (tensor_name, np.ndarray) one HF-named tensor group at a time —
+    each parameter is fetched from device and converted individually, so the
+    peak host residency of an export is one layer's tensors regardless of
+    model size (the streaming concern of the reference's
+    unified_export_hf_streaming.py:445)."""
     quant_vars = bundle.variables.get("quant", {})
 
     for path, leaf in flatten_with_paths(bundle.variables.get("params", {})):
@@ -206,11 +207,11 @@ def export_hf_checkpoint(bundle: ModelBundle, export_dir: str) -> dict:
                     tensors[name.rsplit(".weight", 1)[0] + ".input_scale"] = (
                         _np32(a).reshape(-1)[:1] / _act_divisor(aspecs[0])
                     )
-                state.update(tensors)
+                yield from tensors.items()
             else:
-                state[name] = w_hf.astype(np.float16)
+                yield name, w_hf.astype(np.float16)
         else:
-            state[name] = _np32(leaf).astype(np.float16)
+            yield name, _np32(leaf).astype(np.float16)
 
     # KV cache scales (reference: k_scale / v_scale entries; FP8 KV scale is
     # clamped to >= 1.0, quant_utils.py get_kv_cache_scaling_factor)
@@ -222,21 +223,81 @@ def export_hf_checkpoint(bundle: ModelBundle, export_dir: str) -> dict:
                 s = _np32(a).reshape(1) / _act_divisor(kspecs[0])
                 if _kv_algo(kspecs[0]) == "FP8":
                     s = np.maximum(s, np.float32(1.0))
-                state[f"model.layers.{i}.self_attn.{kv}_scale"] = s
+                yield f"model.layers.{i}.self_attn.{kv}_scale", s
 
-    try:
-        from safetensors.numpy import save_file
 
-        save_file(state, os.path.join(export_dir, "model.safetensors"))
-    except ImportError:
-        np.savez(os.path.join(export_dir, "model.npz"), **state)
+def export_hf_checkpoint(bundle: ModelBundle, export_dir: str,
+                         max_shard_bytes: int | None = None) -> dict:
+    """Export quantized weights + configs.
 
-    with open(os.path.join(export_dir, "hf_quant_config.json"), "w") as f:
-        json.dump(_quant_algo(cfg), f, indent=1)
-    hf_cfg = bundle.metadata.get("hf_config", {})
-    with open(os.path.join(export_dir, "config.json"), "w") as f:
-        json.dump(hf_cfg or _decoder_config_json(bundle.module.cfg), f, indent=1)
-    return state
+    max_shard_bytes=None writes one model.safetensors and returns the state
+    dict. With a byte budget, shards stream to
+    ``model-XXXXX-of-YYYYY.safetensors`` + ``model.safetensors.index.json``
+    (HF sharding convention) with at most ~one shard resident on the host —
+    returns the index dict (reference: unified_export_hf_streaming.py:445;
+    loaders read it back through models/hf_import.py LazyStateDict)."""
+    os.makedirs(export_dir, exist_ok=True)
+    cfg = active_config(bundle)
+
+    def _write_meta():
+        with open(os.path.join(export_dir, "hf_quant_config.json"), "w") as f:
+            json.dump(_quant_algo(cfg), f, indent=1)
+        hf_cfg = bundle.metadata.get("hf_config", {})
+        with open(os.path.join(export_dir, "config.json"), "w") as f:
+            json.dump(hf_cfg or _decoder_config_json(bundle.module.cfg), f,
+                      indent=1)
+
+    if max_shard_bytes is None:
+        state = dict(_iter_export_tensors(bundle, cfg))
+        try:
+            from safetensors.numpy import save_file
+
+            save_file(state, os.path.join(export_dir, "model.safetensors"))
+        except ImportError:
+            np.savez(os.path.join(export_dir, "model.npz"), **state)
+        _write_meta()
+        return state
+
+    from safetensors.numpy import save_file
+
+    shard: dict[str, np.ndarray] = {}
+    shard_bytes = 0
+    shard_files: list[str] = []
+    weight_map: dict[str, str] = {}
+    total = 0
+
+    def _flush():
+        nonlocal shard, shard_bytes
+        if not shard:
+            return
+        tmp = os.path.join(export_dir, f"shard-{len(shard_files):05d}.tmp")
+        save_file(shard, tmp)
+        shard_files.append(tmp)
+        for k in shard:
+            weight_map[k] = len(shard_files) - 1
+        shard, shard_bytes = {}, 0
+
+    for name, arr in _iter_export_tensors(bundle, cfg):
+        nbytes = arr.size * arr.dtype.itemsize
+        if shard and shard_bytes + nbytes > max_shard_bytes:
+            _flush()
+        shard[name] = arr
+        shard_bytes += nbytes
+        total += nbytes
+    _flush()
+
+    n = len(shard_files)
+    final_names = [f"model-{i + 1:05d}-of-{n:05d}.safetensors" for i in range(n)]
+    for tmp, final in zip(shard_files, final_names):
+        os.replace(tmp, os.path.join(export_dir, final))
+    index = {
+        "metadata": {"total_size": total},
+        "weight_map": {k: final_names[i] for k, i in weight_map.items()},
+    }
+    with open(os.path.join(export_dir, "model.safetensors.index.json"), "w") as f:
+        json.dump(index, f, indent=1)
+    _write_meta()
+    return index
 
 
 def _decoder_config_json(cfg) -> dict:

@@ -87,3 +87,51 @@ class TestExport:
         w = state["model.layers.0.mlp.down_proj.weight"]
         assert w.dtype == np.uint8 and w.shape == (64, 128)  # [O, I/2]
         assert "model.layers.0.mlp.down_proj.weight_scale_2" in state
+
+
+class TestShardedStreamingExport:
+    """reference: unified_export_hf_streaming.py:445 — sharded output +
+    index json, bounded host residency; round-trips through LazyStateDict."""
+
+    def test_sharded_export_and_lazy_reload(self, tmp_path):
+        bundle = lm_bundle()
+        ids = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.FP8_DEFAULT_CFG, lambda f: f(ids))
+        index = export_hf_checkpoint(q, str(tmp_path), max_shard_bytes=64 * 1024)
+        idx_file = tmp_path / "model.safetensors.index.json"
+        assert idx_file.exists()
+        idx = json.load(open(idx_file))
+        shards = set(idx["weight_map"].values())
+        assert len(shards) > 1  # the byte budget actually split the export
+        for s in shards:
+            assert (tmp_path / s).exists()
+        assert idx["metadata"]["total_size"] > 0
+        # every mapped tensor is readable through the lazy shard reader
+        from modelopt_tpu.models import LazyStateDict
+
+        sd = LazyStateDict(str(tmp_path))
+        assert set(sd) == set(idx["weight_map"])
+        t = sd["model.layers.0.mlp.down_proj.weight"]
+        assert t is not None
+
+    def test_sharded_matches_single_file(self, tmp_path):
+        bundle = lm_bundle()
+        ids = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.FP8_DEFAULT_CFG, lambda f: f(ids))
+        single = export_hf_checkpoint(q, str(tmp_path / "single"))
+        export_hf_checkpoint(q, str(tmp_path / "sharded"),
+                             max_shard_bytes=64 * 1024)
+        from modelopt_tpu.models import LazyStateDict
+
+        sd = LazyStateDict(str(tmp_path / "sharded"))
+        assert set(sd) == set(single)
+        import torch
+
+        for k in list(single)[:12]:
+            t = sd[k]
+            # fp8 torch tensors don't convert to numpy: bit-compare
+            tv = (t.view(torch.uint8) if t.dtype == torch.float8_e4m3fn
+                  else t).numpy()
+            s = single[k]
+            sv = s.view(np.uint8) if s.dtype.itemsize == 1 and "float8" in s.dtype.name else s
+            np.testing.assert_array_equal(tv, np.asarray(sv))
