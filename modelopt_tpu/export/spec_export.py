@@ -152,7 +152,60 @@ def export_spec_checkpoint(bundle: ModelBundle, export_dir: str) -> dict:
                     "num_medusa_layers": module.medusa_cfg.medusa_num_layers},
         )
     else:
-        raise ValueError("export_spec_checkpoint needs an eagle or medusa bundle")
+        from ..speculative.dflash import DFlashModel, build_target_layer_ids
+
+        if not isinstance(module, DFlashModel):
+            raise ValueError(
+                "export_spec_checkpoint needs an eagle/medusa/dflash bundle"
+            )
+        # DFlash schema (reference: hf_dflash.py checkpoints, SpecForge
+        # dflash format): fused fc + hidden_norm + draft layers with shared
+        # k/v projections, mask embedding, final norm
+        dcfg = module.dflash_cfg
+        state["fc.weight"] = _t(params["fc"]["kernel"])
+        state["hidden_norm.weight"] = _np32(params["hidden_norm"]["scale"])
+        state["mask_embedding"] = _np32(params["mask_embedding"])
+        for i in range(dcfg.num_draft_layers):
+            L = params[f"draft_{i}"]
+            pre = f"layers.{i}."
+            state[pre + "input_layernorm.weight"] = _np32(L["input_norm"]["scale"])
+            state[pre + "post_attention_layernorm.weight"] = _np32(
+                L["post_attn_norm"]["scale"])
+            for name, ours in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                               ("v_proj", "v_proj"), ("o_proj", "o_proj")):
+                state[pre + f"self_attn.{name}.weight"] = _t(L[ours]["kernel"])
+            state[pre + "self_attn.q_norm.weight"] = _np32(L["q_norm"]["scale"])
+            state[pre + "self_attn.k_norm.weight"] = _np32(L["k_norm"]["scale"])
+            for name in ("gate_proj", "up_proj", "down_proj"):
+                state[pre + f"mlp.{name}.weight"] = _t(L["mlp"][name]["kernel"])
+        state["norm.weight"] = _np32(params["norm"]["scale"])
+        base = params["base"]
+        if "lm_head" in base:
+            state["lm_head.weight"] = _t(base["lm_head"]["kernel"])
+        else:
+            state["lm_head.weight"] = _np32(base["embed_tokens"]["embedding"])
+        config = dict(
+            LLAMA_EAGLE_TEMPLATE,
+            architectures=["DFlashDraftModel"],
+            hidden_size=cfg.hidden_size,
+            intermediate_size=cfg.intermediate_size,
+            num_attention_heads=cfg.num_heads,
+            num_key_value_heads=cfg.kv_heads,
+            num_hidden_layers=dcfg.num_draft_layers,
+            head_dim=cfg.dims_per_head,
+            rms_norm_eps=cfg.norm_eps,
+            rope_theta=cfg.rope_theta,
+            vocab_size=cfg.vocab_size,
+            dflash_config={
+                "block_size": dcfg.block_size,
+                # setup()-computed taps aren't visible on an unbound module
+                "target_layer_ids": list(
+                    dcfg.feature_layers
+                    or build_target_layer_ids(cfg.num_layers,
+                                              min(3, cfg.num_layers))
+                ),
+            },
+        )
 
     try:
         from safetensors.numpy import save_file

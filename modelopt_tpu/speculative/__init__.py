@@ -3,15 +3,19 @@
 
 from .convert import convert
 from .decoding import speculative_decode
+from .dflash import DFlashConfig, DFlashModel, make_dflash_train_step
 from .eagle import EagleConfig, EagleModel, make_eagle_train_step
 from .medusa import MedusaConfig, MedusaModel, make_medusa_train_step
 
 __all__ = [
+    "DFlashConfig",
+    "DFlashModel",
     "EagleConfig",
     "EagleModel",
     "MedusaConfig",
     "MedusaModel",
     "convert",
+    "make_dflash_train_step",
     "make_eagle_train_step",
     "make_medusa_train_step",
     "speculative_decode",

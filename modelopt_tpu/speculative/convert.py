@@ -65,6 +65,30 @@ class MedusaMode(ModeDescriptor):
         return c.to_dict() if isinstance(c, MedusaConfig) else dict(c or {})
 
 
+@SpeculativeModeRegistry.register
+class DFlashMode(ModeDescriptor):
+    name = "dflash"
+
+    def convert(self, bundle, config):
+        from .dflash import DFlashConfig, DFlashModel
+
+        if isinstance(config, dict):
+            config = DFlashConfig(**config)
+        config = config or DFlashConfig()
+        module = DFlashModel(bundle.module.cfg, config)
+        return _reinit_wrapper(bundle, module), {}
+
+    def config_from_dict(self, d):
+        from .dflash import DFlashConfig
+
+        return DFlashConfig(**(d or {}))
+
+    def config_to_dict(self, c):
+        from .dflash import DFlashConfig
+
+        return c.to_dict() if isinstance(c, DFlashConfig) else dict(c or {})
+
+
 def convert(bundle: ModelBundle, modes) -> ModelBundle:
     """mtsp.convert(model, [("eagle", cfg)]) (reference:
     speculative_decoding.py:30)."""

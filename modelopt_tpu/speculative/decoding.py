@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.bundle import ModelBundle
+from .dflash import DFlashModel
 from .eagle import EagleModel
 from .medusa import MedusaModel
 
@@ -26,8 +27,11 @@ def speculative_decode(
     module = bundle.module
     is_eagle = isinstance(module, EagleModel)
     is_medusa = isinstance(module, MedusaModel)
-    if not (is_eagle or is_medusa):
-        raise ValueError("speculative_decode needs an eagle/medusa-converted bundle")
+    is_dflash = isinstance(module, DFlashModel)
+    if not (is_eagle or is_medusa or is_dflash):
+        raise ValueError(
+            "speculative_decode needs an eagle/medusa/dflash-converted bundle"
+        )
 
     fwd = jax.jit(
         lambda v, ids: module.apply(v, ids, output_hidden=True)
@@ -36,6 +40,15 @@ def speculative_decode(
         draft_fn = jax.jit(
             lambda v, ids, hidden: module.apply(v, ids, hidden, method=EagleModel.draft)
         )
+    elif is_dflash:
+        # one forward drafts the whole block (KV injection over the tapped
+        # context features)
+        block_fn = jax.jit(
+            lambda v, tok, feats, pos: module.apply(
+                v, tok, feats, pos, method=DFlashModel.draft_block
+            )
+        )
+        draft_len = min(draft_len, module.dflash_cfg.block_size)
     else:
         heads_fn = jax.jit(
             lambda v, hidden: module.apply(v, hidden, method=MedusaModel.medusa_logits)
@@ -65,6 +78,13 @@ def speculative_decode(
                 cur = int(jnp.argmax(dlog[0, -1]))
                 draft.append(cur)
                 h = h_new[:, -1:]
+        elif is_dflash:
+            # anchor = the newest verified token; ctx = tapped features of
+            # everything before it (block position 0 predicts anchor+1)
+            anchor = jnp.asarray([[next_tok]], jnp.int32)
+            pos = jnp.asarray([len(toks) - 1], jnp.int32)
+            blog = block_fn(variables, anchor, hidden, pos)  # [1, K, V]
+            draft = [int(t) for t in np.asarray(jnp.argmax(blog[0], axis=-1))][:draft_len]
         else:
             heads = heads_fn(variables, last_hidden)
             for k in range(min(draft_len, len(heads))):

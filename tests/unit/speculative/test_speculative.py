@@ -90,3 +90,88 @@ class TestMedusa:
         ref = plain_greedy(m, prompt, 10)
         out, stats = mtsp.speculative_decode(m, prompt, max_new_tokens=10, draft_len=3)
         assert out == ref
+
+
+class TestDFlash:
+    """Block-parallel draft with KV injection (reference:
+    plugins/modeling_dflash.py, hf_dflash.py)."""
+
+    def test_convert_attaches_draft_and_base_unchanged(self, base_bundle):
+        d = mtsp.convert(base_bundle, [("dflash", {"block_size": 4,
+                                                   "num_draft_layers": 1})])
+        p = d.variables["params"]
+        assert "base" in p and "draft_0" in p and "mask_embedding" in p
+        logits, _ = d.apply(*base_bundle.example_inputs)
+        np.testing.assert_allclose(
+            np.asarray(logits),
+            np.asarray(base_bundle.apply(*base_bundle.example_inputs)[0]),
+            atol=1e-5,
+        )
+
+    def test_draft_block_shape_and_ctx_masking(self, base_bundle):
+        from modelopt_tpu.speculative.dflash import DFlashModel
+
+        d = mtsp.convert(base_bundle, [("dflash", {"block_size": 4,
+                                                   "num_draft_layers": 1})])
+        m = d.module
+        ids = base_bundle.example_inputs[0]
+        _, _, feats = d.apply(ids, output_hidden=True)
+        anchor = ids[:, -1:]
+        B, T = ids.shape
+        pos = jnp.full((B,), T - 1, jnp.int32)
+        blog = m.apply(d.variables, anchor, feats, pos,
+                       method=DFlashModel.draft_block)
+        assert blog.shape == (B, 4, m.cfg.vocab_size)
+        # ctx masking: an early anchor must ignore later context features —
+        # corrupting features AFTER the anchor cannot change the block
+        pos_early = jnp.full((B,), 5, jnp.int32)
+        anchor_early = ids[:, 5:6]
+        b1 = m.apply(d.variables, anchor_early, feats, pos_early,
+                     method=DFlashModel.draft_block)
+        feats_corrupt = feats.at[:, 8:].set(1e3)
+        b2 = m.apply(d.variables, anchor_early, feats_corrupt, pos_early,
+                     method=DFlashModel.draft_block)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
+
+    def test_training_reduces_loss(self, base_bundle):
+        d = mtsp.convert(base_bundle, [("dflash", {"block_size": 3,
+                                                   "num_draft_layers": 1})])
+        init_state, step = mtsp.make_dflash_train_step(d, optax.adam(3e-3))
+        state = init_state()
+        batches = synthetic_token_batches(256, 1, 4, 24)
+        losses = []
+        for _ in range(25):
+            state, loss = step(state, batches[0])
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_lossless_greedy_dflash(self, base_bundle):
+        d = mtsp.convert(base_bundle, [("dflash", {"block_size": 4,
+                                                   "num_draft_layers": 1})])
+        prompt = [5, 9, 17, 3]
+        plain = plain_greedy(base_bundle, prompt, 12)
+        spec, stats = mtsp.speculative_decode(d, prompt, max_new_tokens=12,
+                                              draft_len=4)
+        assert spec == plain  # lossless invariant
+        assert stats["base_forwards"] >= 1
+
+    def test_state_roundtrip(self, base_bundle):
+        d = mtsp.convert(base_bundle, [("dflash", {"block_size": 4})])
+        st = modelopt_state(d)
+        assert st["modelopt_state_dict"][0]["mode"] == "dflash"
+        fresh = restore_from_modelopt_state(base_bundle, st)
+        assert isinstance(fresh.module, mtsp.DFlashModel)
+        assert fresh.module.dflash_cfg.block_size == 4
+
+    def test_dflash_export(self, base_bundle, tmp_path):
+        from modelopt_tpu.export.spec_export import export_spec_checkpoint
+
+        d = mtsp.convert(base_bundle, [("dflash", {"block_size": 4,
+                                                   "num_draft_layers": 2})])
+        state = export_spec_checkpoint(d, str(tmp_path))
+        assert "fc.weight" in state and "mask_embedding" in state
+        assert "layers.1.self_attn.k_norm.weight" in state
+        import json
+        cfg = json.load(open(tmp_path / "config.json"))
+        assert cfg["dflash_config"]["block_size"] == 4
+        assert len(cfg["dflash_config"]["target_layer_ids"]) >= 1
