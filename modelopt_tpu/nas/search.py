@@ -33,16 +33,40 @@ NASModeRegistry = ModeRegistry("nas")
 
 @dataclasses.dataclass
 class Hparam:
-    """A searchable dimension (reference: opt/hparam.py:56)."""
+    """A searchable dimension (reference: opt/hparam.py:56).
+
+    ``tied``: names of other hparams that must take this hparam's value —
+    the reference's cross-hparam tying (e.g. per-layer FFN widths driven by
+    one controller). ``importance``: optional per-slice importance scores
+    consumed by the pruning/slicing backend (minitron uses activation
+    importances; register a callable for a custom operator, reference
+    hparam.py importance registration)."""
 
     name: str
     choices: tuple
     active: object = None
     importance: Optional[object] = None
+    tied: tuple = ()
 
     def __post_init__(self):
         if self.active is None:
             self.active = max(self.choices)
+
+    def resolve_importance(self, *args, **kwargs):
+        if callable(self.importance):
+            return self.importance(*args, **kwargs)
+        return self.importance
+
+
+def expand_tied(assignment: dict, space: dict) -> dict:
+    """Propagate controller values to their tied hparams."""
+    out = dict(assignment)
+    for name, val in assignment.items():
+        hp = space.get(name)
+        if hp is not None:
+            for t in hp.tied:
+                out.setdefault(t, val)
+    return out
 
 
 def _divisors_down(n: int, min_frac: float = 0.25, step_frac: float = 0.125):
@@ -95,12 +119,37 @@ def convert(bundle: ModelBundle, mode: str = "fastnas", config=None) -> ModelBun
     return apply_mode(bundle, mode, config or {})
 
 
-def profile(bundle: ModelBundle) -> dict:
-    """Constraint metrics of a bundle (reference: nas/algorithms.py:593)."""
+def profile(bundle: ModelBundle, measure_latency: bool = False,
+            batch: int = 1, seq_len: int = 32, iters: int = 8) -> dict:
+    """Constraint metrics of a bundle (reference: nas/algorithms.py:593 +
+    _deploy/profiling.py:28 measured latency). With ``measure_latency`` the
+    forward is jitted and timed with marginal chain timing (two chain
+    lengths, data-fetch barriers — the axon-tunnel-safe discipline), so
+    search constraints can be REAL device milliseconds, not proxy FLOPs."""
+    import time
+
+    import jax.numpy as jnp
+
     n_params = sum(x.size for x in jax.tree.leaves(bundle.variables.get("params", {})))
-    cfg = bundle.module.cfg
-    flops_per_tok = 2 * n_params  # dense decode approximation
-    return {"params": int(n_params), "flops_per_token": int(flops_per_tok)}
+    out = {"params": int(n_params), "flops_per_token": int(2 * n_params)}
+    if measure_latency:
+        ids = jnp.zeros((batch, seq_len), jnp.int32)
+        fn = jax.jit(bundle.make_fn())
+        summ = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+        def run(n):
+            t0 = time.time()
+            o = None
+            for _ in range(n):
+                o = fn(bundle.variables, ids)
+                o = o[0] if isinstance(o, tuple) else o
+            float(summ(o))
+            return time.time() - t0
+
+        run(1)  # compile
+        t1, t2 = run(max(2, iters // 4)), run(iters + max(2, iters // 4))
+        out["latency_ms"] = 1e3 * (t2 - t1) / iters
+    return out
 
 
 def _subnet(bundle, assignment: dict, forward_loop=None) -> ModelBundle:
@@ -116,14 +165,54 @@ def search(
     iterations: int = 20,
     seed: int = 0,
     forward_loop=None,
+    checkpoint: Optional[str] = None,
 ):
     """Search subnets. ``score_func`` returns higher-is-better. Returns
     (best bundle, info dict). (reference: BinarySearcher prune/fastnas.py:80,
-    EvolveSearcher nas/autonas.py:483)."""
+    EvolveSearcher nas/autonas.py:483.)
+
+    constraints: {"params": n} and/or {"latency_ms": x} — latency is
+    MEASURED per candidate (profile(measure_latency=True), reference
+    _deploy/profiling.py) rather than proxied by FLOPs.
+    checkpoint: path persisting every evaluated (assignment -> score) so an
+    interrupted search resumes without re-scoring (reference:
+    searcher.py:268 save/load_search_checkpoint).
+    """
+    import json
+    import os
+
     constraints = constraints or {}
     space = search_space(bundle)
     base_score = score_func(bundle)
     max_params = constraints.get("params", float("inf"))
+    max_latency = constraints.get("latency_ms")
+
+    memo: dict = {}
+    if checkpoint and os.path.exists(checkpoint):
+        with open(checkpoint) as f:
+            memo = json.load(f)
+
+    def _key(a):
+        return json.dumps(sorted(a.items()))
+
+    def _save():
+        if checkpoint:
+            with open(checkpoint, "w") as f:
+                json.dump(memo, f)
+
+    def evaluate(a):
+        """-> (score, feasible) with checkpoint memoization."""
+        k = _key(a)
+        if k in memo:
+            return tuple(memo[k])
+        b = _subnet(bundle, expand_tied(a, space), forward_loop)
+        feas = profile(b)["params"] <= max_params
+        if feas and max_latency is not None:
+            feas = profile(b, measure_latency=True)["latency_ms"] <= max_latency
+        s = float(score_func(b)) if feas else float("-inf")
+        memo[k] = (s, bool(feas))
+        _save()
+        return s, feas
 
     if mode == "binary":
         assignment: dict = {}
@@ -132,15 +221,14 @@ def search(
             best_idx = hi
             while lo < hi:
                 mid = (lo + hi) // 2
-                cand = _subnet(bundle, {**assignment, name: hp.choices[mid]}, forward_loop)
-                s = score_func(cand)
-                if s >= base_score * (1 - score_tolerance):
+                s, feas = evaluate({**assignment, name: hp.choices[mid]})
+                if feas and s >= base_score * (1 - score_tolerance):
                     best_idx = mid
                     hi = mid
                 else:
                     lo = mid + 1
             assignment[name] = hp.choices[best_idx]
-        best = _subnet(bundle, assignment, forward_loop)
+        best = _subnet(bundle, expand_tied(assignment, space), forward_loop)
         return best, {"assignment": assignment, "base_score": base_score,
                       "score": score_func(best), **profile(best)}
 
@@ -149,15 +237,12 @@ def search(
     def random_assignment():
         return {k: rng.choice(hp.choices) for k, hp in space.items()}
 
-    def feasible(b):
-        return profile(b)["params"] <= max_params
-
     population = []
     for _ in range(max(4, iterations // 4)):
         a = random_assignment()
-        b = _subnet(bundle, a, forward_loop)
-        if feasible(b):
-            population.append((score_func(b), a))
+        s, feas = evaluate(a)
+        if feas:
+            population.append((s, a))
     if not population:
         raise ValueError("no feasible subnet found under constraints")
     population.sort(key=lambda t: -t[0])
@@ -168,13 +253,13 @@ def search(
             child = dict(parent)
             name = rng.choice(list(space))
             child[name] = rng.choice(space[name].choices)
-            b = _subnet(bundle, child, forward_loop)
-            if feasible(b):
-                population.append((score_func(b), child))
+            s, feas = evaluate(child)
+            if feas:
+                population.append((s, child))
                 population.sort(key=lambda t: -t[0])
                 population = population[:16]
     score, assignment = population[0]
-    best = _subnet(bundle, assignment, forward_loop)
+    best = _subnet(bundle, expand_tied(assignment, space), forward_loop)
     return best, {"assignment": assignment, "score": score,
                   "base_score": base_score, **profile(best)}
 

@@ -14,6 +14,7 @@ from .api import (
     quantize,
     quantizer_specs,
     register_calib_algorithm,
+    validate_calibration,
 )
 from .config import (  # noqa: F401 — preset names re-exported
     FP8_2D_BLOCKWISE_WEIGHT_ONLY_CFG,

@@ -43,9 +43,46 @@ def quantize(bundle: ModelBundle, config, forward_loop=None) -> ModelBundle:
     (reference: model_quant.py:144)."""
     bundle = apply_mode(bundle, "quantize", config)
     cfg: QuantizeConfig = bundle.records[-1].config
-    return calibrate(
+    bundle = calibrate(
         bundle, cfg.algorithm_name, forward_loop, **cfg.algorithm_kwargs
     )
+    if cfg.algorithm_name is not None:
+        validate_calibration(bundle, raise_on_error=False)
+    return bundle
+
+
+def validate_calibration(bundle: ModelBundle, raise_on_error: bool = True):
+    """Calibration-completeness check: every stored amax must be finite and
+    strictly positive on EVERY element. A zero slice almost always means an
+    expert/branch that no calibration token routed through — the failure
+    the reference guards with its MoE calibration-completeness assert
+    (reference: model_calib.py:226). Returns the list of offending paths.
+    """
+    import warnings
+
+    from ..core.tree import flatten_with_paths
+
+    bad = []
+    for path, leaf in flatten_with_paths(bundle.variables.get("quant", {})):
+        if not path.endswith("amax"):
+            continue
+        arr = jnp.asarray(leaf)
+        finite = bool(jnp.all(jnp.isfinite(arr)))
+        pos = bool(jnp.all(arr > 0))
+        if not (finite and pos):
+            bad.append(path)
+    if bad:
+        msg = (
+            "calibration incomplete: zero/non-finite amax at "
+            + ", ".join(bad[:8])
+            + (" ..." if len(bad) > 8 else "")
+            + " — for MoE, feed calibration data that routes through every "
+            "expert (reference: model_calib.py:226)"
+        )
+        if raise_on_error:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
+    return bad
 
 
 def calibrate(

@@ -68,3 +68,65 @@ def test_evolve_search_respects_constraint():
         mode="evolve", iterations=6, seed=1,
     )
     assert info["params"] <= base_params * 0.95
+
+
+def test_profile_measured_latency():
+    """reference: _deploy/profiling.py — measured, not proxied, latency."""
+    bundle = lm_bundle()
+    p = mtn.profile(bundle, measure_latency=True, batch=1, seq_len=16, iters=4)
+    assert p["latency_ms"] > 0
+
+
+def test_latency_constrained_search_and_checkpoint(tmp_path):
+    """Latency constraint feeds the search; checkpoint memoizes scores so a
+    rerun does zero re-evaluations (reference: searcher.py:268
+    save/load_search_checkpoint)."""
+    import json
+
+    bundle = lm_bundle()
+    batches = synthetic_token_batches(256, 1, 4, 24)
+    calls = {"n": 0}
+
+    def score(b):
+        calls["n"] += 1
+        return -perplexity(b, batches)
+
+    ckpt = str(tmp_path / "search.json")
+    best, info = mtn.search(
+        bundle, score, constraints={"latency_ms": 1e9}, mode="evolve",
+        iterations=4, checkpoint=ckpt,
+    )
+    assert info["params"] <= mtn.profile(bundle)["params"]
+    n_first = calls["n"]
+    memo = json.load(open(ckpt))
+    assert len(memo) > 0
+    # rerun: every candidate score comes from the checkpoint
+    best2, info2 = mtn.search(
+        bundle, score, constraints={"latency_ms": 1e9}, mode="evolve",
+        iterations=4, checkpoint=ckpt,
+    )
+    assert calls["n"] == n_first + 1  # only the base_score re-evaluation
+    assert info2["assignment"] == info["assignment"]
+
+
+def test_hparam_tying():
+    from modelopt_tpu.nas.search import Hparam, expand_tied
+
+    space = {
+        "ffn_all": Hparam("ffn_all", (64, 128), tied=("ffn_0", "ffn_1")),
+        "ffn_0": Hparam("ffn_0", (64, 128)),
+        "ffn_1": Hparam("ffn_1", (64, 128)),
+    }
+    out = expand_tied({"ffn_all": 64}, space)
+    assert out == {"ffn_all": 64, "ffn_0": 64, "ffn_1": 64}
+    # explicit assignment wins over the tie
+    out = expand_tied({"ffn_all": 64, "ffn_1": 128}, space)
+    assert out["ffn_1"] == 128
+
+
+def test_importance_operator():
+    from modelopt_tpu.nas.search import Hparam
+
+    hp = Hparam("x", (1, 2), importance=lambda arr: arr.sum(0))
+    got = hp.resolve_importance(np.ones((3, 4)))
+    np.testing.assert_array_equal(got, np.full(4, 3.0))
