@@ -1,7 +1,8 @@
-"""EAGLE/Medusa draft training + speculative decoding benchmark
+"""EAGLE/Medusa/DFlash draft training + speculative decoding benchmark
 (reference: examples/speculative_decoding + specdec_bench).
 
     python examples/speculative_decoding.py --mode eagle --train-steps 100
+    python examples/speculative_decoding.py --compare   # engine AL/AR table
 """
 
 import argparse
@@ -11,25 +12,55 @@ import optax
 from examples.llm_ptq import build_model
 
 
+def compare(bundle, draft_len, max_new):
+    """Engine-comparative harness: same prompts through the ServingEngine
+    once per draft architecture (reference: specdec_bench/run.py)."""
+    import modelopt_tpu.speculative as mtsp
+
+    cfg = bundle.module.cfg
+    bundles = {
+        "base": bundle,
+        "medusa": mtsp.convert(bundle, [("medusa", {})]),
+        "eagle": mtsp.convert(bundle, [("eagle", {})]),
+        "dflash": mtsp.convert(bundle, [("dflash", {})]),
+    }
+    prompts = mtsp.random_token_prompts(8, cfg.vocab_size, 8, 48)
+    results = mtsp.bench_engine_modes(
+        bundles, prompts, max_new_tokens=max_new, spec_k=draft_len,
+        max_batch=8, max_seq_len=256, prefill_buckets=(64,),
+    )
+    print(mtsp.format_report(results))
+    print("(untrained drafts: expect acceptance near chance; the table "
+          "pins plumbing + lossless-ness, training lifts AL)")
+
+
 def main():
     import modelopt_tpu.speculative as mtsp
     from modelopt_tpu.utils import synthetic_token_batches
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="tiny")
-    ap.add_argument("--mode", default="eagle", choices=["eagle", "medusa"])
+    ap.add_argument("--mode", default="eagle",
+                    choices=["eagle", "medusa", "dflash"])
     ap.add_argument("--train-steps", type=int, default=100)
     ap.add_argument("--draft-len", type=int, default=4)
     ap.add_argument("--max-new", type=int, default=48)
+    ap.add_argument("--compare", action="store_true",
+                    help="run the engine-comparative specdec bench and exit")
     args = ap.parse_args()
 
     bundle = build_model(args.model)
     cfg = bundle.module.cfg
+    if args.compare:
+        compare(bundle, args.draft_len, args.max_new)
+        return
     spec = mtsp.convert(bundle, [(args.mode, {})])
 
-    make_step = (
-        mtsp.make_eagle_train_step if args.mode == "eagle" else mtsp.make_medusa_train_step
-    )
+    make_step = {
+        "eagle": mtsp.make_eagle_train_step,
+        "medusa": mtsp.make_medusa_train_step,
+        "dflash": mtsp.make_dflash_train_step,
+    }[args.mode]
     init_state, step = make_step(spec, optax.adamw(3e-3))
     state = init_state()
     batches = synthetic_token_batches(cfg.vocab_size, args.train_steps, 4, 48)
@@ -41,7 +72,7 @@ def main():
     params = dict(spec.variables["params"])
     if args.mode == "eagle":
         params["eagle"] = state[0]
-    else:
+    else:  # medusa heads / dflash draft params live at the top level
         params.update(state[0])
     spec = spec.replace(variables={**spec.variables, "params": params})
 

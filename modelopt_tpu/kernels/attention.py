@@ -164,7 +164,11 @@ def dense_kv_write(cache, vals, start):
     CPU/tests: vmapped DUS is fine.
     """
     B, T, KH, D = vals.shape
-    if jax.default_backend() != "tpu":
+    # Mosaic can only slice tiled (sublane, lane) dims at tile granularity:
+    # D must fill the 128-lane tile or the memref_slice fails to lower
+    # (observed on v5e with D=16 test models). Small-D models take the XLA
+    # path — their caches are tiny, so the scatter pathology doesn't bite.
+    if jax.default_backend() != "tpu" or D % 128:
         return jax.vmap(
             lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (s, 0, 0))
         )(cache, vals.astype(cache.dtype), start)

@@ -20,8 +20,12 @@ this framework ships its own engine, designed around XLA's compilation model:
     kernels/paged_attention.py);
   * optional real-fp8 KV cache (pair with FP8_KV-style config) halves KV
     memory and doubles the max in-flight token budget;
-  * speculative decode ticks (medusa or eagle bundles) verify k drafted
-    tokens per slot in one forward — greedy-lossless;
+  * speculative decode ticks (medusa, eagle, or dflash bundles) verify k
+    drafted tokens per slot in one forward — greedy-lossless; dflash keeps a
+    per-slot tapped-feature cache so its block-parallel draft sees the whole
+    verified context;
+  * ``stats`` counts forwards/proposed/accepted for acceptance-length and
+    throughput reporting (speculative/bench.py harness);
   * caches are DONATED through every jitted step: XLA updates them in place
     instead of copying (a non-donated 8B bs64 cache costs ~6 ms/step).
 
@@ -79,8 +83,8 @@ class ServingEngine:
         kv_pages: Optional[int] = None,
         max_admit: int = 2,
     ):
-        """``speculative=k`` enables batched draft-verify decode for medusa-
-        or eagle-converted bundles: every tick verifies k drafted tokens per
+        """``speculative=k`` enables batched draft-verify decode for medusa-,
+        eagle-, or dflash-converted bundles: every tick verifies k drafted tokens per
         slot in one forward (greedy-lossless; per-slot acceptance just moves
         the slot's cache length, so mixed acceptance needs no recompile).
 
@@ -123,18 +127,38 @@ class ServingEngine:
         self._ids = itertools.count()
         self._tokens = jnp.zeros((max_batch, 1), jnp.int32)  # last token per slot
         self._temps = jnp.zeros((max_batch,), jnp.float32)
+        # tokens_emitted counts DECODE-phase emissions only (plain or
+        # speculative ticks); the token sampled at the end of a prefill is
+        # prefill_tokens. decode_slot_steps counts (tick × active slot)
+        # pairs, so tokens_emitted / decode_slot_steps is the PER-REQUEST
+        # acceptance length (1.0 for plain decode) independent of batching.
+        self.stats = {
+            "prefill_chunks": 0, "prefill_tokens": 0, "decode_forwards": 0,
+            "verify_forwards": 0, "decode_slot_steps": 0,
+            "draft_proposed": 0, "draft_accepted": 0, "tokens_emitted": 0,
+        }
         self.spec_k = int(speculative)
+        self._is_dflash = False
         if self.spec_k:
-            self._draft_fn = self._resolve_draft()
-            self._hidden = jnp.zeros(
-                (max_batch, self._hidden_width()), bundle.module.cfg.dtype
-            )
+            self._draft_fn = self._resolve_draft()  # may set _is_dflash
+            if self._is_dflash:
+                # per-slot tapped-feature cache: row p holds the base model's
+                # (taps+final) hidden state at sequence position p — the
+                # dflash draft's KV-injection context
+                self._features = jnp.zeros(
+                    (max_batch, max_seq_len, self._hidden_width()),
+                    bundle.module.cfg.dtype,
+                )
+            else:
+                self._hidden = jnp.zeros(
+                    (max_batch, self._hidden_width()), bundle.module.cfg.dtype
+                )
             self._spec_decode = jax.jit(self._make_spec_decode(),
-                                        donate_argnums=(1,))
+                                        donate_argnums=(1, 3))
 
-        def prefill_fn(variables, cache, ids, slot, start, true_len, temp, key):
+        def _prefill_core(variables, cache, ids, slot, start, true_len, temp, key):
             """Ingest one bucket-size chunk for ``slot`` beginning at prompt
-            position ``start``; returns (cache, last_token, last_hidden).
+            position ``start``; returns (cache, last_token, chunk_hidden).
             The token/hidden are only meaningful on the final chunk."""
             if self.paged:
                 sub = {
@@ -170,7 +194,26 @@ class ServingEngine:
             cache = {**cache, "lengths": lengths}
             last = logits[0, true_len - 1]
             tok = _sample(last, temp, key)
+            return cache, tok, hidden
+
+        def prefill_fn(variables, cache, ids, slot, start, true_len, temp, key):
+            cache, tok, hidden = _prefill_core(
+                variables, cache, ids, slot, start, true_len, temp, key
+            )
             return cache, tok, hidden[0, true_len - 1]
+
+        def prefill_dflash_fn(variables, cache, features, ids, slot, start,
+                              true_len, temp, key):
+            """dflash prefill also records the chunk's tapped features at
+            rows [start, start+bucket) of the slot's feature cache (padding
+            rows are overwritten by the next chunk / first spec ticks)."""
+            cache, tok, hidden = _prefill_core(
+                variables, cache, ids, slot, start, true_len, temp, key
+            )
+            features = jax.lax.dynamic_update_slice(
+                features, hidden.astype(features.dtype), (slot, start, 0)
+            )
+            return cache, features, tok
 
         def decode_fn(variables, cache, tokens, temps, active, key):
             """One decode tick over all slots. ``active`` [B] gates length
@@ -184,25 +227,48 @@ class ServingEngine:
             toks = jax.vmap(_sample)(logits[:, -1], temps, keys)
             return cache, toks
 
-        self._prefill = jax.jit(prefill_fn, donate_argnums=(1,))
+        if self._is_dflash:
+            self._prefill = jax.jit(prefill_dflash_fn, donate_argnums=(1, 2))
+        else:
+            self._prefill = jax.jit(prefill_fn, donate_argnums=(1,))
         self._decode = jax.jit(decode_fn, donate_argnums=(1,))
 
     # -- speculative drafting ------------------------------------------------
     def _hidden_width(self) -> int:
+        from ..speculative.dflash import DFlashModel
         from ..speculative.eagle import EagleModel
 
-        if isinstance(self.bundle.module, EagleModel):
+        if isinstance(self.bundle.module, (EagleModel, DFlashModel)):
             return self.bundle.module.feature_width()
         return self.cfg.hidden_size
 
     def _resolve_draft(self):
         """Return draft(variables, tokens [B,1], hidden [B,F]) -> [B, K]
         drafted tokens, for the bundle's speculative architecture."""
+        from ..speculative.dflash import DFlashModel
         from ..speculative.eagle import EagleModel
         from ..speculative.medusa import MedusaModel
 
         module = self.bundle.module
         K = self.spec_k
+
+        if isinstance(module, DFlashModel):
+            self._is_dflash = True
+            self.spec_k = K = min(K, module.dflash_cfg.block_size)
+
+            def draft_dflash(variables, tokens, features, anchor_positions):
+                """ONE forward drafts the whole K-token block: Q from the
+                noise block, K/V injected from the per-slot tapped-feature
+                cache (no draft autoregression — reference:
+                modeling_dflash.py block-parallel drafting)."""
+                with self.bundle.contexts():
+                    blog = module.apply(
+                        variables, tokens, features, anchor_positions,
+                        method=DFlashModel.draft_block,
+                    )
+                return jnp.argmax(blog[:, :K], -1).astype(jnp.int32)
+
+            return draft_dflash
 
         if isinstance(module, MedusaModel):
             self.spec_k = K = min(K, module.medusa_cfg.medusa_num_heads)
@@ -242,21 +308,27 @@ class ServingEngine:
             return draft_eagle
 
         raise ValueError(
-            "speculative engine decode needs a medusa or eagle bundle"
+            "speculative engine decode needs a medusa, eagle, or dflash bundle"
         )
 
     def _make_spec_decode(self):
         K = self.spec_k
         draft_fn = self._draft_fn
+        is_dflash = self._is_dflash
 
         def spec_decode(variables, cache, tokens, hidden, active):
-            """tokens [B,1] last emitted; hidden [B,F] at those tokens.
-            Returns (cache', emitted [B, K+1], n_acc [B], hidden' [B,F]).
+            """tokens [B,1] last emitted; hidden [B,F] at those tokens (for
+            dflash: the [B,S,F] per-slot tapped-feature cache instead).
+            Returns (cache', emitted [B, K+1], n_acc [B], hidden').
             Per slot, emitted[:n_acc[b]+1] are valid (all are base-greedy
             tokens — lossless)."""
-            draft = draft_fn(variables, tokens, hidden)  # [B, K]
-            ids = jnp.concatenate([tokens, draft], axis=1)  # [B, K+1]
             old_lengths = cache["lengths"]
+            if is_dflash:
+                # anchor (last emitted token) sits at position old_lengths
+                draft = draft_fn(variables, tokens, hidden, old_lengths)
+            else:
+                draft = draft_fn(variables, tokens, hidden)  # [B, K]
+            ids = jnp.concatenate([tokens, draft], axis=1)  # [B, K+1]
             logits, cache2, hseq = self._apply(variables, ids, cache,
                                                output_hidden=True)
             preds = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, K+1]
@@ -266,7 +338,17 @@ class ServingEngine:
             adv = (n_acc + 1) * active.astype(jnp.int32)
             cache2 = {**cache2, "lengths": old_lengths + adv}
             bidx = jnp.arange(preds.shape[0])
-            hidden_next = hseq[bidx, n_acc]
+            if is_dflash:
+                # record the verify forward's features at rows
+                # [old_len, old_len+K]; rows past the accepted prefix hold
+                # rejected-draft conditioning and are overwritten as the
+                # sequence re-reaches them (same approximation as the
+                # standalone loop — verification keeps the output lossless)
+                hidden_next = jax.vmap(
+                    lambda f, h, s: jax.lax.dynamic_update_slice(f, h, (s, 0))
+                )(hidden, hseq.astype(hidden.dtype), old_lengths)
+            else:
+                hidden_next = hseq[bidx, n_acc]
             return cache2, preds, n_acc, hidden_next
 
         return spec_decode
@@ -334,19 +416,28 @@ class ServingEngine:
         ids = np.zeros((1, bucket), np.int32)
         ids[0, : len(chunk)] = chunk
         final = start + len(chunk) >= len(req.prompt)
-        self.cache, tok, hid = self._prefill(
-            self._vars, self.cache, jnp.asarray(ids), slot, start,
-            len(chunk), jnp.float32(req.temperature), self._next_key(),
-        )
+        self.stats["prefill_chunks"] += 1
+        if self._is_dflash:
+            self.cache, self._features, tok = self._prefill(
+                self._vars, self.cache, self._features, jnp.asarray(ids),
+                slot, start, len(chunk), jnp.float32(req.temperature),
+                self._next_key(),
+            )
+        else:
+            self.cache, tok, hid = self._prefill(
+                self._vars, self.cache, jnp.asarray(ids), slot, start,
+                len(chunk), jnp.float32(req.temperature), self._next_key(),
+            )
         req.prefill_pos = start + len(chunk)
         if not final:
             return 0
         self._prefilling.discard(slot)
-        if self.spec_k:
+        if self.spec_k and not self._is_dflash:
             self._hidden = self._hidden.at[slot].set(hid)
         self._tokens = self._tokens.at[slot, 0].set(tok)
         self._temps = self._temps.at[slot].set(req.temperature)
         req.out_tokens.append(int(tok))
+        self.stats["prefill_tokens"] += 1
         self._finish_if_done(req)
         return 1
 
@@ -406,29 +497,41 @@ class ServingEngine:
             self._vars, self.cache, self._tokens, self._temps, active,
             self._next_key(),
         )
+        self.stats["decode_forwards"] += 1
         self._tokens = toks[:, None]
         toks_host = np.asarray(toks)
+        decoded = 0
         for slot, req in enumerate(self._slots):
             if req is None or slot in self._prefilling:
                 continue
             req.out_tokens.append(int(toks_host[slot]))
-            produced += 1
+            decoded += 1
             self._finish_if_done(req)
-        return produced
+        self.stats["tokens_emitted"] += decoded
+        self.stats["decode_slot_steps"] += decoded
+        return produced + decoded
 
     def _step_speculative(self) -> int:
         """One batched draft-verify tick: up to spec_k+1 tokens per slot."""
         active = self._active_mask()
+        hidden_in = self._features if self._is_dflash else self._hidden
         self.cache, preds, n_acc, hidden = self._spec_decode(
-            self._vars, self.cache, self._tokens, self._hidden, active
+            self._vars, self.cache, self._tokens, hidden_in, active
         )
-        self._hidden = hidden
+        if self._is_dflash:
+            self._features = hidden
+        else:
+            self._hidden = hidden
+        self.stats["verify_forwards"] += 1
         preds_h = np.asarray(preds)
         n_h = np.asarray(n_acc)
         produced = 0
         for slot, req in enumerate(self._slots):
             if req is None or slot in self._prefilling:
                 continue
+            self.stats["draft_proposed"] += self.spec_k
+            self.stats["draft_accepted"] += int(n_h[slot])
+            self.stats["decode_slot_steps"] += 1
             emitted = preds_h[slot, : int(n_h[slot]) + 1]
             for tok in emitted:
                 req.out_tokens.append(int(tok))
@@ -437,6 +540,7 @@ class ServingEngine:
                 if req.done:
                     break
             self._tokens = self._tokens.at[slot, 0].set(int(req.out_tokens[-1]))
+        self.stats["tokens_emitted"] += produced
         return produced
 
     def _finish_if_done(self, req: Request):

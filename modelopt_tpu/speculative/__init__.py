@@ -1,6 +1,7 @@
 """Speculative decoding — import as ``mtsp``
 (reference: modelopt/torch/speculative/)."""
 
+from .bench import bench_engine_modes, format_report, random_token_prompts
 from .convert import convert
 from .decoding import speculative_decode
 from .dflash import DFlashConfig, DFlashModel, make_dflash_train_step
@@ -10,6 +11,9 @@ from .medusa import MedusaConfig, MedusaModel, make_medusa_train_step
 __all__ = [
     "DFlashConfig",
     "DFlashModel",
+    "bench_engine_modes",
+    "format_report",
+    "random_token_prompts",
     "EagleConfig",
     "EagleModel",
     "MedusaConfig",

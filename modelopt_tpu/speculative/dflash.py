@@ -140,13 +140,19 @@ class DFlashModel(nn.Module):
     cfg: DecoderConfig
     dflash_cfg: DFlashConfig = dataclasses.field(default_factory=DFlashConfig)
 
-    def setup(self):
+    def resolved_taps(self) -> tuple:
+        """Tap layer ids — plain helper (usable outside init/apply).
+        Deduplicated: the Decoder taps each layer index at most once, so
+        duplicates (tiny models) must not inflate feature_width."""
         taps = self.dflash_cfg.feature_layers
         if taps is None:
             taps = build_target_layer_ids(
                 self.cfg.num_layers, min(3, self.cfg.num_layers)
             )
-        self.taps = tuple(taps)
+        return tuple(sorted(set(taps)))
+
+    def setup(self):
+        self.taps = self.resolved_taps()
         self.base = Decoder(dataclasses.replace(self.cfg, hidden_taps=self.taps))
         self.fc = QuantDense(self.cfg.hidden_size, use_bias=False,
                              dtype=self.cfg.dtype,
@@ -166,7 +172,7 @@ class DFlashModel(nn.Module):
 
     def feature_width(self) -> int:
         # taps + final hidden (Decoder.output_hidden concatenation)
-        return self.cfg.hidden_size * (len(self.taps) + 1)
+        return self.cfg.hidden_size * (len(self.resolved_taps()) + 1)
 
     def __call__(self, input_ids, cache=None, positions=None, output_hidden=False):
         return self.base(input_ids, cache, positions, output_hidden=output_hidden)

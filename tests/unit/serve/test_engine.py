@@ -269,3 +269,38 @@ class TestSpeculativeEngine:
             ticks += 1
         assert req.done
         assert ticks <= 10  # 1 prefill + at most 9 verify ticks
+
+    def test_dflash_engine_lossless(self, bundle):
+        """DFlash block-parallel drafts inside the engine: per-slot feature
+        cache + one-forward drafting, output identical to plain greedy."""
+        import modelopt_tpu.speculative as mtsp
+
+        m = mtsp.convert(
+            bundle, [("dflash", {"num_draft_layers": 1, "block_size": 3})]
+        )
+        eng = ServingEngine(m, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,), speculative=3)
+        prompts = [[5, 17, 42, 7], [9, 1, 30]]
+        reqs = [eng.submit(p, max_new_tokens=7) for p in prompts]
+        eng.run()
+        for p, r in zip(prompts, reqs):
+            assert r.done and len(r.out_tokens) == 7
+            assert r.out_tokens == naive_greedy(m, p, 7), (p, r.out_tokens)
+        assert eng.stats["verify_forwards"] > 0
+        assert eng.stats["draft_proposed"] >= eng.stats["draft_accepted"]
+
+    def test_dflash_engine_chunked_prefill(self, bundle):
+        """Feature cache stays consistent across prefill chunks (prompt
+        longer than the bucket)."""
+        import modelopt_tpu.speculative as mtsp
+
+        m = mtsp.convert(
+            bundle, [("dflash", {"num_draft_layers": 1, "block_size": 2})]
+        )
+        eng = ServingEngine(m, max_batch=1, max_seq_len=64,
+                            prefill_buckets=(8,), speculative=2)
+        prompt = list(range(2, 23))  # 21 tokens -> 3 chunks of 8
+        req = eng.submit(prompt, max_new_tokens=5)
+        eng.run()
+        assert req.done
+        assert req.out_tokens == naive_greedy(m, prompt, 5)
