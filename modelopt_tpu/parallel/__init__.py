@@ -1,3 +1,4 @@
+from .context import context_parallel_attention
 from .mesh import (
     DECODER_RULES,
     make_mesh,
@@ -17,6 +18,7 @@ from .pipeline import (
 
 __all__ = [
     "DECODER_RULES",
+    "context_parallel_attention",
     "gpipe",
     "hybrid_mesh",
     "initialize",
