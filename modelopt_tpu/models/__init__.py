@@ -2,6 +2,8 @@
 
 from .dit import DiT, DiTConfig, ddim_sample, dit_config_s
 from .hf_import import LazyStateDict, config_from_hf, from_hf, load_hf_checkpoint
+from .vit import ViTConfig, VisionTransformer
+from .vlm import VLM, VLMConfig, tiny_vlm_config
 from .transformer import (
     Decoder,
     DecoderConfig,
@@ -19,6 +21,11 @@ from .transformer import (
 
 __all__ = [
     "Decoder",
+    "VLM",
+    "VLMConfig",
+    "ViTConfig",
+    "VisionTransformer",
+    "tiny_vlm_config",
     "DecoderConfig",
     "LazyStateDict",
     "config_from_hf",

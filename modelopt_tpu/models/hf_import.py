@@ -71,6 +71,27 @@ def config_from_hf(hf_config) -> DecoderConfig:
             tie_word_embeddings=bool(get("tie_word_embeddings", False)),
             norm_eps=get("rms_norm_eps", 1e-5),
         )
+    if mt == "llava":
+        from .vit import ViTConfig
+        from .vlm import VLMConfig
+
+        vc = get("vision_config")
+        tc = get("text_config")
+        vget = (lambda k, d=None: getattr(vc, k, d)) if not isinstance(
+            vc, dict) else (lambda k, d=None: vc.get(k, d))
+        if isinstance(tc, dict) and "model_type" not in tc:
+            tc = {**tc, "model_type": "llama"}
+        vision = ViTConfig(
+            image_size=vget("image_size", 224),
+            patch_size=vget("patch_size", 14),
+            hidden_size=vget("hidden_size", 1024),
+            num_layers=vget("num_hidden_layers", 24),
+            num_heads=vget("num_attention_heads", 16),
+            intermediate_size=vget("intermediate_size", 4096),
+            norm_eps=vget("layer_norm_eps", 1e-5),
+            select_layer=get("vision_feature_layer", -2),
+        )
+        return VLMConfig(vision=vision, text=config_from_hf(tc))
     if mt == "mixtral":
         return DecoderConfig(
             vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
@@ -88,7 +109,8 @@ def config_from_hf(hf_config) -> DecoderConfig:
     raise ValueError(f"Unsupported HF model_type: {mt!r}")
 
 
-def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> dict:
+def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.", commit=None,
+                       lm_head_key="lm_head.weight") -> dict:
     """``commit`` (default identity) is applied to each finished layer
     subtree — the streaming loader passes a device-put/cast here so at most
     one decoder layer of weights is ever resident on the host."""
@@ -130,7 +152,72 @@ def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> 
         p[f"layers_{i}"] = commit(layer)
     p["final_norm"] = commit({"scale": _np(sd[f"{prefix}norm.weight"])})
     if not cfg.tie_word_embeddings:
-        p["lm_head"] = commit({"kernel": _np(sd["lm_head.weight"]).T})
+        p["lm_head"] = commit({"kernel": _np(sd[lm_head_key]).T})
+    return p
+
+
+def _llava_params(sd, cfg, commit=None) -> dict:
+    """LLaVA checkpoint map: CLIP vision tower + 2-layer projector + llama
+    decoder (reference VLM coverage: examples/vlm_ptq; naming follows HF
+    LlavaForConditionalGeneration)."""
+    commit = commit or (lambda t: t)
+    vcfg = cfg.vision
+    V = "vision_tower.vision_model."
+    tower: dict = {
+        "patch_embedding": {
+            # torch conv [out, in, kh, kw] -> flax [kh, kw, in, out]
+            "kernel": _np(sd[V + "embeddings.patch_embedding.weight"])
+            .transpose(2, 3, 1, 0)
+        },
+        "class_embedding": _np(sd[V + "embeddings.class_embedding"]),
+        "position_embedding": _np(sd[V + "embeddings.position_embedding.weight"]),
+    }
+    # HF CLIP spells it "pre_layrnorm"
+    for hf_name in ("pre_layrnorm", "pre_layernorm"):
+        if V + hf_name + ".weight" in sd:
+            tower["pre_layernorm"] = {
+                "scale": _np(sd[V + hf_name + ".weight"]),
+                "bias": _np(sd[V + hf_name + ".bias"]),
+            }
+            break
+    sel = vcfg.select_layer
+    n_used = vcfg.num_layers if sel is None else (
+        (vcfg.num_layers + sel if sel < 0 else sel) + 1
+    )
+    for i in range(n_used):
+        L = f"{V}encoder.layers.{i}."
+        layer = {
+            "layer_norm1": {"scale": _np(sd[L + "layer_norm1.weight"]),
+                            "bias": _np(sd[L + "layer_norm1.bias"])},
+            "layer_norm2": {"scale": _np(sd[L + "layer_norm2.weight"]),
+                            "bias": _np(sd[L + "layer_norm2.bias"])},
+        }
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            layer[name] = {
+                "kernel": _np(sd[L + f"self_attn.{name}.weight"]).T,
+                "bias": _np(sd[L + f"self_attn.{name}.bias"]),
+            }
+        for name in ("fc1", "fc2"):
+            layer[name] = {
+                "kernel": _np(sd[L + f"mlp.{name}.weight"]).T,
+                "bias": _np(sd[L + f"mlp.{name}.bias"]),
+            }
+        tower[f"layers_{i}"] = commit(layer)
+    if sel is None:
+        tower["post_layernorm"] = {
+            "scale": _np(sd[V + "post_layernorm.weight"]),
+            "bias": _np(sd[V + "post_layernorm.bias"]),
+        }
+    p: dict = {"vision_tower": tower}
+    for name in ("linear_1", "linear_2"):
+        p[name] = commit({
+            "kernel": _np(sd[f"multi_modal_projector.{name}.weight"]).T,
+            "bias": _np(sd[f"multi_modal_projector.{name}.bias"]),
+        })
+    p["language_model"] = _llama_like_params(
+        sd, cfg.text, prefix="language_model.model.", commit=commit,
+        lm_head_key="language_model.lm_head.weight",
+    )
     return p
 
 
@@ -189,17 +276,28 @@ def from_hf(model, hf_config=None, example_len: int = 8, commit=None) -> ModelBu
     cfg = config_from_hf(hf_config)
     sd = _sd(model)
     mt = (hf_config.model_type if not isinstance(hf_config, dict) else hf_config["model_type"]).lower()
+    ids = jnp.zeros((1, example_len), jnp.int32)
     if mt == "gpt2":
         params = _gpt2_params(sd, cfg)
+        module = Decoder(cfg)
+        example_inputs = (ids,)
+    elif mt == "llava":
+        from .vlm import VLM
+
+        params = _llava_params(sd, cfg, commit=commit)
+        module = VLM(cfg)
+        vc = cfg.vision
+        pixels = jnp.zeros((1, vc.image_size, vc.image_size, 3), jnp.float32)
+        example_inputs = (ids, pixels)
     else:
         params = _llama_like_params(sd, cfg, commit=commit)
+        module = Decoder(cfg)
+        example_inputs = (ids,)
     params = {k: _to_jnp(v) for k, v in params.items()}
-    module = Decoder(cfg)
-    ids = jnp.zeros((1, example_len), jnp.int32)
     return ModelBundle(
         module=module,
         variables={"params": params},
-        example_inputs=(ids,),
+        example_inputs=example_inputs,
         metadata={"hf_config": _config_dict(hf_config), "model_type": mt},
     )
 

@@ -113,11 +113,18 @@ def make_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
     Pass the cache through jitted decode steps with ``donate_argnums`` —
     otherwise XLA keeps the input cache alive and the update copies the
     entire cache every step (~6 ms at 8B bs64)."""
-    shape = (batch, max_len, cfg.kv_heads, cfg.dims_per_head)
     dtype = dtype or cfg.dtype
+
+    def shape_for(i):
+        # heterogeneous plans may reduce a layer's KV heads or drop its
+        # attention entirely (1 dummy head keeps the pytree uniform)
+        opts = cfg.layer_opts(i)
+        kv = 1 if "no_attn" in opts else int(opts.get("kv", cfg.kv_heads))
+        return (batch, max_len, kv, cfg.dims_per_head)
+
     cache = {
-        "k": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
-        "v": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+        "k": tuple(jnp.zeros(shape_for(i), dtype) for i in range(cfg.num_layers)),
+        "v": tuple(jnp.zeros(shape_for(i), dtype) for i in range(cfg.num_layers)),
         "lengths": jnp.zeros((batch,), jnp.int32),
     }
     if cfg.skip_softmax is not None:
@@ -463,7 +470,17 @@ class Block(nn.Module):
         )
         new_kv = None
         if "no_attn" not in opts:
-            h, new_kv = Attention(cfg, name="attn")(
+            attn_cfg = cfg
+            if "kv" in opts:
+                # per-layer KV-head count (puzzletron heterogeneous plans);
+                # head_dim pinned so q/o widths shrink with the groups
+                G = cfg.num_heads // cfg.kv_heads
+                attn_cfg = dataclasses.replace(
+                    cfg, num_kv_heads=int(opts["kv"]),
+                    num_heads=int(opts["kv"]) * G,
+                    head_dim=cfg.dims_per_head,
+                )
+            h, new_kv = Attention(attn_cfg, name="attn")(
                 norm("input_norm")(x), positions, mask, cache_kv
             )
             x = x + h
@@ -471,6 +488,8 @@ class Block(nn.Module):
             new_kv = (cache_kv[0], cache_kv[1])  # untouched cache slots
             if len(cache_kv) == 5:  # skip-softmax summaries ride along
                 new_kv = new_kv + (cache_kv[3], cache_kv[4])
+        if "no_mlp" in opts:
+            return x, new_kv
         mlp_in = norm("post_attn_norm")(x)
         if cfg.num_experts > 0:
             x = x + MoEBlock(cfg, name="moe")(mlp_in)
@@ -484,14 +503,24 @@ class Block(nn.Module):
 
 class Decoder(nn.Module):
     """Full causal LM. __call__(ids, cache=None, positions=None) ->
-    (logits, new_cache)."""
+    (logits, new_cache). ``prefix_embeds`` [B, P, H] are prepended before
+    the token embeddings (multimodal prefix, models/vlm.py — logits then
+    cover P+T positions)."""
 
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, input_ids, cache=None, positions=None, output_hidden=False):
+    def __call__(self, input_ids, cache=None, positions=None, output_hidden=False,
+                 prefix_embeds=None):
         cfg = self.cfg
         B, T = input_ids.shape
+
+        embed = QuantEmbed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+                           param_dtype=cfg.param_dtype, name="embed_tokens")
+        x = embed(input_ids)
+        if prefix_embeds is not None:
+            x = jnp.concatenate([prefix_embeds.astype(x.dtype), x], axis=1)
+            T = x.shape[1]
         if positions is None:
             if cache is not None:
                 positions = cache["lengths"][:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -499,10 +528,6 @@ class Decoder(nn.Module):
                 positions = jnp.broadcast_to(
                     jnp.arange(T, dtype=jnp.int32)[None, :], (B, T)
                 )
-
-        embed = QuantEmbed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
-                           param_dtype=cfg.param_dtype, name="embed_tokens")
-        x = embed(input_ids)
         if cfg.positions == "learned":
             pos_emb = QuantEmbed(cfg.max_position_embeddings, cfg.hidden_size,
                                  dtype=cfg.dtype, param_dtype=cfg.param_dtype,

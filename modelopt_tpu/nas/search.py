@@ -78,10 +78,7 @@ def _divisors_down(n: int, min_frac: float = 0.25, step_frac: float = 0.125):
     return tuple(vals)
 
 
-def search_space(bundle: ModelBundle) -> dict[str, Hparam]:
-    """Searchable hparams of a decoder bundle
-    (reference: generate_search_space, nas/search_space.py:193)."""
-    cfg = bundle.module.cfg
+def _decoder_space(cfg) -> dict:
     return {
         "intermediate_size": Hparam(
             "intermediate_size", _divisors_down(cfg.intermediate_size), cfg.intermediate_size
@@ -96,6 +93,41 @@ def search_space(bundle: ModelBundle) -> dict[str, Hparam]:
             cfg.num_layers,
         ),
     }
+
+
+def _vit_space(vcfg) -> dict:
+    """CV dims (reference: FastNAS CV search space). Depth choices keep the
+    llava feature tap reachable; patch kernel size is stride-coupled and
+    therefore not a subnet dim (prune/vit.py docstring)."""
+    min_l = max(1, vcfg.num_layers // 2)
+    if vcfg.select_layer is not None and vcfg.select_layer < 0:
+        min_l = max(min_l, -vcfg.select_layer)
+    return {
+        "vit_intermediate_size": Hparam(
+            "vit_intermediate_size", _divisors_down(vcfg.intermediate_size),
+            vcfg.intermediate_size,
+        ),
+        "vit_num_layers": Hparam(
+            "vit_num_layers", tuple(range(min_l, vcfg.num_layers + 1)),
+            vcfg.num_layers,
+        ),
+    }
+
+
+def search_space(bundle: ModelBundle) -> dict[str, Hparam]:
+    """Searchable hparams of a decoder / ViT / VLM bundle
+    (reference: generate_search_space, nas/search_space.py:193)."""
+    from ..models.vit import VisionTransformer
+    from ..models.vlm import VLM
+
+    module = bundle.module
+    if isinstance(module, VLM):
+        # vision-tower dims only: the language half prunes via minitron on
+        # the language bundle (activation importances need a text loader)
+        return _vit_space(module.cfg.vision)
+    if isinstance(module, VisionTransformer):
+        return _vit_space(module.cfg)
+    return _decoder_space(module.cfg)
 
 
 @NASModeRegistry.register
@@ -153,6 +185,13 @@ def profile(bundle: ModelBundle, measure_latency: bool = False,
 
 
 def _subnet(bundle, assignment: dict, forward_loop=None) -> ModelBundle:
+    from ..models.vit import VisionTransformer
+    from ..models.vlm import VLM
+
+    if isinstance(bundle.module, (VLM, VisionTransformer)):
+        from ..prune.vit import vit_prune
+
+        return vit_prune(bundle, assignment)
     return minitron_prune(bundle, assignment, forward_loop)
 
 

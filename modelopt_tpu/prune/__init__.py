@@ -3,5 +3,6 @@
 
 from .minitron import estimate_importances, minitron_prune
 from .pruning import prune
+from .vit import vit_prune
 
-__all__ = ["estimate_importances", "minitron_prune", "prune"]
+__all__ = ["estimate_importances", "minitron_prune", "prune", "vit_prune"]

@@ -130,3 +130,41 @@ def test_importance_operator():
     hp = Hparam("x", (1, 2), importance=lambda arr: arr.sum(0))
     got = hp.resolve_importance(np.ones((3, 4)))
     np.testing.assert_array_equal(got, np.full(4, 3.0))
+
+
+def test_vit_vlm_search_space_and_subnet():
+    """CV dims (reference: FastNAS CV search space): ViT width/depth are
+    searchable on VLM bundles and the sliced subnet still runs."""
+    import jax.numpy as jnp
+
+    from modelopt_tpu.models import VLM, tiny_vlm_config
+    from modelopt_tpu.prune import vit_prune
+
+    cfg = tiny_vlm_config()
+    m = VLM(cfg)
+    ids = jnp.zeros((1, 5), jnp.int32)
+    px = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 3)),
+                     jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), ids, px)
+    bundle = ModelBundle(module=m, variables=dict(variables),
+                         example_inputs=(ids, px))
+
+    sp = mtn.search_space(bundle)
+    assert set(sp) == {"vit_intermediate_size", "vit_num_layers"}
+    assert max(sp["vit_intermediate_size"].choices) == 64
+    # tap at -2 keeps depth >= 2
+    assert min(sp["vit_num_layers"].choices) >= 2
+
+    small = vit_prune(bundle, {"vit_intermediate_size": 32})
+    assert small.module.cfg.vision.intermediate_size == 32
+    fc1 = small.variables["params"]["vision_tower"]["layers_0"]["fc1"]
+    assert fc1["kernel"].shape[1] == 32
+    logits, _ = small.apply(ids, px)
+    assert np.isfinite(np.asarray(logits)).all()
+    # search end-to-end on the CV dims
+    def score(b):
+        out, _ = b.apply(ids, px)
+        return -float(jnp.mean(out.astype(jnp.float32) ** 2))
+
+    best, info = mtn.search(bundle, score, mode="evolve", iterations=3, seed=0)
+    assert info["params"] <= mtn.profile(bundle)["params"]
