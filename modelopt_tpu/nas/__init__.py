@@ -1,7 +1,14 @@
 """Neural architecture search — import as ``mtn``
 (reference: modelopt/torch/nas/)."""
 
-from .puzzle import build_replacement_library, puzzle_search
+from .puzzle import (
+    build_replacement_library,
+    make_recovery_step,
+    puzzle_search,
+    sew,
+)
 from .search import Hparam, convert, export, profile, search, search_space
 
-__all__ = ["Hparam", "build_replacement_library", "convert", "export", "profile", "puzzle_search", "search", "search_space"]
+__all__ = ["Hparam", "build_replacement_library", "convert", "export",
+           "make_recovery_step", "profile", "puzzle_search", "search",
+           "search_space", "sew"]
