@@ -49,7 +49,7 @@ def main():
 
     summ = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
-    def measure(preset):
+    def measure(preset, kv_dtype=None):
         t0 = time.time()
         bundle = build_compressed_bundle(module, (ids,), preset)
         build_s = time.time() - t0
@@ -58,7 +58,7 @@ def main():
         ) / 1e9
         # donate the cache or XLA copies all of it every step (see make_cache)
         fn = jax.jit(bundle.make_fn(), donate_argnums=(2,))
-        cache = make_cache(cfg, BATCH, MAXLEN)
+        cache = make_cache(cfg, BATCH, MAXLEN, dtype=kv_dtype)
         lg, cc = fn(bundle.variables, ids, cache)
         float(summ(lg))  # compile + settle
         # marginal timing over one continuous donated chain: each timed
@@ -75,34 +75,51 @@ def main():
         del cache, cc, bundle
         return ms, weight_gb, build_s
 
-    ms8, weight_gb, build_s = measure("W4A8_INT8_DYNAMIC_CFG")
+    import jax.numpy as _jnp
+
+    # headline: W4A8 + FP8 KV cache — the framework's own paired KV-cache
+    # quantization (FP8_KV family; real e4m3 cache + fused decode-attention
+    # kernel). KV reads halve, so the same memory-bound step gets faster.
+    ms_kv8, weight_gb, build_s = measure(
+        "W4A8_INT8_DYNAMIC_CFG", kv_dtype=_jnp.float8_e4m3fn
+    )
+    tok_s_kv8 = BATCH / (ms_kv8 / 1e3)
+    ms8, _, _ = measure("W4A8_INT8_DYNAMIC_CFG")
     tok_s = BATCH / (ms8 / 1e3)
     ms16, _, _ = measure("INT4_BLOCKWISE_WEIGHT_ONLY_CFG")
     tok_s16 = BATCH / (ms16 / 1e3)
 
     # per-step HBM traffic (roofline sanity): packed weights + KV reads +
     # bf16 lm_head (excluded from quantization, like the reference's)
-    kv_gb = 2 * BATCH * MAXLEN * cfg.kv_heads * cfg.dims_per_head * 2 \
-        * cfg.num_layers / 1e9
-    traffic_gb = weight_gb + kv_gb
+    def kv_gb(itemsize):
+        return 2 * BATCH * MAXLEN * cfg.kv_heads * cfg.dims_per_head \
+            * itemsize * cfg.num_layers / 1e9
+
+    traffic_gb = weight_gb + kv_gb(1)
+    traffic_gb_bf16kv = weight_gb + kv_gb(2)
     baseline_tok_s = 1930.0  # reference: Llama3.1-8B W4A8, H200, bs64
     print(
         json.dumps(
             {
-                "metric": "decode_tok_s_llama3-8b_w4a8_bs64_1xv5e",
-                "value": round(tok_s, 1),
+                "metric": "decode_tok_s_llama3-8b_w4a8_fp8kv_bs64_1xv5e",
+                "value": round(tok_s_kv8, 1),
                 "unit": "tok/s",
-                "vs_baseline": round(tok_s / baseline_tok_s, 3),
+                "vs_baseline": round(tok_s_kv8 / baseline_tok_s, 3),
                 "aux": {
                     "baseline": "reference Llama3.1-8B W4A8 1930 tok/s (H200, bs64)",
                     "batch": BATCH,
-                    "decode_ms_per_step": round(ms8, 2),
+                    "decode_ms_per_step": round(ms_kv8, 2),
+                    "w4a8_bf16kv_tok_s": round(tok_s, 1),
+                    "w4a8_bf16kv_vs_baseline": round(tok_s / baseline_tok_s, 3),
                     "w4a16_tok_s": round(tok_s16, 1),
                     "w4a16_vs_int4_awq_baseline": round(tok_s16 / 1392.78, 3),
                     "weight_gb_packed": round(weight_gb, 2),
                     "bf16_fits_this_chip": False,
                     "hbm_traffic_gb_per_step": round(traffic_gb, 2),
-                    "implied_total_gbps": round(traffic_gb / (ms8 / 1e3), 1),
+                    "implied_total_gbps": round(traffic_gb / (ms_kv8 / 1e3), 1),
+                    "implied_total_gbps_bf16kv": round(
+                        traffic_gb_bf16kv / (ms8 / 1e3), 1
+                    ),
                     "achievable_gbps_this_chip": 650,
                     "build_s": round(build_s, 1),
                     "wall_s": round(time.time() - t_start, 1),

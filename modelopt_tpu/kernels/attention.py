@@ -7,18 +7,19 @@ kernel: fp8 (e4m3) KV codes are read straight from HBM-resident cache
 blocks, dequantized on the fly in VMEM, and never materialized in HBM —
 the XLA fallback converts the whole cache to bf16 in HBM every step.
 
-Cache layout is [B, S, KH, D] (token dim SECOND, heads/head_dim minor) —
-the same layout jax.experimental.pallas.ops.tpu.ragged_paged_attention
-uses. With the token dim outside Mosaic's tiled last-two dims, per-token
-cache writes are plain leading-dim DMA slices (no sublane-alignment
-constraints) and attention blocks tile (KH, D) densely.
+Cache layout is [B, S, KH*D] (token dim second-minor, heads MERGED into
+the lane dim). The merge is the load-bearing choice for quantized caches:
+Mosaic tiles the last two dims, and 1-byte dtypes tile (32, 128) — a
+[B, S, KH, D] cache puts KH (typically 8) on the sublane axis, so every
+fp8/int8 DMA moves 4x the bytes (measured 73 GB/s effective vs 698 for
+bf16 on v5e). With KH*D (>= 1024) on the lane axis, cache rows are dense
+full tiles for every storage dtype, per-token writes are leading-dim DMA
+slices, and a head's [tokens, D] view is a 128-aligned lane slice.
 
-Attention kernel: grid (B, S/chunk) with online softmax accumulation
-across chunks. Per chunk the kernel flattens [chunk, KH, D] -> the scores
-dot computes ALL head pairs [KH*G, chunk*KH] in one MXU op and masks the
-off-head-diagonal entries to -inf — decode attention is HBM-bound, so the
-8x MXU overcompute is free and buys fully-contiguous vector layouts (no
-in-kernel transposes or strided sublane loads, which Mosaic lowers poorly).
+Attention kernels: grid (B, S/chunk) with online softmax accumulation
+across chunks; per chunk a short unrolled loop over KV heads does
+q_h [G, D] x k_h [chunk, D]^T on the MXU (decode is HBM-bound — MXU
+utilization is irrelevant, DMA density is everything).
 Decode-only (T==1); prefill stays on the XLA path where the MXU-bound
 einsum formulation is already efficient.
 """
@@ -33,15 +34,74 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _attend_chunk(q_ref, k_ref, v_ref, base, L, k_scale,
+                  acc_ref, m_ref, l_ref):
+    """One online-softmax update over a KV chunk, per head.
+
+    q_ref block [1, KH, G, D]; k/v_ref blocks [1, ..., tokens, KH*D] in
+    storage dtype (any leading singleton dims; each head's view is a
+    128-aligned lane slice, loaded + converted per head); ``base`` the
+    chunk's first token position; L valid length.
+    Scratch: acc [KH, G, D] f32, m/l [KH, G, 128] f32.
+    """
+    KH, G, D = q_ref.shape[1:]
+    tokens = k_ref.shape[-2]
+    lead = (0,) * (len(k_ref.shape) - 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, tokens), 1)
+    valid = base + col < L
+    inv_sqrt_d = k_scale / jnp.sqrt(jnp.float32(D))
+    for h in range(KH):
+        qh = q_ref[0, h].astype(jnp.bfloat16)                  # [G, D]
+        hs = slice(h * D, (h + 1) * D)
+        kh = k_ref[lead + (slice(None), hs)].astype(jnp.bfloat16)  # [tokens, D]
+        vh = v_ref[lead + (slice(None), hs)].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_sqrt_d                                         # [G, tokens]
+        s = jnp.where(valid, s, -1e30)
+        m_prev = m_ref[h][:, :1]                               # [G, 1]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        e = jnp.exp(s - m_cur)
+        l_ref[h] = jnp.broadcast_to(
+            l_ref[h][:, :1] * alpha + jnp.sum(e, axis=1, keepdims=True),
+            (G, 128),
+        )
+        acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+            e.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[h] = jnp.broadcast_to(m_cur, (G, 128))
+
+
+def _finalize_out(o_ref, acc_ref, l_ref, v_scale):
+    KH, G, D = o_ref.shape[1:]
+    for h in range(KH):
+        out = acc_ref[h] * (v_scale / jnp.maximum(l_ref[h][:, :1], 1e-30))
+        o_ref[0, h] = out.astype(o_ref.dtype)
+
+
+_SCRATCH = lambda KH, G, D: [  # noqa: E731
+    pltpu.VMEM((KH, G, D), jnp.float32),
+    pltpu.VMEM((KH, G, 128), jnp.float32),
+    pltpu.VMEM((KH, G, 128), jnp.float32),
+]
+
+
+def _scales_arr(k_scale, v_scale):
+    return jnp.stack([
+        jnp.asarray(1.0 if k_scale is None else k_scale, jnp.float32).reshape(()),
+        jnp.asarray(1.0 if v_scale is None else v_scale, jnp.float32).reshape(()),
+    ])
+
+
 def _decode_attn_kernel(lens_ref, scales_ref, q_ref, k_ref, v_ref, o_ref,
                         acc_ref, m_ref, l_ref, *, chunk: int):
     b = pl.program_id(0)
     c = pl.program_id(1)
     nc = pl.num_programs(1)
     L = lens_ref[b]
-    k_scale = scales_ref[0]
-    v_scale = scales_ref[1]
-    KH, G, D = q_ref.shape[1:]
 
     @pl.when(c == 0)
     def _init():
@@ -51,76 +111,40 @@ def _decode_attn_kernel(lens_ref, scales_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(c * chunk < L)
     def _attend():
-        # codes stay in their storage dtype until the MXU: e4m3->bf16 is the
-        # only elementwise convert (an f32 dequant of the whole chunk is
-        # VPU-bound, ~0.5 ms/layer measured); k_scale folds into the SMALL
-        # score matrix and v_scale into the finalize step.
-        q = q_ref[0].astype(jnp.bfloat16).reshape(KH * G, D)  # [KH*G, D]
-        k = k_ref[0].astype(jnp.bfloat16).reshape(chunk * KH, D)
-        v = v_ref[0].astype(jnp.bfloat16).reshape(chunk * KH, D)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (k_scale / jnp.sqrt(jnp.float32(D)))  # [KH*G, chunk*KH]
-        # rows hg attend only to columns j with j % KH == hg // G and
-        # token position c*chunk + j // KH < L
-        row_h = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // G
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = (col % KH == row_h) & (c * chunk + col // KH < L)
-        s = jnp.where(valid, s, -1e30)
-        m_prev = m_ref[:, :1]  # [KH*G, 1]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        e = jnp.exp(s - m_cur)
-        l_ref[:] = jnp.broadcast_to(
-            l_ref[:, :1] * alpha + jnp.sum(e, axis=1, keepdims=True),
-            l_ref.shape,
-        )
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            e.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[:] = jnp.broadcast_to(m_cur, m_ref.shape)
+        _attend_chunk(q_ref, k_ref, v_ref, c * chunk, L,
+                      scales_ref[0], acc_ref, m_ref, l_ref)
 
     @pl.when(c == nc - 1)
     def _finalize():
-        out = acc_ref[:] * (v_scale / jnp.maximum(l_ref[:, :1], 1e-30))
-        o_ref[0] = out.reshape(KH, G, D).astype(o_ref.dtype)
+        _finalize_out(o_ref, acc_ref, l_ref, scales_ref[1])
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "chunk"))
 def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
                      out_dtype=jnp.bfloat16, chunk=256):
-    """q [B, KH, G, D]; k/v_cache [B, S, KH, D] (bf16 or float8_e4m3fn) —
-    the models.transformer.make_cache native layout, read in place with NO
-    per-step transpose/copy of the cache; lengths [B] valid key counts;
-    scalar scales for fp8 caches. Returns [B, KH, G, D]."""
-    B, S, KH, D = k_cache.shape
-    G = q.shape[2]
+    """q [B, KH, G, D]; k/v_cache [B, S, KH*D] (bf16 / float8_e4m3fn / int8
+    codes) — the models.transformer.make_cache native layout, read in place
+    with NO per-step transpose/copy of the cache; lengths [B] valid key
+    counts; scalar scales for quantized caches. Returns [B, KH, G, D]."""
+    B, KH, G, D = q.shape
+    S = k_cache.shape[1]
     if S % chunk:
         chunk = S  # small caches: single chunk
     nc = S // chunk
-    scales = jnp.stack([
-        jnp.asarray(1.0 if k_scale is None else k_scale, jnp.float32).reshape(()),
-        jnp.asarray(1.0 if v_scale is None else v_scale, jnp.float32).reshape(()),
-    ])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, nc),
         in_specs=[
             pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, KH, D), lambda b, c, *_: (b, c, 0, 0),
+            pl.BlockSpec((1, chunk, KH * D), lambda b, c, *_: (b, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, KH, D), lambda b, c, *_: (b, c, 0, 0),
+            pl.BlockSpec((1, chunk, KH * D), lambda b, c, *_: (b, c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((KH * G, D), jnp.float32),
-            pltpu.VMEM((KH * G, 128), jnp.float32),
-            pltpu.VMEM((KH * G, 128), jnp.float32),
-        ],
+        scratch_shapes=_SCRATCH(KH, G, D),
     )
     kernel = functools.partial(_decode_attn_kernel, chunk=chunk)
     return pl.pallas_call(
@@ -128,11 +152,12 @@ def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KH, G, D), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * KH * G * S * D * KH,
+            flops=2 * 2 * B * KH * G * S * D,
             bytes_accessed=2 * B * KH * S * D * k_cache.dtype.itemsize,
             transcendentals=B * KH * G * S,
         ),
-    )(lengths.astype(jnp.int32), scales, q, k_cache, v_cache)
+    )(lengths.astype(jnp.int32), _scales_arr(k_scale, v_scale),
+      q, k_cache, v_cache)
 
 
 def _kv_write_kernel(start_ref, v_ref, cache_ref, o_ref, sem):
@@ -141,7 +166,7 @@ def _kv_write_kernel(start_ref, v_ref, cache_ref, o_ref, sem):
     T = v_ref.shape[1]
     s = start_ref[b]
     copy = pltpu.make_async_copy(
-        v_ref.at[0],                 # [T, KH, D] staged in VMEM
+        v_ref.at[0],                 # [T, KH*D] staged in VMEM
         o_ref.at[b, pl.ds(s, T)],    # routed slice of the HBM cache
         sem,
     )
@@ -151,32 +176,33 @@ def _kv_write_kernel(start_ref, v_ref, cache_ref, o_ref, sem):
 
 @jax.jit
 def dense_kv_write(cache, vals, start):
-    """Write vals [B, T, KH, D] into cache [B, S, KH, D] at per-slot
+    """Write vals [B, T, KH*D] into cache [B, S, KH*D] at per-slot
     sequence offsets ``start`` [B] (no alignment requirement).
 
     TPU: Pallas aliased-output kernel — the cache stays in HBM (ANY) and
-    each slot issues ONE explicit DMA of its [T, KH, D] update straight to
-    the routed offset; only touched rows move, and both slice dims are
+    each slot issues ONE explicit DMA of its [T, KH*D] update straight to
+    the routed offset; only touched rows move, and the sliced dims are
     LEADING dims so Mosaic's (sublane, lane) tiling constraints never
     apply. XLA's scatter AND vmapped dynamic_update_slice both lower
     pathologically for this access pattern on TPU (minutes of compile,
     ~0.6 ms/layer measured — they rewrite the whole per-slot cache).
     CPU/tests: vmapped DUS is fine.
     """
-    B, T, KH, D = vals.shape
+    B, T, KHD = vals.shape
     # Mosaic can only slice tiled (sublane, lane) dims at tile granularity:
-    # D must fill the 128-lane tile or the memref_slice fails to lower
-    # (observed on v5e with D=16 test models). Small-D models take the XLA
-    # path — their caches are tiny, so the scatter pathology doesn't bite.
-    if jax.default_backend() != "tpu" or D % 128:
+    # the lane dim must fill 128-lane tiles or the memref_slice fails to
+    # lower (observed on v5e with D=16 test models). Small models take the
+    # XLA path — their caches are tiny, so the scatter pathology doesn't
+    # bite.
+    if jax.default_backend() != "tpu" or KHD % 128:
         return jax.vmap(
-            lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (s, 0, 0))
+            lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (s, 0))
         )(cache, vals.astype(cache.dtype), start)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, T, KH, D), lambda b, start: (b, 0, 0, 0),
+            pl.BlockSpec((1, T, KHD), lambda b, start: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # cache: aliased, not read
         ],
@@ -192,16 +218,16 @@ def dense_kv_write(cache, vals, start):
 
 
 def decode_attention_ok(q_shape, S: int, cache_dtype=None) -> bool:
-    """Use the kernel only where it wins: fp8 caches (XLA would materialize
-    a dequantized bf16 copy of the whole cache every step). For bf16 caches
-    at decode the XLA einsum path is already fine and the per-call kernel
-    overhead is a net loss (measured on v5e)."""
+    """Use the kernel only where it wins: quantized caches (XLA would
+    materialize a dequantized bf16 copy of the whole cache every step). For
+    bf16 caches at decode the XLA einsum path is already fine and the
+    per-call kernel overhead is a net loss (measured on v5e)."""
     B, KH, G, D = q_shape
     if jax.default_backend() != "tpu":
         return False
-    if cache_dtype is not None and cache_dtype != jnp.float8_e4m3fn:
+    if cache_dtype is not None and cache_dtype == jnp.bfloat16:
         return False
-    if S > 8192 or D % 64 != 0:
+    if S > 8192 or D % 128 != 0:
         return False
     return True
 
@@ -252,55 +278,35 @@ def _fused_decode_kernel(pos_ref, scales_ref, q_ref, knew_ref, vnew_ref,
 
     @pl.when(c * chunk < L)
     def _attend():
-        q = q_ref[0].astype(jnp.bfloat16).reshape(KH * G, D)
-        k = k_ref[0].astype(jnp.bfloat16).reshape(chunk * KH, D)
-        v = v_ref[0].astype(jnp.bfloat16).reshape(chunk * KH, D)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (k_scale / jnp.sqrt(jnp.float32(D)))
-        row_h = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // G
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         # STRICTLY the old keys: the new token's row is added inline below
-        # (its HBM row may still be mid-DMA; garbage there is masked out)
-        valid = (col % KH == row_h) & (c * chunk + col // KH < L)
-        s = jnp.where(valid, s, -1e30)
-        m_prev = m_ref[:, :1]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        e = jnp.exp(s - m_cur)
-        l_ref[:] = jnp.broadcast_to(
-            l_ref[:, :1] * alpha + jnp.sum(e, axis=1, keepdims=True),
-            l_ref.shape,
-        )
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            e.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[:] = jnp.broadcast_to(m_cur, m_ref.shape)
+        # (its HBM row may still be mid-DMA; stale data there is masked out
+        # by the L bound)
+        _attend_chunk(q_ref, k_ref, v_ref, c * chunk, L,
+                      k_scale, acc_ref, m_ref, l_ref)
 
     @pl.when(c == nc - 1)
     def _finalize():
         # the new token attends to itself from VMEM (never from HBM)
-        q = q_ref[0].astype(jnp.bfloat16).reshape(KH * G, D)
-        kn = knew_ref[0, 0].astype(jnp.bfloat16)  # [KH, D]
-        vn = vnew_ref[0, 0].astype(jnp.bfloat16)
-        s_n = jax.lax.dot_general(
-            q, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (k_scale / jnp.sqrt(jnp.float32(D)))  # [KH*G, KH]
-        row_h = jax.lax.broadcasted_iota(jnp.int32, s_n.shape, 0) // G
-        coln = jax.lax.broadcasted_iota(jnp.int32, s_n.shape, 1)
-        s_n = jnp.where(coln == row_h, s_n, -1e30)
-        m_prev = m_ref[:, :1]
-        m_fin = jnp.maximum(m_prev, jnp.max(s_n, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_fin)
-        e_n = jnp.exp(s_n - m_fin)
-        l_fin = l_ref[:, :1] * alpha + jnp.sum(e_n, axis=1, keepdims=True)
-        acc = acc_ref[:] * alpha + jax.lax.dot_general(
-            e_n.astype(jnp.bfloat16), vn, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out = acc * (v_scale / jnp.maximum(l_fin, 1e-30))
-        o_ref[0] = out.reshape(KH, G, D).astype(o_ref.dtype)
+        inv_sqrt_d = k_scale / jnp.sqrt(jnp.float32(D))
+        for h in range(KH):
+            qh = q_ref[0, h].astype(jnp.bfloat16)                # [G, D]
+            kn = knew_ref[0][:, h * D:(h + 1) * D].astype(jnp.bfloat16)
+            vn = vnew_ref[0][:, h * D:(h + 1) * D].astype(jnp.bfloat16)
+            s_n = jax.lax.dot_general(
+                qh, kn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * inv_sqrt_d                                       # [G, 1]
+            m_prev = m_ref[h][:, :1]
+            m_fin = jnp.maximum(m_prev, s_n)
+            alpha = jnp.exp(m_prev - m_fin)
+            e_n = jnp.exp(s_n - m_fin)
+            l_fin = l_ref[h][:, :1] * alpha + e_n
+            acc = acc_ref[h] * alpha + jax.lax.dot_general(
+                e_n.astype(jnp.bfloat16), vn, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = acc * (v_scale / jnp.maximum(l_fin, 1e-30))
+            o_ref[0, h] = out.astype(o_ref.dtype)
 
     @pl.when((b == B - 1) & (c == nc - 1))
     def _wait_last():
@@ -313,7 +319,7 @@ def _fused_decode_kernel(pos_ref, scales_ref, q_ref, knew_ref, vnew_ref,
 def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
                            k_scale=None, v_scale=None,
                            out_dtype=jnp.bfloat16, chunk=256):
-    """One decode step, fused: write k/v_new [B, 1, KH, D] (already in the
+    """One decode step, fused: write k/v_new [B, 1, KH*D] (already in the
     cache's dtype/codes) into the caches at per-slot position ``pos`` [B]
     AND return attention of q [B, KH, G, D] over pos+1 keys (the new token
     contributes from VMEM while its HBM write DMA is still in flight).
@@ -322,28 +328,24 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
     aliased/donated — the separate dense_kv_write + decode_attention pair
     costs ~0.2 ms/call of serialized DMA latency per layer; fused, the
     writes ride behind the attention compute for free."""
-    B, S, KH, D = k_cache.shape
-    G = q.shape[2]
+    B, S, KHD = k_cache.shape
+    KH, G, D = q.shape[1:]
     if S % chunk:
         chunk = S
     nc = S // chunk
-    scales = jnp.stack([
-        jnp.asarray(1.0 if k_scale is None else k_scale, jnp.float32).reshape(()),
-        jnp.asarray(1.0 if v_scale is None else v_scale, jnp.float32).reshape(()),
-    ])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, nc),
         in_specs=[
             pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, KH, D), lambda b, c, *_: (b, 0, 0, 0),
+            pl.BlockSpec((1, 1, KHD), lambda b, c, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, KH, D), lambda b, c, *_: (b, 0, 0, 0),
+            pl.BlockSpec((1, 1, KHD), lambda b, c, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, KH, D), lambda b, c, *_: (b, c, 0, 0),
+            pl.BlockSpec((1, chunk, KHD), lambda b, c, *_: (b, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, KH, D), lambda b, c, *_: (b, c, 0, 0),
+            pl.BlockSpec((1, chunk, KHD), lambda b, c, *_: (b, c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -352,10 +354,7 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((KH * G, D), jnp.float32),
-            pltpu.VMEM((KH * G, 128), jnp.float32),
-            pltpu.VMEM((KH * G, 128), jnp.float32),
+        scratch_shapes=_SCRATCH(KH, G, D) + [
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -372,11 +371,11 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
         # inputs incl. prefetch: 0=pos 1=scales 2=q 3=knew 4=vnew 5=k 6=v
         input_output_aliases={5: 1, 6: 2},
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * KH * G * S * D * KH,
+            flops=2 * 2 * B * KH * G * S * D,
             bytes_accessed=2 * B * KH * S * D * k_cache.dtype.itemsize,
             transcendentals=B * KH * G * S,
         ),
-    )(pos.astype(jnp.int32), scales, q,
+    )(pos.astype(jnp.int32), _scales_arr(k_scale, v_scale), q,
       k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
       k_cache, v_cache)
 
@@ -388,4 +387,4 @@ def fused_decode_ok(q_shape, S: int, cache_dtype=None) -> bool:
     B, KH, G, D = q_shape
     if jax.default_backend() != "tpu":
         return False
-    return S <= 8192 and D % 64 == 0
+    return S <= 8192 and D % 128 == 0

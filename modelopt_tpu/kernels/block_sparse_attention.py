@@ -34,13 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 def _bs_attn_kernel(sel_ref, nvalid_ref, lens_ref, scales_ref,
                     q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
                     *, block_size: int):
+    from .attention import _attend_chunk, _finalize_out
+
     b = pl.program_id(0)
     p = pl.program_id(1)
     n_sel = pl.num_programs(1)
     L = lens_ref[b]
-    k_scale = scales_ref[0]
-    v_scale = scales_ref[1]
-    KH, G, D = q_ref.shape[1:]
 
     @pl.when(p == 0)
     def _init():
@@ -50,35 +49,12 @@ def _bs_attn_kernel(sel_ref, nvalid_ref, lens_ref, scales_ref,
 
     @pl.when(p < nvalid_ref[b])
     def _attend():
-        base = sel_ref[b, p] * block_size
-        q = q_ref[0].astype(jnp.bfloat16).reshape(KH * G, D)
-        k = k_ref[0, 0].astype(jnp.bfloat16).reshape(block_size * KH, D)
-        v = v_ref[0, 0].astype(jnp.bfloat16).reshape(block_size * KH, D)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (k_scale / jnp.sqrt(jnp.float32(D)))  # [KH*G, block*KH]
-        row_h = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // G
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = (col % KH == row_h) & (base + col // KH < L)
-        s = jnp.where(valid, s, -1e30)
-        m_prev = m_ref[:, :1]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        e = jnp.exp(s - m_cur)
-        l_ref[:] = jnp.broadcast_to(
-            l_ref[:, :1] * alpha + jnp.sum(e, axis=1, keepdims=True),
-            l_ref.shape,
-        )
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            e.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[:] = jnp.broadcast_to(m_cur, m_ref.shape)
+        _attend_chunk(q_ref, k_ref, v_ref, sel_ref[b, p] * block_size,
+                      L, scales_ref[0], acc_ref, m_ref, l_ref)
 
     @pl.when(p == n_sel - 1)
     def _finalize():
-        out = acc_ref[:] * (v_scale / jnp.maximum(l_ref[:, :1], 1e-30))
-        o_ref[0] = out.reshape(KH, G, D).astype(o_ref.dtype)
+        _finalize_out(o_ref, acc_ref, l_ref, scales_ref[1])
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "out_dtype"))
@@ -86,19 +62,19 @@ def block_sparse_decode_attention(q, k_cache, v_cache, sel, nvalid, lengths,
                                   k_scale=None, v_scale=None,
                                   block_size: int = 128,
                                   out_dtype=jnp.bfloat16):
-    """q [B, KH, G, D]; k/v_cache [B, S, KH, D] dense caches (bf16 or e4m3);
+    """q [B, KH, G, D]; k/v_cache [B, S, KH*D] dense caches (bf16 or e4m3);
     sel [B, NSEL] int32 block indices (invalid tail entries must alias a
     valid block, e.g. 0); nvalid [B] number of live entries; lengths [B].
     Only selected blocks are DMA'd; returns [B, KH, G, D]."""
+    from .attention import _SCRATCH, _scales_arr
+
     B, KH, G, D = q.shape
     S = k_cache.shape[1]
     NSEL = sel.shape[1]
-    kb = k_cache.reshape(B, S // block_size, block_size, KH, D)
-    vb = v_cache.reshape(B, S // block_size, block_size, KH, D)
-    scales = jnp.stack([
-        jnp.asarray(1.0 if k_scale is None else k_scale, jnp.float32).reshape(()),
-        jnp.asarray(1.0 if v_scale is None else v_scale, jnp.float32).reshape(()),
-    ])
+    # leading-dim split only: no relayout (the tiled last-two dims are kept)
+    kb = k_cache.reshape(B, S // block_size, block_size, KH * D)
+    vb = v_cache.reshape(B, S // block_size, block_size, KH * D)
+    scales = _scales_arr(k_scale, v_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, NSEL),
@@ -106,21 +82,17 @@ def block_sparse_decode_attention(q, k_cache, v_cache, sel, nvalid, lengths,
             pl.BlockSpec((1, KH, G, D),
                          lambda b, p, sel, nv, lens, sc: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_size, KH, D),
-                         lambda b, p, sel, nv, lens, sc: (b, sel[b, p], 0, 0, 0),
+            pl.BlockSpec((1, 1, block_size, KH * D),
+                         lambda b, p, sel, nv, lens, sc: (b, sel[b, p], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_size, KH, D),
-                         lambda b, p, sel, nv, lens, sc: (b, sel[b, p], 0, 0, 0),
+            pl.BlockSpec((1, 1, block_size, KH * D),
+                         lambda b, p, sel, nv, lens, sc: (b, sel[b, p], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, KH, G, D),
                                lambda b, p, sel, nv, lens, sc: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((KH * G, D), jnp.float32),
-            pltpu.VMEM((KH * G, 128), jnp.float32),
-            pltpu.VMEM((KH * G, 128), jnp.float32),
-        ],
+        scratch_shapes=_SCRATCH(KH, G, D),
     )
     kernel = functools.partial(_bs_attn_kernel, block_size=block_size)
     return pl.pallas_call(
@@ -128,7 +100,7 @@ def block_sparse_decode_attention(q, k_cache, v_cache, sel, nvalid, lengths,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KH, G, D), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * KH * G * NSEL * block_size * D * KH,
+            flops=2 * 2 * B * KH * G * NSEL * block_size * D,
             bytes_accessed=2 * B * KH * NSEL * block_size * D
             * k_cache.dtype.itemsize,
             transcendentals=B * KH * G * NSEL * block_size,
@@ -142,7 +114,7 @@ def block_sparse_decode_attention_xla(q, k_cache, v_cache, sel, nvalid,
                                       block_size: int = 128,
                                       out_dtype=jnp.bfloat16):
     """Bit-identical CPU/test fallback: gather the selected blocks dense,
-    mask invalid entries, plain softmax."""
+    mask invalid entries, plain softmax. Caches are [B, S, KH*D]."""
     B, KH, G, D = q.shape
     S = k_cache.shape[1]
     NSEL = sel.shape[1]

@@ -100,15 +100,17 @@ def make_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
     jitted decode step. ``dtype`` may be ``jnp.float8_e4m3fn`` for a real
     quantized KV cache (pair with a *k/v_quantizer fp8 config).
 
-    Layout: per-layer TUPLES of [batch, max_len, kv_heads, head_dim] arrays
-    rather than one stacked [L, ...] array — a stacked cache forces XLA to
-    re-materialize the whole cache every step when the per-layer updates are
-    re-stacked (measured ~1.6 ms/step at 8B bs16). The sequence dim sits
-    OUTSIDE the (kv_heads, head_dim) minor dims — the layout
-    jax.experimental.pallas.ops.tpu.ragged_paged_attention also uses — so
-    per-token cache writes are leading-dim DMA slices with no
-    sublane-tiling constraint, and the decode-attention kernel reads the
-    cache in place (kernels/attention.py).
+    Layout: per-layer TUPLES of [batch, max_len, kv_heads * head_dim]
+    arrays rather than one stacked [L, ...] array — a stacked cache forces
+    XLA to re-materialize the whole cache every step when the per-layer
+    updates are re-stacked (measured ~1.6 ms/step at 8B bs16). Heads are
+    MERGED into the minor (lane) dim: Mosaic tiles the last two dims, and
+    1-byte dtypes tile (32, 128), so a [.., kv_heads, head_dim] layout puts
+    kv_heads (typically 8) on the sublane axis and every fp8/int8 DMA moves
+    4x the bytes (73 GB/s effective vs 698 measured on v5e). With the merge,
+    cache rows are dense full tiles for every storage dtype, per-token
+    writes are leading-dim DMA slices, and the decode-attention kernels
+    read the cache in place (kernels/attention.py).
 
     Pass the cache through jitted decode steps with ``donate_argnums`` —
     otherwise XLA keeps the input cache alive and the update copies the
@@ -120,7 +122,7 @@ def make_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
         # attention entirely (1 dummy head keeps the pytree uniform)
         opts = cfg.layer_opts(i)
         kv = 1 if "no_attn" in opts else int(opts.get("kv", cfg.kv_heads))
-        return (batch, max_len, kv, cfg.dims_per_head)
+        return (batch, max_len, kv * cfg.dims_per_head)
 
     cache = {
         "k": tuple(jnp.zeros(shape_for(i), dtype) for i in range(cfg.num_layers)),
@@ -203,7 +205,7 @@ class Attention(nn.Module):
                 # paged: ck/cv are GLOBAL page pools [n_pages, ps, KH, D]
                 ck, cv, positions_kv, page_table = cache_kv
             else:
-                ck, cv, positions_kv = cache_kv  # ck/cv [B, S_max, KH, D]
+                ck, cv, positions_kv = cache_kv  # ck/cv [B, S_max, KH*D]
             real_fp8 = ck.dtype == jnp.float8_e4m3fn
             if real_fp8:
                 k_codes, k_scale = kq_mod(k, with_scale=True)
@@ -215,6 +217,9 @@ class Attention(nn.Module):
             else:
                 k_codes, k_scale = kq_mod(k).astype(ck.dtype), None
                 v_codes, v_scale = vq_mod(v).astype(cv.dtype), None
+            # cache rows merge heads into the lane dim (see make_cache)
+            k_rows = k_codes.reshape(B, T, KH * D)
+            v_rows = v_codes.reshape(B, T, KH * D)
             if page_table is not None:
                 # route each token's KV through the page table: page id +
                 # in-page offset are data, so one compiled program serves
@@ -225,8 +230,8 @@ class Attention(nn.Module):
                 rows = jnp.arange(B)[:, None]
                 pids = page_table[rows, positions_kv // ps]  # [B, T]
                 offs = positions_kv % ps
-                ck = paged_kv_write(ck, k_codes, pids, offs)
-                cv = paged_kv_write(cv, v_codes, pids, offs)
+                ck = paged_kv_write(ck, k_rows, pids, offs)
+                cv = paged_kv_write(cv, v_rows, pids, offs)
             else:
                 from ..kernels.attention import (
                     dense_kv_write,
@@ -246,7 +251,7 @@ class Attention(nn.Module):
                     # DMA latency, measured on v5e).
                     qg = q[:, 0].reshape(B, KH, Gq, D)
                     out, ck, cv = fused_decode_attention(
-                        qg, k_codes, v_codes, ck, cv, start,
+                        qg, k_rows, v_rows, ck, cv, start,
                         k_scale=(k_scale if real_fp8 else None),
                         v_scale=(v_scale if real_fp8 else None),
                         out_dtype=cfg.dtype,
@@ -258,8 +263,8 @@ class Attention(nn.Module):
                 # explicit Pallas DMA (kernels/attention.py dense_kv_write —
                 # XLA scatters compile pathologically for this pattern).
                 # Cache positions are always contiguous per slot.
-                ck = dense_kv_write(ck, k_codes, start)
-                cv = dense_kv_write(cv, v_codes, start)
+                ck = dense_kv_write(ck, k_rows, start)
+                cv = dense_kv_write(cv, v_rows, start)
             new_kv = (ck, cv)
             if kmax is not None:
                 # skip-softmax bookkeeping: fold the just-written tokens into
@@ -328,19 +333,23 @@ class Attention(nn.Module):
                 out = out.reshape(B, 1, H * D)
                 out = dense(cfg.hidden_size, "o_proj")(out)
                 return out, new_kv
-            kg = paged_gather_dense(ck, page_table)
-            vg = paged_gather_dense(cv, page_table)
+            kg = paged_gather_dense(ck, page_table).reshape(B, -1, KH, D)
+            vg = paged_gather_dense(cv, page_table).reshape(B, -1, KH, D)
             if real_fp8:
                 k = kg.astype(cfg.dtype) * k_scale.astype(cfg.dtype)
                 v = vg.astype(cfg.dtype) * v_scale.astype(cfg.dtype)
             else:
                 k, v = kg, vg  # [B, PMAX*ps, KH, D]
         elif cache_kv is not None:
+            # einsum fallback wants the per-head 4D view; the lane-merged
+            # cache rows reshape back without reordering
+            k4 = ck.reshape(B, -1, KH, D)
+            v4 = cv.reshape(B, -1, KH, D)
             if real_fp8:
-                k = ck.astype(cfg.dtype) * k_scale.astype(cfg.dtype)
-                v = cv.astype(cfg.dtype) * v_scale.astype(cfg.dtype)
+                k = k4.astype(cfg.dtype) * k_scale.astype(cfg.dtype)
+                v = v4.astype(cfg.dtype) * v_scale.astype(cfg.dtype)
             else:
-                k, v = ck, cv  # [B, S_max, KH, D]
+                k, v = k4, v4  # [B, S_max, KH, D]
 
         # Fused decode-attention kernel: reads (possibly fp8) KV straight
         # from the cache without materializing a dequantized copy in HBM.

@@ -2,7 +2,7 @@
 
 The reference leans on vLLM's paged KV; this framework's engine owns its
 cache, so paging is built in. Pages are a global pool per layer
-``[n_pages, KH, page_size, D]`` shared by every slot; a per-slot page table
+``[n_pages, page_size, KH*D]`` shared by every slot; a per-slot page table
 maps slot-local page index -> pool page id. KV memory scales with ACTIVE
 tokens (pages in use), not ``max_batch * max_seq_len``, and the pool can be
 oversubscribed relative to the worst case.
@@ -64,7 +64,8 @@ def make_paged_cache(cfg, max_batch: int, pcfg: PagedCacheConfig, dtype=None):
     Same pytree contract as models.transformer.make_cache plus
     ``page_table``: the Decoder detects the key and takes the paged path."""
     dtype = dtype or cfg.dtype
-    shape = (pcfg.n_pages, pcfg.page_size, cfg.kv_heads, cfg.dims_per_head)
+    # heads merged into the lane dim — see models.transformer.make_cache
+    shape = (pcfg.n_pages, pcfg.page_size, cfg.kv_heads * cfg.dims_per_head)
     return {
         "k": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
         "v": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),

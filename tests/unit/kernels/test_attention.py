@@ -11,7 +11,7 @@ from modelopt_tpu.kernels.attention import decode_attention
 
 
 def ref_attention(q, k, v, lengths):
-    """k/v in the native cache layout [B, S, KH, D]."""
+    """k/v given 4D [B, S, KH, D] (the cache stores them lane-merged)."""
     B, KH, G, D = q.shape
     S = k.shape[1]
     out = np.zeros((B, KH, G, D), np.float32)
@@ -40,7 +40,8 @@ def test_bf16_cache_parity(rng, interp):
     k = jnp.asarray(rng.standard_normal((B, S, KH, D)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((B, S, KH, D)), jnp.float32)
     lengths = jnp.asarray([17, 64], jnp.int32)
-    out = decode_attention(q, k, v, lengths, out_dtype=jnp.float32)
+    out = decode_attention(q, k.reshape(B, S, KH * D), v.reshape(B, S, KH * D),
+                           lengths, out_dtype=jnp.float32)
     ref = ref_attention(q, np.asarray(k), np.asarray(v), np.asarray(lengths))
     # kernel computes q/k/v in bf16 on the MXU: parity bounded by bf16 rounding
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-2)
@@ -55,7 +56,8 @@ def test_fp8_cache_parity(rng, interp):
     k8 = jnp.asarray(k / k_scale).astype(jnp.float8_e4m3fn)
     v8 = jnp.asarray(v / v_scale).astype(jnp.float8_e4m3fn)
     lengths = jnp.asarray([9, 32], jnp.int32)
-    out = decode_attention(q, k8, v8, lengths, k_scale=k_scale, v_scale=v_scale,
+    out = decode_attention(q, k8.reshape(B, S, KH * D), v8.reshape(B, S, KH * D),
+                           lengths, k_scale=k_scale, v_scale=v_scale,
                            out_dtype=jnp.float32)
     # reference on the DEQUANTIZED codes (same information the kernel sees)
     kd = np.asarray(k8.astype(jnp.float32)) * k_scale
@@ -70,7 +72,8 @@ def test_length_one(rng, interp):
     k = jnp.asarray(rng.standard_normal((B, S, KH, D)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((B, S, KH, D)), jnp.float32)
     lengths = jnp.asarray([1], jnp.int32)
-    out = decode_attention(q, k, v, lengths, out_dtype=jnp.float32)
+    out = decode_attention(q, k.reshape(B, S, KH * D), v.reshape(B, S, KH * D),
+                           lengths, out_dtype=jnp.float32)
     # attending to a single key returns that value row (through bf16 rounding)
     np.testing.assert_allclose(
         np.asarray(out[0, 0]), np.tile(np.asarray(v[0, 0, 0]), (G, 1)),

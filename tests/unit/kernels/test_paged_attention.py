@@ -24,9 +24,9 @@ def interp():
 def make_case(rng, B=2, KH=2, G=4, D=64, page_size=16, PMAX=4, n_pages=16,
               lengths=(10, 61)):
     q = jnp.asarray(rng.standard_normal((B, KH, G, D)), jnp.float32)
-    k_pages = jnp.asarray(rng.standard_normal((n_pages, page_size, KH, D)),
+    k_pages = jnp.asarray(rng.standard_normal((n_pages, page_size, KH * D)),
                           jnp.float32)
-    v_pages = jnp.asarray(rng.standard_normal((n_pages, page_size, KH, D)),
+    v_pages = jnp.asarray(rng.standard_normal((n_pages, page_size, KH * D)),
                           jnp.float32)
     # distinct pages per slot; unused entries point at page 0 (masked)
     pt = np.zeros((B, PMAX), np.int32)
@@ -38,9 +38,9 @@ def make_case(rng, B=2, KH=2, G=4, D=64, page_size=16, PMAX=4, n_pages=16,
 
 
 def dense_ref(q, k_pages, v_pages, pt, lengths):
-    k = np.asarray(paged_gather_dense(k_pages, pt))
-    v = np.asarray(paged_gather_dense(v_pages, pt))
     B, KH, G, D = q.shape
+    k = np.asarray(paged_gather_dense(k_pages, pt)).reshape(B, -1, KH, D)
+    v = np.asarray(paged_gather_dense(v_pages, pt)).reshape(B, -1, KH, D)
     out = np.zeros((B, KH, G, D), np.float32)
     for b in range(B):
         L = int(lengths[b])
@@ -85,8 +85,9 @@ def test_single_token_length(rng, interp):
     out = paged_decode_attention(q, kp, vp, pt, lens, out_dtype=jnp.float32)
     # slot 0 attends to exactly the first key of its first page
     pid = int(pt[0, 0])
+    D = q.shape[3]
     np.testing.assert_allclose(
         np.asarray(out[0, 0]),
-        np.tile(np.asarray(vp[pid, 0, 0]), (q.shape[2], 1)),
+        np.tile(np.asarray(vp[pid, 0, :D]), (q.shape[2], 1)),
         rtol=8e-3, atol=8e-3,
     )

@@ -57,9 +57,10 @@ def test_sew_kv_cache_decode():
     bundle = lm_bundle()
     het = mtn.sew(bundle, ((("kv", 1),), (("no_attn", True),), ()))
     cache = make_cache(het.module.cfg, batch=2, max_len=16)
-    assert cache["k"][0].shape[2] == 1  # reduced layer
-    assert cache["k"][1].shape[2] == 1  # bypassed attention: dummy head
-    assert cache["k"][2].shape[2] == 2  # untouched
+    D = het.module.cfg.dims_per_head
+    assert cache["k"][0].shape[2] == 1 * D  # reduced layer
+    assert cache["k"][1].shape[2] == 1 * D  # bypassed attention: dummy head
+    assert cache["k"][2].shape[2] == 2 * D  # untouched
     ids = jnp.asarray([[5, 3, 7], [2, 2, 2]], jnp.int32)
     logits, cache = het.apply(ids, cache)
     tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
