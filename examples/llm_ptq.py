@@ -27,17 +27,20 @@ def build_model(name: str, seed: int = 0):
 
     from modelopt_tpu.core import ModelBundle
     from modelopt_tpu.models import (
-        Decoder, gpt2_config, llama3_8b_config, load_hf_checkpoint,
-        tiny_test_config, tinyllama_config,
+        Decoder, deepseek_v2_lite_config, gpt2_config, llama3_8b_config,
+        load_hf_checkpoint, tiny_mla_test_config, tiny_test_config,
+        tinyllama_config,
     )
 
     if os.path.isdir(name):
         return load_hf_checkpoint(name, example_len=64)
     cfgs = {
         "tiny": lambda: tiny_test_config(),
+        "tiny-mla": lambda: tiny_mla_test_config(),
         "gpt2": gpt2_config,
         "tinyllama": lambda: tinyllama_config(num_layers=4),  # trimmed for demo
         "llama3-8b": llama3_8b_config,
+        "deepseek-v2-lite": deepseek_v2_lite_config,
     }
     cfg = cfgs[name]()
     module = Decoder(cfg)

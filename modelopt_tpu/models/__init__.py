@@ -14,6 +14,9 @@ from .transformer import (
     make_cache,
     mistral_config,
     mixtral_config,
+    deepseek_v2_lite_config,
+    deepseek_v3_config,
+    tiny_mla_test_config,
     qwen2_config,
     tiny_test_config,
     tinyllama_config,
@@ -36,6 +39,9 @@ __all__ = [
     "llama_config",
     "make_cache",
     "mixtral_config",
+    "deepseek_v2_lite_config",
+    "deepseek_v3_config",
+    "tiny_mla_test_config",
     "tiny_test_config",
     "tinyllama_config",
 ]

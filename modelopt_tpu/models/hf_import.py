@@ -2,7 +2,7 @@
 
 The reference wraps HF torch models in place; this framework instead converts
 their weights into its own TPU-native modules (models/transformer.py). Covers
-the GPT-2, Llama/TinyLlama/Mistral, and Mixtral families
+the GPT-2, Llama/TinyLlama/Mistral, Mixtral, LLaVA, and DeepSeek (MLA) families
 (reference counterpart: the per-architecture HF plugins,
 modelopt/torch/quantization/plugins/huggingface.py).
 
@@ -106,6 +106,31 @@ def config_from_hf(hf_config) -> DecoderConfig:
             num_experts=get("num_local_experts", 8),
             experts_per_token=get("num_experts_per_tok", 2),
         )
+    if mt in ("deepseek_v2", "deepseek_v3", "deepseek"):
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
+            num_layers=get("num_hidden_layers"),
+            num_heads=get("num_attention_heads"),
+            intermediate_size=get("intermediate_size"),
+            moe_intermediate_size=get("moe_intermediate_size"),
+            activation="silu_glu", norm="rmsnorm", positions="rope",
+            rope_theta=get("rope_theta", 10000.0),
+            max_position_embeddings=get("max_position_embeddings", 4096),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            norm_eps=get("rms_norm_eps", 1e-5),
+            num_experts=get("n_routed_experts") or 0,
+            experts_per_token=get("num_experts_per_tok") or 2,
+            n_shared_experts=get("n_shared_experts") or 0,
+            router_score=("sigmoid" if get("scoring_func") == "sigmoid"
+                          else "softmax"),
+            first_k_dense=get("first_k_dense_replace", 0),
+            attention_type="mla",
+            q_lora_rank=get("q_lora_rank"),
+            kv_lora_rank=get("kv_lora_rank", 512),
+            qk_nope_head_dim=get("qk_nope_head_dim", 128),
+            qk_rope_head_dim=get("qk_rope_head_dim", 64),
+            v_head_dim=get("v_head_dim", 128),
+        )
     raise ValueError(f"Unsupported HF model_type: {mt!r}")
 
 
@@ -153,6 +178,69 @@ def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.", commit=None,
     p["final_norm"] = commit({"scale": _np(sd[f"{prefix}norm.weight"])})
     if not cfg.tie_word_embeddings:
         p["lm_head"] = commit({"kernel": _np(sd[lm_head_key]).T})
+    return p
+
+
+def _deepseek_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> dict:
+    """DeepSeek-V2/V3 checkpoint map: MLA projections (optional q
+    compression) + routed/shared MoE (reference workload:
+    examples/deepseek/). HF naming follows DeepseekV2ForCausalLM."""
+    commit = commit or (lambda t: t)
+    p: dict = {}
+    p["embed_tokens"] = commit({"embedding": _np(sd[f"{prefix}embed_tokens.weight"])})
+    for i in range(cfg.num_layers):
+        L = f"{prefix}layers.{i}."
+        A = L + "self_attn."
+        attn: dict = {
+            "kv_a_proj": {"kernel": _np(sd[A + "kv_a_proj_with_mqa.weight"]).T},
+            "kv_a_norm": {"scale": _np(sd[A + "kv_a_layernorm.weight"])},
+            "kv_b_proj": {"kernel": _np(sd[A + "kv_b_proj.weight"]).T},
+            "o_proj": {"kernel": _np(sd[A + "o_proj.weight"]).T},
+        }
+        if cfg.q_lora_rank:
+            attn["q_a_proj"] = {"kernel": _np(sd[A + "q_a_proj.weight"]).T}
+            attn["q_a_norm"] = {"scale": _np(sd[A + "q_a_layernorm.weight"])}
+            attn["q_b_proj"] = {"kernel": _np(sd[A + "q_b_proj.weight"]).T}
+        else:
+            attn["q_proj"] = {"kernel": _np(sd[A + "q_proj.weight"]).T}
+        layer: dict = {
+            "input_norm": {"scale": _np(sd[L + "input_layernorm.weight"])},
+            "post_attn_norm": {"scale": _np(sd[L + "post_attention_layernorm.weight"])},
+            "attn": attn,
+        }
+        if cfg.num_experts > 0 and i >= cfg.first_k_dense:
+            E = cfg.num_experts
+            moe: dict = {
+                "router": {"kernel": _np(sd[L + "mlp.gate.weight"]).T},
+                "gate_proj": {"kernel": np.stack([
+                    _np(sd[L + f"mlp.experts.{e}.gate_proj.weight"]).T
+                    for e in range(E)
+                ])},
+                "up_proj": {"kernel": np.stack([
+                    _np(sd[L + f"mlp.experts.{e}.up_proj.weight"]).T
+                    for e in range(E)
+                ])},
+                "down_proj": {"kernel": np.stack([
+                    _np(sd[L + f"mlp.experts.{e}.down_proj.weight"]).T
+                    for e in range(E)
+                ])},
+            }
+            if cfg.n_shared_experts:
+                moe["shared_experts"] = {
+                    name: {"kernel": _np(
+                        sd[L + f"mlp.shared_experts.{name}.weight"]).T}
+                    for name in ("gate_proj", "up_proj", "down_proj")
+                }
+            layer["moe"] = moe
+        else:
+            layer["mlp"] = {
+                name: {"kernel": _np(sd[L + f"mlp.{name}.weight"]).T}
+                for name in ("gate_proj", "up_proj", "down_proj")
+            }
+        p[f"layers_{i}"] = commit(layer)
+    p["final_norm"] = commit({"scale": _np(sd[f"{prefix}norm.weight"])})
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = commit({"kernel": _np(sd["lm_head.weight"]).T})
     return p
 
 
@@ -289,6 +377,10 @@ def from_hf(model, hf_config=None, example_len: int = 8, commit=None) -> ModelBu
         vc = cfg.vision
         pixels = jnp.zeros((1, vc.image_size, vc.image_size, 3), jnp.float32)
         example_inputs = (ids, pixels)
+    elif mt.startswith("deepseek"):
+        params = _deepseek_params(sd, cfg, commit=commit)
+        module = Decoder(cfg)
+        example_inputs = (ids,)
     else:
         params = _llama_like_params(sd, cfg, commit=commit)
         module = Decoder(cfg)

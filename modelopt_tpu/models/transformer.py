@@ -51,6 +51,22 @@ class DecoderConfig:
     # MoE (Mixtral-style); 0 experts = dense MLP
     num_experts: int = 0
     experts_per_token: int = 2
+    # DeepSeek-style MoE extensions: always-on shared experts (their own
+    # intermediate size = n_shared_experts * moe_intermediate_size), sigmoid
+    # router scoring (V3), and dense MLPs for the first k layers
+    n_shared_experts: int = 0
+    router_score: str = "softmax"  # "softmax" | "sigmoid" (DeepSeek-V3)
+    first_k_dense: int = 0
+    moe_intermediate_size: Optional[int] = None  # None = intermediate_size
+    # Multi-head Latent Attention (DeepSeek V2/V3, models/mla.py): the KV
+    # cache stores one shared latent row [kv_lora_rank + qk_rope_head_dim]
+    # per token instead of per-head K/V
+    attention_type: str = "mha"  # "mha" | "mla"
+    q_lora_rank: Optional[int] = None  # None = direct q projection
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: Optional[int] = None
     # sliding-window attention sparsity (None = full causal); with
     # ``attention_sink`` initial positions always attended
     # (reference analogue: sparsity/attention_sparsity sliding-block methods)
@@ -116,6 +132,20 @@ def make_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
     otherwise XLA keeps the input cache alive and the update copies the
     entire cache every step (~6 ms at 8B bs64)."""
     dtype = dtype or cfg.dtype
+
+    if cfg.attention_type == "mla":
+        # one shared latent row per token (models/mla.py), padded to full
+        # 128-lane tiles so cache writes stay dense leading-dim DMAs; the
+        # "v" slot is an empty placeholder keeping the cache pytree uniform
+        dc = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+        dc_pad = -(-dc // 128) * 128
+        return {
+            "k": tuple(jnp.zeros((batch, max_len, dc_pad), dtype)
+                       for _ in range(cfg.num_layers)),
+            "v": tuple(jnp.zeros((batch, max_len, 0), dtype)
+                       for _ in range(cfg.num_layers)),
+            "lengths": jnp.zeros((batch,), jnp.int32),
+        }
 
     def shape_for(i):
         # heterogeneous plans may reduce a layer's KV heads or drop its
@@ -437,8 +467,17 @@ class MoEBlock(nn.Module):
         router = nn.Dense(E, use_bias=False, dtype=jnp.float32,
                           param_dtype=cfg.param_dtype, name="router")
         logits = router(x.astype(jnp.float32))  # [B,T,E]
-        weights, sel = jax.lax.top_k(logits, K)
-        weights = jax.nn.softmax(weights, axis=-1)  # [B,T,K]
+        if cfg.router_score == "sigmoid":
+            # DeepSeek-V3 scoring: sigmoid affinities, top-k, weights
+            # renormalized over the selected set
+            scores = jax.nn.sigmoid(logits)
+            weights, sel = jax.lax.top_k(scores, K)
+            weights = weights / jnp.maximum(
+                jnp.sum(weights, axis=-1, keepdims=True), 1e-20
+            )
+        else:
+            weights, sel = jax.lax.top_k(logits, K)
+            weights = jax.nn.softmax(weights, axis=-1)  # [B,T,K]
         gates = jnp.zeros_like(logits).at[
             jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], sel
         ].set(weights)  # [B,T,E] sparse gate matrix
@@ -452,7 +491,7 @@ class MoEBlock(nn.Module):
                 name=name,
             )
 
-        I = cfg.intermediate_size
+        I = cfg.moe_intermediate_size or cfg.intermediate_size
         gate_out = expert_einsum((E, Hd, I), "gate_proj")(x)
         up_out = expert_einsum((E, Hd, I), "up_proj")(x)
         h = nn.silu(gate_out) * up_out  # [B,T,E,I]
@@ -460,7 +499,15 @@ class MoEBlock(nn.Module):
             einsum_str="bteo,eod->bted", kernel_shape=(E, I, Hd),
             dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="down_proj",
         )(h)  # [B,T,E,Hd]
-        return jnp.einsum("bted,bte->btd", down, gates.astype(cfg.dtype))
+        out = jnp.einsum("bted,bte->btd", down, gates.astype(cfg.dtype))
+        if cfg.n_shared_experts:
+            # DeepSeek shared experts: one always-on MLP of width
+            # n_shared * I added to the routed output
+            shared_cfg = dataclasses.replace(
+                cfg, intermediate_size=cfg.n_shared_experts * I
+            )
+            out = out + MLP(shared_cfg, name="shared_experts")(x)
+        return out
 
 
 class Block(nn.Module):
@@ -489,7 +536,13 @@ class Block(nn.Module):
                     num_heads=int(opts["kv"]) * G,
                     head_dim=cfg.dims_per_head,
                 )
-            h, new_kv = Attention(attn_cfg, name="attn")(
+            if cfg.attention_type == "mla":
+                from .mla import MLAttention
+
+                attn_cls = MLAttention
+            else:
+                attn_cls = Attention
+            h, new_kv = attn_cls(attn_cfg, name="attn")(
                 norm("input_norm")(x), positions, mask, cache_kv
             )
             x = x + h
@@ -500,7 +553,7 @@ class Block(nn.Module):
         if "no_mlp" in opts:
             return x, new_kv
         mlp_in = norm("post_attn_norm")(x)
-        if cfg.num_experts > 0:
+        if cfg.num_experts > 0 and self.layer_index >= cfg.first_k_dense:
             x = x + MoEBlock(cfg, name="moe")(mlp_in)
         else:
             mlp_cfg = cfg
@@ -742,6 +795,51 @@ def tiny_test_config(**overrides) -> DecoderConfig:
     base = dict(
         vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
         num_kv_heads=2, intermediate_size=128, max_position_embeddings=128,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def deepseek_v2_lite_config(**overrides) -> DecoderConfig:
+    """DeepSeek-V2-Lite: MLA (r=512, no q compression) + routed MoE with
+    shared experts (reference workload: examples/deepseek/)."""
+    base = dict(
+        vocab_size=102400, hidden_size=2048, num_layers=27, num_heads=16,
+        intermediate_size=10944, moe_intermediate_size=1408,
+        num_experts=64, experts_per_token=6, n_shared_experts=2,
+        first_k_dense=1, rope_theta=10000.0,
+        attention_type="mla", q_lora_rank=None, kv_lora_rank=512,
+        qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def deepseek_v3_config(**overrides) -> DecoderConfig:
+    """DeepSeek-V3/R1 geometry: full MLA (q_lora 1536) + sigmoid-routed
+    MoE. 671B total — realistic single-host use is the *shape* for bench/
+    sharding work, not full weights."""
+    base = dict(
+        vocab_size=129280, hidden_size=7168, num_layers=61, num_heads=128,
+        intermediate_size=18432, moe_intermediate_size=2048,
+        num_experts=256, experts_per_token=8, n_shared_experts=1,
+        router_score="sigmoid", first_k_dense=3, rope_theta=10000.0,
+        attention_type="mla", q_lora_rank=1536, kv_lora_rank=512,
+        qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def tiny_mla_test_config(**overrides) -> DecoderConfig:
+    """Small MLA config for tests: latent cache, shared+routed experts."""
+    base = dict(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=2,
+        intermediate_size=128, moe_intermediate_size=64,
+        num_experts=4, experts_per_token=2, n_shared_experts=1,
+        first_k_dense=1, max_position_embeddings=128,
+        attention_type="mla", q_lora_rank=32, kv_lora_rank=32,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
     )
     base.update(overrides)
     return DecoderConfig(**base)

@@ -1,0 +1,125 @@
+"""Multi-head Latent Attention (DeepSeek family): decode parity, latent
+cache quantization, MoE shared experts / sigmoid routing, HF import."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modelopt_tpu.core import PHASE_QUANT, ModelBundle
+from modelopt_tpu.models import Decoder, make_cache, tiny_mla_test_config
+
+
+@pytest.fixture(scope="module")
+def mla_bundle():
+    cfg = tiny_mla_test_config()
+    m = Decoder(cfg)
+    ids = jnp.zeros((2, 16), jnp.int32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), ids)
+    return ModelBundle(module=m, variables=dict(v), example_inputs=(ids,))
+
+
+def test_mla_cached_decode_matches_full(mla_bundle):
+    m, v = mla_bundle.module, mla_bundle.variables
+    cfg = m.cfg
+    ids = jnp.asarray([[5, 3, 7], [2, 2, 2]], jnp.int32)
+    cache = make_cache(cfg, 2, 16)
+    # latent rows padded to full lane tiles; v is an empty placeholder
+    dc = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+    assert cache["k"][0].shape[2] == -(-dc // 128) * 128
+    assert cache["v"][0].shape[2] == 0
+    lg, cache = m.apply(v, ids, cache)
+    tok = jnp.argmax(lg[:, -1:], -1).astype(jnp.int32)
+    lg2, cache = m.apply(v, tok, cache)
+    full, _ = m.apply(v, jnp.concatenate([ids, tok], 1))
+    np.testing.assert_allclose(
+        np.asarray(lg2[:, -1]), np.asarray(full[:, -1]), rtol=3e-4, atol=3e-4
+    )
+
+
+def test_mla_quantize_and_fp8_latent_cache(mla_bundle):
+    import modelopt_tpu.quant as mtq
+
+    cfg = mla_bundle.module.cfg
+    data = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    q = mtq.quantize(mla_bundle, "FP8_KV_CFG", lambda f: f(data))
+    # kv_b_proj participates in weight quantization (absorbed kernel)
+    qt = q.variables["quant"]["layers_0"]["attn"]["kv_b_proj"]
+    assert "weight_quantizer" in qt
+    fn = jax.jit(q.make_fn(phase=PHASE_QUANT))
+    cache = make_cache(cfg, 2, 16, dtype=jnp.float8_e4m3fn)
+    lg, cache = fn(q.variables, jnp.asarray([[5, 3], [1, 4]], jnp.int32), cache)
+    assert cache["k"][0].dtype == jnp.float8_e4m3fn
+    tok = jnp.argmax(lg[:, -1:], -1).astype(jnp.int32)
+    lg2, _ = fn(q.variables, tok, cache)
+    assert np.isfinite(np.asarray(lg2)).all()
+
+
+def test_shared_experts_and_sigmoid_router():
+    import dataclasses
+
+    cfg = tiny_mla_test_config(router_score="sigmoid")
+    m = Decoder(cfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), ids)
+    # layer_0 is dense (first_k_dense=1); layer_1 routed MoE + shared expert
+    p1 = v["params"]["layers_1"]["moe"]
+    assert "shared_experts" in p1 and "router" in p1
+    assert "mlp" in v["params"]["layers_0"]
+    lg, _ = m.apply(v, ids)
+    assert np.isfinite(np.asarray(lg)).all()
+    # sigmoid scoring changes the routed mixture vs softmax on same params
+    cfg_sm = dataclasses.replace(cfg, router_score="softmax")
+    lg_sm, _ = Decoder(cfg_sm).apply(v, ids)
+    assert not np.allclose(np.asarray(lg), np.asarray(lg_sm))
+
+
+def test_deepseek_hf_import_roundtrip():
+    """Synthetic DeepSeek-V2-Lite-shaped state dict imports and runs."""
+    from modelopt_tpu.models.hf_import import from_hf
+
+    rng = np.random.default_rng(0)
+    hf_cfg = {
+        "model_type": "deepseek_v2", "vocab_size": 64, "hidden_size": 32,
+        "num_hidden_layers": 2, "num_attention_heads": 2,
+        "intermediate_size": 48, "moe_intermediate_size": 16,
+        "n_routed_experts": 4, "num_experts_per_tok": 2,
+        "n_shared_experts": 1, "first_k_dense_replace": 1,
+        "q_lora_rank": None, "kv_lora_rank": 16, "qk_nope_head_dim": 8,
+        "qk_rope_head_dim": 4, "v_head_dim": 8, "rms_norm_eps": 1e-6,
+    }
+    H, Hd = 2, 32
+    r, dn, dr, dv = 16, 8, 4, 8
+    w = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.05  # noqa: E731
+    sd = {"model.embed_tokens.weight": w(64, Hd),
+          "model.norm.weight": np.ones(Hd, np.float32),
+          "lm_head.weight": w(64, Hd)}
+    for i in range(2):
+        L = f"model.layers.{i}."
+        sd[L + "input_layernorm.weight"] = np.ones(Hd, np.float32)
+        sd[L + "post_attention_layernorm.weight"] = np.ones(Hd, np.float32)
+        A = L + "self_attn."
+        sd[A + "q_proj.weight"] = w(H * (dn + dr), Hd)
+        sd[A + "kv_a_proj_with_mqa.weight"] = w(r + dr, Hd)
+        sd[A + "kv_a_layernorm.weight"] = np.ones(r, np.float32)
+        sd[A + "kv_b_proj.weight"] = w(H * (dn + dv), r)
+        sd[A + "o_proj.weight"] = w(Hd, H * dv)
+        if i == 0:
+            for n in ("gate_proj", "up_proj", "down_proj"):
+                shp = (48, Hd) if n != "down_proj" else (Hd, 48)
+                sd[L + f"mlp.{n}.weight"] = w(*shp)
+        else:
+            sd[L + "mlp.gate.weight"] = w(4, Hd)
+            for e in range(4):
+                for n in ("gate_proj", "up_proj", "down_proj"):
+                    shp = (16, Hd) if n != "down_proj" else (Hd, 16)
+                    sd[L + f"mlp.experts.{e}.{n}.weight"] = w(*shp)
+            for n in ("gate_proj", "up_proj", "down_proj"):
+                shp = (16, Hd) if n != "down_proj" else (Hd, 16)
+                sd[L + f"mlp.shared_experts.{n}.weight"] = w(*shp)
+    bundle = from_hf(sd, hf_cfg)
+    assert bundle.module.cfg.attention_type == "mla"
+    out = bundle.apply(jnp.asarray([[1, 2, 3]], jnp.int32))
+    logits = out[0] if isinstance(out, tuple) else out
+    assert logits.shape == (1, 3, 64)
+    assert np.isfinite(np.asarray(logits)).all()
