@@ -304,3 +304,23 @@ class TestSpeculativeEngine:
         eng.run()
         assert req.done
         assert req.out_tokens == naive_greedy(m, prompt, 5)
+
+
+class TestMLAEngine:
+    """MLA (DeepSeek-family) models serve through the same engine: the
+    latent cache rides the standard cache pytree."""
+
+    def test_mla_engine_matches_naive(self):
+        from modelopt_tpu.models import tiny_mla_test_config
+
+        cfg = tiny_mla_test_config(dtype=jnp.float32)
+        m = Decoder(cfg)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        variables = m.init(jax.random.PRNGKey(0), ids)
+        b = ModelBundle(module=m, variables=dict(variables), example_inputs=(ids,))
+        eng = ServingEngine(b, max_batch=2, max_seq_len=32, prefill_buckets=(16,))
+        prompt = [5, 3, 7, 2]
+        req = eng.submit(prompt, max_new_tokens=6)
+        eng.run()
+        assert req.done
+        assert req.out_tokens == naive_greedy(b, prompt, 6)
