@@ -27,9 +27,9 @@ def build_model(name: str, seed: int = 0):
 
     from modelopt_tpu.core import ModelBundle
     from modelopt_tpu.models import (
-        Decoder, deepseek_v2_lite_config, gpt2_config, llama3_8b_config,
-        load_hf_checkpoint, tiny_mla_test_config, tiny_test_config,
-        tinyllama_config,
+        Decoder, deepseek_v2_lite_config, gpt2_config, gpt_oss_20b_config,
+        llama3_8b_config, load_hf_checkpoint, tiny_gptoss_test_config,
+        tiny_mla_test_config, tiny_test_config, tinyllama_config,
     )
 
     if os.path.isdir(name):
@@ -41,6 +41,8 @@ def build_model(name: str, seed: int = 0):
         "tinyllama": lambda: tinyllama_config(num_layers=4),  # trimmed for demo
         "llama3-8b": llama3_8b_config,
         "deepseek-v2-lite": deepseek_v2_lite_config,
+        "tiny-gptoss": lambda: tiny_gptoss_test_config(),
+        "gpt-oss-20b": gpt_oss_20b_config,
     }
     cfg = cfgs[name]()
     module = Decoder(cfg)

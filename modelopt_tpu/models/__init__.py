@@ -15,6 +15,8 @@ from .transformer import (
     mistral_config,
     mixtral_config,
     deepseek_v2_lite_config,
+    gpt_oss_20b_config,
+    tiny_gptoss_test_config,
     deepseek_v3_config,
     tiny_mla_test_config,
     qwen2_config,
@@ -40,6 +42,8 @@ __all__ = [
     "make_cache",
     "mixtral_config",
     "deepseek_v2_lite_config",
+    "gpt_oss_20b_config",
+    "tiny_gptoss_test_config",
     "deepseek_v3_config",
     "tiny_mla_test_config",
     "tiny_test_config",

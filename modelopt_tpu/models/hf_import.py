@@ -131,6 +131,43 @@ def config_from_hf(hf_config) -> DecoderConfig:
             qk_rope_head_dim=get("qk_rope_head_dim", 64),
             v_head_dim=get("v_head_dim", 128),
         )
+    if mt == "gpt_oss":
+        layer_types = get("layer_types") or []
+        plan = tuple(
+            (("window", get("sliding_window", 128)),)
+            if t == "sliding_attention" else ()
+            for t in layer_types
+        ) or None
+        rs = get("rope_scaling")
+        if rs:
+            rs_get = (lambda k, d=None: rs.get(k, d)) if isinstance(rs, dict) \
+                else (lambda k, d=None: getattr(rs, k, d))
+            scaling = tuple(
+                (k, rs_get(k)) for k in
+                ("rope_type", "factor", "original_max_position_embeddings",
+                 "beta_fast", "beta_slow", "attention_factor")
+                if rs_get(k) is not None
+            )
+        else:
+            scaling = None
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
+            num_layers=get("num_hidden_layers"),
+            num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads"),
+            head_dim=get("head_dim"),
+            intermediate_size=get("intermediate_size"),
+            activation="silu_glu", norm="rmsnorm", positions="rope",
+            rope_theta=get("rope_theta", 150000.0), rope_scaling=scaling,
+            max_position_embeddings=get("max_position_embeddings", 131072),
+            attn_bias=bool(get("attention_bias", True)),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            norm_eps=get("rms_norm_eps", 1e-5),
+            num_experts=get("num_local_experts", 32),
+            experts_per_token=get("num_experts_per_tok", 4),
+            moe_activation="swiglu_oai", moe_bias=True, router_bias=True,
+            attention_sinks=True, layer_plan=plan,
+        )
     raise ValueError(f"Unsupported HF model_type: {mt!r}")
 
 
@@ -237,6 +274,45 @@ def _deepseek_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> di
                 name: {"kernel": _np(sd[L + f"mlp.{name}.weight"]).T}
                 for name in ("gate_proj", "up_proj", "down_proj")
             }
+        p[f"layers_{i}"] = commit(layer)
+    p["final_norm"] = commit({"scale": _np(sd[f"{prefix}norm.weight"])})
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = commit({"kernel": _np(sd["lm_head.weight"]).T})
+    return p
+
+
+def _gpt_oss_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> dict:
+    """gpt-oss checkpoint map: GQA with learned sinks + fused interleaved
+    gate_up expert tensors (de-interleaved here into the native per-tensor
+    expert einsums; reference workload: examples/gpt-oss/). Expert tensors
+    are stored input-major ([E, in, out]) in the HF checkpoint — no
+    transpose."""
+    commit = commit or (lambda t: t)
+    p: dict = {}
+    p["embed_tokens"] = commit({"embedding": _np(sd[f"{prefix}embed_tokens.weight"])})
+    for i in range(cfg.num_layers):
+        L = f"{prefix}layers.{i}."
+        attn: dict = {"sinks": _np(sd[L + "self_attn.sinks"])}
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            attn[name] = {"kernel": _np(sd[L + f"self_attn.{name}.weight"]).T}
+            if L + f"self_attn.{name}.bias" in sd:
+                attn[name]["bias"] = _np(sd[L + f"self_attn.{name}.bias"])
+        gu = _np(sd[L + "mlp.experts.gate_up_proj"])          # [E, Hd, 2I]
+        gub = _np(sd[L + "mlp.experts.gate_up_proj_bias"])    # [E, 2I]
+        moe = {
+            "router": {"kernel": _np(sd[L + "mlp.router.weight"]).T,
+                       "bias": _np(sd[L + "mlp.router.bias"])},
+            "gate_proj": {"kernel": gu[..., ::2], "bias": gub[..., ::2]},
+            "up_proj": {"kernel": gu[..., 1::2], "bias": gub[..., 1::2]},
+            "down_proj": {"kernel": _np(sd[L + "mlp.experts.down_proj"]),
+                          "bias": _np(sd[L + "mlp.experts.down_proj_bias"])},
+        }
+        layer = {
+            "input_norm": {"scale": _np(sd[L + "input_layernorm.weight"])},
+            "post_attn_norm": {"scale": _np(sd[L + "post_attention_layernorm.weight"])},
+            "attn": attn,
+            "moe": moe,
+        }
         p[f"layers_{i}"] = commit(layer)
     p["final_norm"] = commit({"scale": _np(sd[f"{prefix}norm.weight"])})
     if not cfg.tie_word_embeddings:
@@ -379,6 +455,10 @@ def from_hf(model, hf_config=None, example_len: int = 8, commit=None) -> ModelBu
         example_inputs = (ids, pixels)
     elif mt.startswith("deepseek"):
         params = _deepseek_params(sd, cfg, commit=commit)
+        module = Decoder(cfg)
+        example_inputs = (ids,)
+    elif mt == "gpt_oss":
+        params = _gpt_oss_params(sd, cfg, commit=commit)
         module = Decoder(cfg)
         example_inputs = (ids,)
     else:

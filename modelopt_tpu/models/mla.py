@@ -96,7 +96,7 @@ class MLAttention(nn.Module):
             q = dense(H * (dn + dr), "q_proj")(x)
         q = q.reshape(B, T, H, dn + dr)
         q_nope, q_pe = q[..., :dn], q[..., dn:]
-        q_pe = _rope(q_pe, positions, cfg.rope_theta)
+        q_pe = _rope(q_pe, positions, cfg.rope_theta, cfg.rope_scaling)
         q_nope = TensorQuantizer(name="q_quantizer")(q_nope)
 
         # --- latent + shared rotary key ---
@@ -104,7 +104,8 @@ class MLAttention(nn.Module):
         c_kv, k_pe = ckv[..., :r], ckv[..., r:]
         c_kv = RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
                        name="kv_a_norm")(c_kv)
-        k_pe = _rope(k_pe[:, :, None, :], positions, cfg.rope_theta)[:, :, 0]
+        k_pe = _rope(k_pe[:, :, None, :], positions, cfg.rope_theta,
+                     cfg.rope_scaling)[:, :, 0]
 
         # kv_b expansion weights, consumed ABSORBED (never materializing
         # per-head K/V); param/quantizer naming matches a QuantDense

@@ -25,6 +25,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..nn.layers import QuantDense, QuantEmbed, RMSNorm
 from ..nn.quantizer import TensorQuantizer  # noqa: F401 (re-export for models)
@@ -58,6 +59,18 @@ class DecoderConfig:
     router_score: str = "softmax"  # "softmax" | "sigmoid" (DeepSeek-V3)
     first_k_dense: int = 0
     moe_intermediate_size: Optional[int] = None  # None = intermediate_size
+    # gpt-oss-style MoE: clamped swiglu (alpha=1.702, limit=7), expert and
+    # router biases
+    moe_activation: str = "silu_glu"  # "silu_glu" | "swiglu_oai"
+    moe_bias: bool = False
+    router_bias: bool = False
+    # gpt-oss learned attention sinks: one trainable logit per q head joins
+    # every softmax (an always-available "attend to nothing" slot)
+    attention_sinks: bool = False
+    # RoPE frequency scaling, as a hashable tuple of (key, value) pairs,
+    # e.g. (("rope_type","yarn"),("factor",32.0),
+    #       ("original_max_position_embeddings",4096)); None = plain RoPE
+    rope_scaling: Optional[tuple] = None
     # Multi-head Latent Attention (DeepSeek V2/V3, models/mla.py): the KV
     # cache stores one shared latent row [kv_lora_rank + qk_rope_head_dim]
     # per token instead of per-head K/V
@@ -174,14 +187,53 @@ def make_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
     return cache
 
 
-def _rope(x, positions, theta):
-    """Rotary embeddings, interleaved-pair convention (Llama)."""
+def _yarn_inv_freq(d: int, theta: float, scaling: dict):
+    """YaRN-scaled inverse frequencies + cos/sin attention factor
+    (public formula, arXiv:2309.00071; matches HF _compute_yarn_parameters
+    with truncate=True). Returns (inv_freq [d//2] numpy, attention_factor)."""
+    import math
+
+    factor = float(scaling["factor"])
+    original_max = int(scaling.get("original_max_position_embeddings", 4096))
+    beta_fast = float(scaling.get("beta_fast", 32))
+    beta_slow = float(scaling.get("beta_slow", 1))
+    attention_factor = scaling.get("attention_factor")
+    if attention_factor is None:
+        attention_factor = 0.1 * math.log(factor) + 1.0 if factor > 1 else 1.0
+
+    pos_freqs = theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+    inv_extra = 1.0 / pos_freqs
+    inv_inter = 1.0 / (factor * pos_freqs)
+
+    def corr_dim(rot):
+        return d * math.log(original_max / (rot * 2 * math.pi)) / (2 * math.log(theta))
+
+    low = max(math.floor(corr_dim(beta_fast)), 0)
+    high = min(math.ceil(corr_dim(beta_slow)), d - 1)
+    ramp = np.clip((np.arange(d // 2, dtype=np.float64) - low) / max(high - low, 1e-3), 0, 1)
+    extra_factor = 1.0 - ramp
+    inv_freq = inv_inter * (1 - extra_factor) + inv_extra * extra_factor
+    return inv_freq.astype(np.float32), float(attention_factor)
+
+
+def _rope(x, positions, theta, scaling=None):
+    """Rotary embeddings, interleaved-pair convention (Llama); ``scaling``
+    is an optional (key, value)-pair tuple for YaRN context extension."""
     d = x.shape[-1]
     half = d // 2
-    freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    mscale = 1.0
+    if scaling is not None:
+        sdict = dict(scaling)
+        if sdict.get("rope_type") == "yarn":
+            inv, mscale = _yarn_inv_freq(d, theta, sdict)
+            freq = jnp.asarray(inv)
+        else:
+            freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    else:
+        freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
     angles = positions[..., None].astype(jnp.float32) * freq  # [B,T,half]
-    cos = jnp.cos(angles)[:, :, None, :]  # [B,T,1,half]
-    sin = jnp.sin(angles)[:, :, None, :]
+    cos = jnp.cos(angles)[:, :, None, :] * mscale  # [B,T,1,half]
+    sin = jnp.sin(angles)[:, :, None, :] * mscale
     x1, x2 = x[..., :half], x[..., half:]
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
@@ -213,8 +265,8 @@ class Attention(nn.Module):
             v = dense(KH * D, "v_proj")(x).reshape(B, T, KH, D)
 
         if cfg.positions == "rope":
-            q = _rope(q, positions, cfg.rope_theta)
-            k = _rope(k, positions, cfg.rope_theta)
+            q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+            k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
         # KV-cache quantization points: quantize before the cache / BMMs.
         # With an fp8 cache, the quantizers hand back (codes, scale) and the
@@ -272,7 +324,7 @@ class Attention(nn.Module):
                 start = positions_kv[:, 0]
                 Gq = H // KH
                 if (T == 1 and cfg.attention_window is None
-                        and kmax is None
+                        and kmax is None and not cfg.attention_sinks
                         and fused_decode_ok((B, KH, Gq, D), ck.shape[1],
                                             ck.dtype)):
                     # Fused decode step: the cache write DMA rides behind the
@@ -310,7 +362,8 @@ class Attention(nn.Module):
                     kmax, kmin, k_real, positions_kv[:, 0], sscfg.block_size
                 )
                 new_kv = (ck, cv, kmax, kmin)
-                if T == 1 and cfg.attention_window is None:
+                if (T == 1 and cfg.attention_window is None
+                        and not cfg.attention_sinks):
                     from ..kernels.block_sparse_attention import (
                         block_sparse_decode_attention,
                         block_sparse_decode_attention_xla,
@@ -351,6 +404,7 @@ class Attention(nn.Module):
 
             ps = ck.shape[1]
             if (T == 1 and cfg.attention_window is None
+                    and not cfg.attention_sinks
                     and paged_attention_ok(B, KH, G, D, ps)):
                 qg = q[:, 0].reshape(B, KH, G, D)
                 lengths = positions[:, 0] + 1
@@ -384,7 +438,8 @@ class Attention(nn.Module):
         # Fused decode-attention kernel: reads (possibly fp8) KV straight
         # from the cache without materializing a dequantized copy in HBM.
         if (new_kv is not None and page_table is None and T == 1
-                and cfg.attention_window is None):
+                and cfg.attention_window is None
+                and not cfg.attention_sinks):
             from ..kernels.attention import decode_attention, decode_attention_ok
 
             S_c = new_kv[0].shape[1]
@@ -404,7 +459,7 @@ class Attention(nn.Module):
         # Prefill/training flash attention: tiled scores never hit HBM —
         # required at long context where the einsum path materializes
         # [B, H, T, S] (kernels/flash_attention.py).
-        if cache_kv is None and T >= 256:
+        if cache_kv is None and T >= 256 and not cfg.attention_sinks:
             from ..kernels.flash_attention import flash_attention, flash_attention_ok
 
             if flash_attention_ok(T, k.shape[1], D):
@@ -422,7 +477,18 @@ class Attention(nn.Module):
             "btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32
         ) / jnp.sqrt(D).astype(jnp.float32)
         scores = scores + mask[:, None, None, :, :S]
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+        if cfg.attention_sinks:
+            # gpt-oss learned sinks: one per-head logit joins every softmax
+            # (its probability mass is then dropped — an "attend to
+            # nothing" slot that damps low-information heads)
+            sinks = self.param("sinks", nn.initializers.zeros_init(), (H,),
+                               cfg.param_dtype)
+            sk = sinks.reshape(KH, G).astype(jnp.float32)
+            sk = jnp.broadcast_to(sk[None, :, :, None, None], (B, KH, G, T, 1))
+            combined = jnp.concatenate([scores.astype(jnp.float32), sk], -1)
+            probs = jax.nn.softmax(combined, axis=-1)[..., :-1].astype(cfg.dtype)
+        else:
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cfg.dtype)
         out = jnp.einsum("bkgts,bskd->btkgd", probs, v.astype(cfg.dtype))
         out = out.reshape(B, T, H * D)
         out = dense(cfg.hidden_size, "o_proj")(out)
@@ -464,7 +530,7 @@ class MoEBlock(nn.Module):
         cfg = self.cfg
         B, T, Hd = x.shape
         E, K = cfg.num_experts, cfg.experts_per_token
-        router = nn.Dense(E, use_bias=False, dtype=jnp.float32,
+        router = nn.Dense(E, use_bias=cfg.router_bias, dtype=jnp.float32,
                           param_dtype=cfg.param_dtype, name="router")
         logits = router(x.astype(jnp.float32))  # [B,T,E]
         if cfg.router_score == "sigmoid":
@@ -484,19 +550,27 @@ class MoEBlock(nn.Module):
 
         from ..nn.layers import QuantEinsum
 
-        def expert_einsum(shape, name):
+        def expert_einsum(shape, name, bias_shape=None):
             return QuantEinsum(
                 einsum_str="btd,edf->btef" if shape[1] == Hd else "btef,efd->bted",
                 kernel_shape=shape, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                name=name,
+                use_bias=cfg.moe_bias, bias_shape=bias_shape, name=name,
             )
 
         I = cfg.moe_intermediate_size or cfg.intermediate_size
-        gate_out = expert_einsum((E, Hd, I), "gate_proj")(x)
-        up_out = expert_einsum((E, Hd, I), "up_proj")(x)
-        h = nn.silu(gate_out) * up_out  # [B,T,E,I]
+        gate_out = expert_einsum((E, Hd, I), "gate_proj", (E, I))(x)
+        up_out = expert_einsum((E, Hd, I), "up_proj", (E, I))(x)
+        if cfg.moe_activation == "swiglu_oai":
+            # gpt-oss clamped swiglu: glu = min(gate, 7) * sigmoid(1.702 *
+            # gate); h = (clip(up, +-7) + 1) * glu
+            gate = jnp.minimum(gate_out, 7.0)
+            up = jnp.clip(up_out, -7.0, 7.0)
+            h = (up + 1.0) * (gate * jax.nn.sigmoid(1.702 * gate))
+        else:
+            h = nn.silu(gate_out) * up_out  # [B,T,E,I]
         down = QuantEinsum(
             einsum_str="bteo,eod->bted", kernel_shape=(E, I, Hd),
+            use_bias=cfg.moe_bias, bias_shape=(E, Hd),
             dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="down_proj",
         )(h)  # [B,T,E,Hd]
         out = jnp.einsum("bted,bte->btd", down, gates.astype(cfg.dtype))
@@ -535,6 +609,10 @@ class Block(nn.Module):
                     cfg, num_kv_heads=int(opts["kv"]),
                     num_heads=int(opts["kv"]) * G,
                     head_dim=cfg.dims_per_head,
+                )
+            if "window" in opts:
+                attn_cfg = dataclasses.replace(
+                    attn_cfg, attention_window=int(opts["window"])
                 )
             if cfg.attention_type == "mla":
                 from .mla import MLAttention
@@ -604,15 +682,24 @@ class Decoder(nn.Module):
             else:
                 S = cache["k"][0].shape[1]
             key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, :]  # [1,1,S]
-            valid = key_pos <= positions[:, :, None]
+            causal = key_pos <= positions[:, :, None]
         else:
             key_pos = positions[:, None, :]
-            valid = key_pos <= positions[:, :, None]
-        if cfg.attention_window is not None:
-            in_window = key_pos > positions[:, :, None] - cfg.attention_window
-            sink = key_pos < cfg.attention_sink
-            valid = valid & (in_window | sink)
-        mask = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)  # [B,T,S]
+            causal = key_pos <= positions[:, :, None]
+
+        _masks: dict = {}
+
+        def mask_for(window):
+            # per-layer sliding windows (gpt-oss alternates full/sliding via
+            # layer_plan {"window": w}); masks built once per distinct width
+            if window not in _masks:
+                valid = causal
+                if window is not None:
+                    in_window = key_pos > positions[:, :, None] - window
+                    sink = key_pos < cfg.attention_sink
+                    valid = valid & (in_window | sink)
+                _masks[window] = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+            return _masks[window]  # [B,T,S]
 
         new_cache = None
         ks, vs = [], []
@@ -627,8 +714,9 @@ class Decoder(nn.Module):
                     cache_kv = cache_kv + (cache["page_table"],)
                 elif skip:
                     cache_kv = cache_kv + (cache["kmax"][i], cache["kmin"][i])
+            w_i = cfg.layer_opts(i).get("window", cfg.attention_window)
             x, new_kv = Block(cfg, layer_index=i, name=f"layers_{i}")(
-                x, positions, mask, cache_kv
+                x, positions, mask_for(w_i), cache_kv
             )
             if new_kv is not None:
                 ks.append(new_kv[0])
@@ -826,6 +914,47 @@ def deepseek_v3_config(**overrides) -> DecoderConfig:
         router_score="sigmoid", first_k_dense=3, rope_theta=10000.0,
         attention_type="mla", q_lora_rank=1536, kv_lora_rank=512,
         qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def gpt_oss_20b_config(**overrides) -> DecoderConfig:
+    """gpt-oss-20B: GQA with learned sinks, alternating sliding/full
+    attention, clamped-swiglu MoE with biases, YaRN rope (reference
+    workload: examples/gpt-oss/)."""
+    n_layers = int(overrides.pop("num_layers", 24))
+    plan = tuple(
+        (("window", 128),) if i % 2 == 0 else () for i in range(n_layers)
+    )
+    base = dict(
+        vocab_size=201088, hidden_size=2880, num_layers=n_layers,
+        num_heads=64, num_kv_heads=8, head_dim=64,
+        intermediate_size=2880, num_experts=32, experts_per_token=4,
+        moe_activation="swiglu_oai", moe_bias=True, router_bias=True,
+        attn_bias=True, attention_sinks=True, layer_plan=plan,
+        rope_theta=150000.0,
+        rope_scaling=(("rope_type", "yarn"), ("factor", 32.0),
+                      ("original_max_position_embeddings", 4096),
+                      ("beta_fast", 32.0), ("beta_slow", 1.0)),
+        max_position_embeddings=131072,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def tiny_gptoss_test_config(**overrides) -> DecoderConfig:
+    """Small gpt-oss-style config: sinks, alternating windows, oai MoE."""
+    base = dict(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=16, intermediate_size=64,
+        num_experts=4, experts_per_token=2,
+        moe_activation="swiglu_oai", moe_bias=True, router_bias=True,
+        attn_bias=True, attention_sinks=True,
+        layer_plan=((("window", 8),), ()),
+        rope_scaling=(("rope_type", "yarn"), ("factor", 4.0),
+                      ("original_max_position_embeddings", 32)),
+        max_position_embeddings=128,
     )
     base.update(overrides)
     return DecoderConfig(**base)
