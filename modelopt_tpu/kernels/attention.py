@@ -225,7 +225,9 @@ def decode_attention_ok(q_shape, S: int, cache_dtype=None) -> bool:
     B, KH, G, D = q_shape
     if jax.default_backend() != "tpu":
         return False
-    if cache_dtype is not None and cache_dtype == jnp.bfloat16:
+    if cache_dtype is not None and cache_dtype != jnp.float8_e4m3fn:
+        # bf16 decode: XLA einsum already fine; int8 codes: scales not yet
+        # plumbed at the call site — keep it off until the int8-MXU path
         return False
     if S > 8192 or D % 128 != 0:
         return False

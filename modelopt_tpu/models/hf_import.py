@@ -34,6 +34,24 @@ def _sd(model_or_sd) -> Mapping[str, Any]:
     return model_or_sd
 
 
+def _rope_scaling_tuple(rs) -> tuple | None:
+    """HF rope_scaling dict -> hashable (key, value) tuple; maps the legacy
+    "type" key to "rope_type"."""
+    if not rs:
+        return None
+    get = (lambda k, d=None: rs.get(k, d)) if isinstance(rs, dict) \
+        else (lambda k, d=None: getattr(rs, k, d))
+    rope_type = get("rope_type") or get("type")
+    out = [("rope_type", rope_type)]
+    for k in ("factor", "original_max_position_embeddings", "beta_fast",
+              "beta_slow", "mscale", "mscale_all_dim", "attention_factor",
+              "truncate"):
+        v = get(k)
+        if v is not None:
+            out.append((k, v))
+    return tuple(out)
+
+
 def config_from_hf(hf_config) -> DecoderConfig:
     """Map an HF config object/dict to a DecoderConfig."""
     get = (lambda k, d=None: getattr(hf_config, k, d)) if not isinstance(
@@ -107,6 +125,11 @@ def config_from_hf(hf_config) -> DecoderConfig:
             experts_per_token=get("num_experts_per_tok", 2),
         )
     if mt in ("deepseek_v2", "deepseek_v3", "deepseek"):
+        # group limiting applies under V2 group_limited_greedy or V3 noaux_tc
+        topk_method = get("topk_method") or (
+            "noaux_tc" if mt == "deepseek_v3" else "greedy"
+        )
+        grouped = topk_method in ("group_limited_greedy", "noaux_tc")
         return DecoderConfig(
             vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
             num_layers=get("num_hidden_layers"),
@@ -115,6 +138,7 @@ def config_from_hf(hf_config) -> DecoderConfig:
             moe_intermediate_size=get("moe_intermediate_size"),
             activation="silu_glu", norm="rmsnorm", positions="rope",
             rope_theta=get("rope_theta", 10000.0),
+            rope_scaling=_rope_scaling_tuple(get("rope_scaling")),
             max_position_embeddings=get("max_position_embeddings", 4096),
             tie_word_embeddings=bool(get("tie_word_embeddings", False)),
             norm_eps=get("rms_norm_eps", 1e-5),
@@ -123,6 +147,11 @@ def config_from_hf(hf_config) -> DecoderConfig:
             n_shared_experts=get("n_shared_experts") or 0,
             router_score=("sigmoid" if get("scoring_func") == "sigmoid"
                           else "softmax"),
+            router_correction_bias=(topk_method == "noaux_tc"),
+            n_group=(get("n_group") if grouped else None),
+            topk_group=get("topk_group") or 1,
+            norm_topk_prob=bool(get("norm_topk_prob", False)),
+            routed_scaling_factor=float(get("routed_scaling_factor", 1.0)),
             first_k_dense=get("first_k_dense_replace", 0),
             attention_type="mla",
             q_lora_rank=get("q_lora_rank"),
@@ -138,18 +167,7 @@ def config_from_hf(hf_config) -> DecoderConfig:
             if t == "sliding_attention" else ()
             for t in layer_types
         ) or None
-        rs = get("rope_scaling")
-        if rs:
-            rs_get = (lambda k, d=None: rs.get(k, d)) if isinstance(rs, dict) \
-                else (lambda k, d=None: getattr(rs, k, d))
-            scaling = tuple(
-                (k, rs_get(k)) for k in
-                ("rope_type", "factor", "original_max_position_embeddings",
-                 "beta_fast", "beta_slow", "attention_factor")
-                if rs_get(k) is not None
-            )
-        else:
-            scaling = None
+        scaling = _rope_scaling_tuple(get("rope_scaling"))
         return DecoderConfig(
             vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
             num_layers=get("num_hidden_layers"),
@@ -221,15 +239,38 @@ def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.", commit=None,
 def _deepseek_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> dict:
     """DeepSeek-V2/V3 checkpoint map: MLA projections (optional q
     compression) + routed/shared MoE (reference workload:
-    examples/deepseek/). HF naming follows DeepseekV2ForCausalLM."""
+    examples/deepseek/). HF naming follows DeepseekV2ForCausalLM.
+
+    DeepSeek checkpoints store INTERLEAVED rope weights (HF applies
+    apply_rotary_pos_emb_interleave: frequency j rotates adjacent columns
+    (2j, 2j+1)); this framework's _rope rotates (j, j+d/2). The rope output
+    dims only ever meet in the q_pe . k_pe inner product, so a consistent
+    COLUMN PERMUTATION of the q rope slice and the k_pe slice reproduces
+    HF's scores exactly: new column j <- old 2j, new j+d/2 <- old 2j+1."""
     commit = commit or (lambda t: t)
+    dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    H = cfg.num_heads
+    rope_perm = np.concatenate([np.arange(0, dr, 2), np.arange(1, dr, 2)])
+
+    def deinterleave_q(w):
+        # w [in, H*(dn+dr)]: permute each head's rope block columns
+        w = w.reshape(w.shape[0], H, dn + dr)
+        w = np.concatenate([w[..., :dn], w[..., dn:][..., rope_perm]], -1)
+        return w.reshape(w.shape[0], H * (dn + dr))
+
+    def deinterleave_kpe(w):
+        # w [in, r+dr]: permute the shared rotary-key columns
+        r = cfg.kv_lora_rank
+        return np.concatenate([w[:, :r], w[:, r:][:, rope_perm]], -1)
+
     p: dict = {}
     p["embed_tokens"] = commit({"embedding": _np(sd[f"{prefix}embed_tokens.weight"])})
     for i in range(cfg.num_layers):
         L = f"{prefix}layers.{i}."
         A = L + "self_attn."
         attn: dict = {
-            "kv_a_proj": {"kernel": _np(sd[A + "kv_a_proj_with_mqa.weight"]).T},
+            "kv_a_proj": {"kernel": deinterleave_kpe(
+                _np(sd[A + "kv_a_proj_with_mqa.weight"]).T)},
             "kv_a_norm": {"scale": _np(sd[A + "kv_a_layernorm.weight"])},
             "kv_b_proj": {"kernel": _np(sd[A + "kv_b_proj.weight"]).T},
             "o_proj": {"kernel": _np(sd[A + "o_proj.weight"]).T},
@@ -237,9 +278,11 @@ def _deepseek_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> di
         if cfg.q_lora_rank:
             attn["q_a_proj"] = {"kernel": _np(sd[A + "q_a_proj.weight"]).T}
             attn["q_a_norm"] = {"scale": _np(sd[A + "q_a_layernorm.weight"])}
-            attn["q_b_proj"] = {"kernel": _np(sd[A + "q_b_proj.weight"]).T}
+            attn["q_b_proj"] = {"kernel": deinterleave_q(
+                _np(sd[A + "q_b_proj.weight"]).T)}
         else:
-            attn["q_proj"] = {"kernel": _np(sd[A + "q_proj.weight"]).T}
+            attn["q_proj"] = {"kernel": deinterleave_q(
+                _np(sd[A + "q_proj.weight"]).T)}
         layer: dict = {
             "input_norm": {"scale": _np(sd[L + "input_layernorm.weight"])},
             "post_attn_norm": {"scale": _np(sd[L + "post_attention_layernorm.weight"])},
@@ -249,6 +292,12 @@ def _deepseek_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> di
             E = cfg.num_experts
             moe: dict = {
                 "router": {"kernel": _np(sd[L + "mlp.gate.weight"]).T},
+            }
+            if cfg.router_correction_bias:
+                moe["e_score_correction_bias"] = _np(
+                    sd[L + "mlp.gate.e_score_correction_bias"]
+                )
+            moe.update({
                 "gate_proj": {"kernel": np.stack([
                     _np(sd[L + f"mlp.experts.{e}.gate_proj.weight"]).T
                     for e in range(E)
@@ -261,7 +310,7 @@ def _deepseek_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> di
                     _np(sd[L + f"mlp.experts.{e}.down_proj.weight"]).T
                     for e in range(E)
                 ])},
-            }
+            })
             if cfg.n_shared_experts:
                 moe["shared_experts"] = {
                     name: {"kernel": _np(

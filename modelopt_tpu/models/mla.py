@@ -119,7 +119,11 @@ class MLAttention(nn.Module):
         kq_mod = TensorQuantizer(name="k_quantizer")
         new_kv = None
         if cache_kv is not None:
-            ck, cv_ph, positions_kv = cache_kv[0], cache_kv[1], cache_kv[2]
+            assert len(cache_kv) == 3, (
+                "MLA supports the dense cache only (paged / skip-softmax "
+                "caches are MHA features; serve MLA models with paged=False)"
+            )
+            ck, cv_ph, positions_kv = cache_kv
             real_fp8 = ck.dtype == jnp.float8_e4m3fn
             if real_fp8:
                 row_codes, row_scale = kq_mod(rows, with_scale=True)
@@ -141,12 +145,21 @@ class MLAttention(nn.Module):
                 lat = lat.astype(cfg.dtype)
             c_all, kpe_all = lat[..., :r], lat[..., r:]  # [B, S, r], [B, S, dr]
         else:
-            c_all, kpe_all = c_kv, k_pe
             rows_q = kq_mod(rows)  # fake-quant path (calibration/QAT)
             c_all, kpe_all = rows_q[..., :r], rows_q[..., r:]
 
         # --- absorbed attention in latent space ---
         scale = 1.0 / jnp.sqrt(jnp.float32(dn + dr))
+        if cfg.rope_scaling:
+            sd = dict(cfg.rope_scaling)
+            if sd.get("rope_type") == "yarn" and sd.get("mscale_all_dim"):
+                # DeepSeek applies the YaRN magnitude correction to the
+                # softmax scale (HF DeepseekV3Attention: scaling *= mscale^2)
+                from .transformer import _yarn_get_mscale
+
+                ms = _yarn_get_mscale(float(sd["factor"]),
+                                      float(sd["mscale_all_dim"]))
+                scale = scale * ms * ms
         q_lat = jnp.einsum("bthd,rhd->bthr", q_nope.astype(cfg.dtype),
                            w_k.astype(cfg.dtype))
         s = jnp.einsum("bthr,bsr->bhts", q_lat.astype(cfg.dtype),

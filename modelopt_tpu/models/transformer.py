@@ -59,6 +59,14 @@ class DecoderConfig:
     router_score: str = "softmax"  # "softmax" | "sigmoid" (DeepSeek-V3)
     first_k_dense: int = 0
     moe_intermediate_size: Optional[int] = None  # None = intermediate_size
+    # DeepSeek routing fidelity knobs (HF DeepseekV2MoEGate/V3TopkRouter):
+    # group-limited top-k (n_group/topk_group), weight renormalization over
+    # the selected set, post-scale, and the V3 selection-only bias
+    n_group: Optional[int] = None
+    topk_group: int = 1
+    norm_topk_prob: bool = True
+    routed_scaling_factor: float = 1.0
+    router_correction_bias: bool = False
     # gpt-oss-style MoE: clamped swiglu (alpha=1.702, limit=7), expert and
     # router biases
     moe_activation: str = "silu_glu"  # "silu_glu" | "swiglu_oai"
@@ -187,6 +195,15 @@ def make_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
     return cache
 
 
+def _yarn_get_mscale(scale: float, mscale: float = 1.0) -> float:
+    """YaRN attention-magnitude correction (arXiv:2309.00071 eq. 22)."""
+    import math
+
+    if scale <= 1:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
 def _yarn_inv_freq(d: int, theta: float, scaling: dict):
     """YaRN-scaled inverse frequencies + cos/sin attention factor
     (public formula, arXiv:2309.00071; matches HF _compute_yarn_parameters
@@ -197,9 +214,16 @@ def _yarn_inv_freq(d: int, theta: float, scaling: dict):
     original_max = int(scaling.get("original_max_position_embeddings", 4096))
     beta_fast = float(scaling.get("beta_fast", 32))
     beta_slow = float(scaling.get("beta_slow", 1))
+    truncate = bool(scaling.get("truncate", True))
     attention_factor = scaling.get("attention_factor")
     if attention_factor is None:
-        attention_factor = 0.1 * math.log(factor) + 1.0 if factor > 1 else 1.0
+        mscale = scaling.get("mscale")
+        mscale_all = scaling.get("mscale_all_dim")
+        if mscale and mscale_all:
+            attention_factor = (_yarn_get_mscale(factor, mscale)
+                                / _yarn_get_mscale(factor, mscale_all))
+        else:
+            attention_factor = _yarn_get_mscale(factor)
 
     pos_freqs = theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
     inv_extra = 1.0 / pos_freqs
@@ -208,8 +232,10 @@ def _yarn_inv_freq(d: int, theta: float, scaling: dict):
     def corr_dim(rot):
         return d * math.log(original_max / (rot * 2 * math.pi)) / (2 * math.log(theta))
 
-    low = max(math.floor(corr_dim(beta_fast)), 0)
-    high = min(math.ceil(corr_dim(beta_slow)), d - 1)
+    low, high = corr_dim(beta_fast), corr_dim(beta_slow)
+    if truncate:
+        low, high = math.floor(low), math.ceil(high)
+    low, high = max(low, 0), min(high, d - 1)
     ramp = np.clip((np.arange(d // 2, dtype=np.float64) - low) / max(high - low, 1e-3), 0, 1)
     extra_factor = 1.0 - ramp
     inv_freq = inv_inter * (1 - extra_factor) + inv_extra * extra_factor
@@ -533,17 +559,39 @@ class MoEBlock(nn.Module):
         router = nn.Dense(E, use_bias=cfg.router_bias, dtype=jnp.float32,
                           param_dtype=cfg.param_dtype, name="router")
         logits = router(x.astype(jnp.float32))  # [B,T,E]
+        # Routing follows the HF reference semantics exactly
+        # (DeepseekV2MoEGate / DeepseekV3TopkRouter / MixtralTopKGate):
+        # affinities over ALL experts, optional selection-only correction
+        # bias + group limiting, weights gathered from the ORIGINAL
+        # affinities, optional renormalization, post-scale.
         if cfg.router_score == "sigmoid":
-            # DeepSeek-V3 scoring: sigmoid affinities, top-k, weights
-            # renormalized over the selected set
             scores = jax.nn.sigmoid(logits)
-            weights, sel = jax.lax.top_k(scores, K)
-            weights = weights / jnp.maximum(
-                jnp.sum(weights, axis=-1, keepdims=True), 1e-20
-            )
         else:
-            weights, sel = jax.lax.top_k(logits, K)
-            weights = jax.nn.softmax(weights, axis=-1)  # [B,T,K]
+            scores = jax.nn.softmax(logits, axis=-1)
+        select = scores
+        if cfg.router_correction_bias:
+            # V3 "noaux_tc": bias steers SELECTION only, never the weights.
+            # A load-balancing buffer in HF (not trained by gradient).
+            cb = self.param("e_score_correction_bias",
+                            nn.initializers.zeros_init(), (E,), jnp.float32)
+            select = scores + jax.lax.stop_gradient(cb)
+        if cfg.n_group and cfg.n_group > 1:
+            Gn = cfg.n_group
+            gsel = select.reshape(B, T, Gn, E // Gn)
+            if cfg.router_score == "sigmoid":  # V3: sum of top-2 per group
+                group_scores = jnp.sum(jax.lax.top_k(gsel, 2)[0], axis=-1)
+            else:  # V2 group_limited_greedy: per-group max
+                group_scores = jnp.max(gsel, axis=-1)
+            _, gidx = jax.lax.top_k(group_scores, cfg.topk_group)
+            gmask = jnp.sum(jax.nn.one_hot(gidx, Gn, dtype=select.dtype), -2)
+            select = jnp.where(
+                jnp.repeat(gmask, E // Gn, axis=-1) > 0, select, 0.0
+            )
+        _, sel = jax.lax.top_k(select, K)
+        weights = jnp.take_along_axis(scores, sel, axis=-1)  # [B,T,K]
+        if cfg.norm_topk_prob:
+            weights = weights / (jnp.sum(weights, -1, keepdims=True) + 1e-20)
+        weights = weights * cfg.routed_scaling_factor
         gates = jnp.zeros_like(logits).at[
             jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], sel
         ].set(weights)  # [B,T,E] sparse gate matrix
@@ -895,7 +943,13 @@ def deepseek_v2_lite_config(**overrides) -> DecoderConfig:
         vocab_size=102400, hidden_size=2048, num_layers=27, num_heads=16,
         intermediate_size=10944, moe_intermediate_size=1408,
         num_experts=64, experts_per_token=6, n_shared_experts=2,
+        norm_topk_prob=False,  # V2 greedy: softmax-over-all weights, no renorm
         first_k_dense=1, rope_theta=10000.0,
+        rope_scaling=(("rope_type", "yarn"), ("factor", 40.0),
+                      ("original_max_position_embeddings", 4096),
+                      ("beta_fast", 32.0), ("beta_slow", 1.0),
+                      ("mscale", 0.707), ("mscale_all_dim", 0.707)),
+        max_position_embeddings=163840,
         attention_type="mla", q_lora_rank=None, kv_lora_rank=512,
         qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
     )
@@ -911,7 +965,15 @@ def deepseek_v3_config(**overrides) -> DecoderConfig:
         vocab_size=129280, hidden_size=7168, num_layers=61, num_heads=128,
         intermediate_size=18432, moe_intermediate_size=2048,
         num_experts=256, experts_per_token=8, n_shared_experts=1,
-        router_score="sigmoid", first_k_dense=3, rope_theta=10000.0,
+        router_score="sigmoid", router_correction_bias=True,
+        n_group=8, topk_group=4, norm_topk_prob=True,
+        routed_scaling_factor=2.5,
+        first_k_dense=3, rope_theta=10000.0,
+        rope_scaling=(("rope_type", "yarn"), ("factor", 40.0),
+                      ("original_max_position_embeddings", 4096),
+                      ("beta_fast", 32.0), ("beta_slow", 1.0),
+                      ("mscale", 1.0), ("mscale_all_dim", 1.0)),
+        max_position_embeddings=163840,
         attention_type="mla", q_lora_rank=1536, kv_lora_rank=512,
         qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
     )

@@ -123,3 +123,49 @@ def test_deepseek_hf_import_roundtrip():
     logits = out[0] if isinstance(out, tuple) else out
     assert logits.shape == (1, 3, 64)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_deepseek_v3_hf_logit_parity():
+    """Import a random-init HF DeepseekV3ForCausalLM and match its logits —
+    pins the rope de-interleave permutation, noaux_tc sigmoid routing with
+    group limiting + correction bias + routed_scaling_factor, YaRN
+    frequencies with mscale, and the absorbed-MLA math at once."""
+    torch = pytest.importorskip("torch")
+    tfm = pytest.importorskip("transformers")
+    from transformers.models.deepseek_v3.modeling_deepseek_v3 import (
+        DeepseekV3ForCausalLM,
+    )
+
+    from modelopt_tpu.models.hf_import import from_hf
+
+    cfg = tfm.DeepseekV3Config(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        intermediate_size=96, moe_intermediate_size=32,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        n_group=2, topk_group=1, norm_topk_prob=True,
+        routed_scaling_factor=2.5, scoring_func="sigmoid",
+        topk_method="noaux_tc", first_k_dense_replace=1,
+        q_lora_rank=32, kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, qk_head_dim=24,
+        rope_theta=10000.0,
+        rope_scaling={"type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 32,
+                      "beta_fast": 32.0, "beta_slow": 1.0,
+                      "mscale": 1.0, "mscale_all_dim": 1.0},
+        max_position_embeddings=128, attention_bias=False,
+        tie_word_embeddings=False, rms_norm_eps=1e-6,
+    )
+    torch.manual_seed(0)
+    hf = DeepseekV3ForCausalLM(cfg).eval().float()
+    with torch.no_grad():  # nonzero bias so the selection path is pinned
+        for layer in hf.model.layers[1:]:
+            layer.mlp.gate.e_score_correction_bias.uniform_(-0.5, 0.5)
+    ids = torch.tensor([[5, 3, 7, 2, 9, 1, 4, 8]])
+    with torch.no_grad():
+        ref = hf(ids).logits.numpy()
+    bundle = from_hf(hf, cfg)
+    out = bundle.apply(jnp.asarray(ids.numpy()))
+    logits = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
+    err = np.abs(logits - ref).max() / np.abs(ref).max()
+    assert err < 2e-2, err  # bf16 compute vs fp32 torch
