@@ -28,8 +28,9 @@ def build_model(name: str, seed: int = 0):
     from modelopt_tpu.core import ModelBundle
     from modelopt_tpu.models import (
         Decoder, deepseek_v2_lite_config, gpt2_config, gpt_oss_20b_config,
-        llama3_8b_config, load_hf_checkpoint, tiny_gptoss_test_config,
-        tiny_mla_test_config, tiny_test_config, tinyllama_config,
+        llama3_8b_config, load_hf_checkpoint, qwen3_config,
+        qwen3_moe_config, tiny_gptoss_test_config, tiny_mla_test_config,
+        tiny_test_config, tinyllama_config,
     )
 
     if os.path.isdir(name):
@@ -43,6 +44,8 @@ def build_model(name: str, seed: int = 0):
         "deepseek-v2-lite": deepseek_v2_lite_config,
         "tiny-gptoss": lambda: tiny_gptoss_test_config(),
         "gpt-oss-20b": gpt_oss_20b_config,
+        "qwen3-8b": qwen3_config,
+        "qwen3-moe-30b": qwen3_moe_config,
     }
     cfg = cfgs[name]()
     module = Decoder(cfg)

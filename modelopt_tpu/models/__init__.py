@@ -16,6 +16,8 @@ from .transformer import (
     mixtral_config,
     deepseek_v2_lite_config,
     gpt_oss_20b_config,
+    qwen3_config,
+    qwen3_moe_config,
     tiny_gptoss_test_config,
     deepseek_v3_config,
     tiny_mla_test_config,
@@ -43,6 +45,8 @@ __all__ = [
     "mixtral_config",
     "deepseek_v2_lite_config",
     "gpt_oss_20b_config",
+    "qwen3_config",
+    "qwen3_moe_config",
     "tiny_gptoss_test_config",
     "deepseek_v3_config",
     "tiny_mla_test_config",

@@ -68,6 +68,26 @@ def config_from_hf(hf_config) -> DecoderConfig:
             mlp_bias=True, tie_word_embeddings=True,
             norm_eps=get("layer_norm_epsilon", 1e-5),
         )
+    if mt in ("qwen3", "qwen3_moe"):
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
+            num_layers=get("num_hidden_layers"),
+            num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads"),
+            head_dim=get("head_dim"),
+            intermediate_size=get("intermediate_size"),
+            moe_intermediate_size=get("moe_intermediate_size"),
+            num_experts=(get("num_experts") or 0) if mt == "qwen3_moe" else 0,
+            experts_per_token=get("num_experts_per_tok") or 2,
+            norm_topk_prob=bool(get("norm_topk_prob", True)),
+            qk_norm=True, activation="silu_glu", norm="rmsnorm",
+            positions="rope", rope_theta=get("rope_theta", 1e6),
+            rope_scaling=_rope_scaling_tuple(get("rope_scaling")),
+            max_position_embeddings=get("max_position_embeddings", 40960),
+            attn_bias=bool(get("attention_bias", False)),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            norm_eps=get("rms_norm_eps", 1e-6),
+        )
     if mt in ("llama", "mistral", "qwen2", "tinyllama"):
         # Mistral (and qwen2 with use_sliding_window) checkpoints are trained
         # with sliding-window attention — importing them as full-causal
@@ -208,21 +228,25 @@ def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.", commit=None,
             attn[name] = {"kernel": _np(sd[L + f"self_attn.{name}.weight"]).T}
             if cfg.attn_bias and L + f"self_attn.{name}.bias" in sd:
                 attn[name]["bias"] = _np(sd[L + f"self_attn.{name}.bias"])
+        if cfg.qk_norm:
+            attn["q_norm"] = {"scale": _np(sd[L + "self_attn.q_norm.weight"])}
+            attn["k_norm"] = {"scale": _np(sd[L + "self_attn.k_norm.weight"])}
         layer["attn"] = attn
         if cfg.num_experts > 0:
             E = cfg.num_experts
+            if L + "block_sparse_moe.gate.weight" in sd:  # mixtral naming
+                gate_key, ex = "block_sparse_moe.gate.weight", "block_sparse_moe.experts"
+                names = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
+            else:  # qwen3_moe naming
+                gate_key, ex = "mlp.gate.weight", "mlp.experts"
+                names = {n: n for n in ("gate_proj", "up_proj", "down_proj")}
             moe = {
-                "router": {"kernel": _np(sd[L + "block_sparse_moe.gate.weight"]).T},
-                "gate_proj": {"kernel": np.stack([
-                    _np(sd[L + f"block_sparse_moe.experts.{e}.w1.weight"]).T for e in range(E)
-                ])},
-                "up_proj": {"kernel": np.stack([
-                    _np(sd[L + f"block_sparse_moe.experts.{e}.w3.weight"]).T for e in range(E)
-                ])},
-                "down_proj": {"kernel": np.stack([
-                    _np(sd[L + f"block_sparse_moe.experts.{e}.w2.weight"]).T for e in range(E)
-                ])},
+                "router": {"kernel": _np(sd[L + gate_key]).T},
             }
+            for ours, theirs in names.items():
+                moe[ours] = {"kernel": np.stack([
+                    _np(sd[L + f"{ex}.{e}.{theirs}.weight"]).T for e in range(E)
+                ])}
             layer["moe"] = moe
         else:
             layer["mlp"] = {

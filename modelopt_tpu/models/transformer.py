@@ -47,6 +47,8 @@ class DecoderConfig:
     max_position_embeddings: int = 4096
     attn_bias: bool = False
     mlp_bias: bool = False
+    # Qwen3-style per-head RMSNorm on q/k (over head_dim, before RoPE)
+    qk_norm: bool = False
     tie_word_embeddings: bool = False
     norm_eps: float = 1e-5
     # MoE (Mixtral-style); 0 experts = dense MLP
@@ -290,6 +292,10 @@ class Attention(nn.Module):
             k = dense(KH * D, "k_proj")(x).reshape(B, T, KH, D)
             v = dense(KH * D, "v_proj")(x).reshape(B, T, KH, D)
 
+        if cfg.qk_norm:
+            # Qwen3: RMSNorm over head_dim on q/k, before RoPE
+            q = RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="q_norm")(q)
+            k = RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="k_norm")(k)
         if cfg.positions == "rope":
             q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
             k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
@@ -976,6 +982,31 @@ def deepseek_v3_config(**overrides) -> DecoderConfig:
         max_position_embeddings=163840,
         attention_type="mla", q_lora_rank=1536, kv_lora_rank=512,
         qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def qwen3_config(**overrides) -> DecoderConfig:
+    """Qwen3 dense (e.g. 8B): GQA + per-head q/k RMSNorm."""
+    base = dict(
+        vocab_size=151936, hidden_size=4096, num_layers=36, num_heads=32,
+        num_kv_heads=8, head_dim=128, intermediate_size=12288,
+        qk_norm=True, rope_theta=1e6, norm_eps=1e-6,
+        max_position_embeddings=40960,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def qwen3_moe_config(**overrides) -> DecoderConfig:
+    """Qwen3-MoE (e.g. 30B-A3B): qk-norm + softmax top-k routed experts."""
+    base = dict(
+        vocab_size=151936, hidden_size=2048, num_layers=48, num_heads=32,
+        num_kv_heads=4, head_dim=128, intermediate_size=6144,
+        moe_intermediate_size=768, num_experts=128, experts_per_token=8,
+        norm_topk_prob=True, qk_norm=True, rope_theta=1e6, norm_eps=1e-6,
+        max_position_embeddings=40960,
     )
     base.update(overrides)
     return DecoderConfig(**base)
