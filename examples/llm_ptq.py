@@ -28,7 +28,7 @@ def build_model(name: str, seed: int = 0):
     from modelopt_tpu.core import ModelBundle
     from modelopt_tpu.models import (
         Decoder, deepseek_v2_lite_config, gpt2_config, gpt_oss_20b_config,
-        llama3_8b_config, load_hf_checkpoint, qwen3_config,
+        gemma3_4b_config, llama3_8b_config, load_hf_checkpoint, qwen3_config,
         qwen3_moe_config, tiny_gptoss_test_config, tiny_mla_test_config,
         tiny_test_config, tinyllama_config,
     )
@@ -45,6 +45,7 @@ def build_model(name: str, seed: int = 0):
         "tiny-gptoss": lambda: tiny_gptoss_test_config(),
         "gpt-oss-20b": gpt_oss_20b_config,
         "qwen3-8b": qwen3_config,
+        "gemma3-4b": gemma3_4b_config,
         "qwen3-moe-30b": qwen3_moe_config,
     }
     cfg = cfgs[name]()

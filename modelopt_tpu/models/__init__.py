@@ -16,6 +16,8 @@ from .transformer import (
     mixtral_config,
     deepseek_v2_lite_config,
     gpt_oss_20b_config,
+    gemma3_4b_config,
+    tiny_gemma3_test_config,
     qwen3_config,
     qwen3_moe_config,
     tiny_gptoss_test_config,
@@ -45,6 +47,8 @@ __all__ = [
     "mixtral_config",
     "deepseek_v2_lite_config",
     "gpt_oss_20b_config",
+    "gemma3_4b_config",
+    "tiny_gemma3_test_config",
     "qwen3_config",
     "qwen3_moe_config",
     "tiny_gptoss_test_config",

@@ -68,6 +68,36 @@ def config_from_hf(hf_config) -> DecoderConfig:
             mlp_bias=True, tie_word_embeddings=True,
             norm_eps=get("layer_norm_epsilon", 1e-5),
         )
+    if mt in ("gemma2", "gemma3_text"):
+        layer_types = get("layer_types") or []
+        window = get("sliding_window", 4096)
+        plan = tuple(
+            (("window", window), ("local_rope", True))
+            if t == "sliding_attention" else ()
+            for t in layer_types
+        ) or None
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
+            num_layers=get("num_hidden_layers"),
+            num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads"),
+            head_dim=get("head_dim"),
+            intermediate_size=get("intermediate_size"),
+            activation="gelu_glu", norm="rmsnorm", positions="rope",
+            norm_style="gemma", scale_embeddings=True,
+            qk_norm=(mt == "gemma3_text"),
+            query_pre_attn_scalar=float(get("query_pre_attn_scalar", 256)),
+            attn_logit_softcap=get("attn_logit_softcapping"),
+            final_logit_softcap=get("final_logit_softcapping"),
+            rope_theta=get("rope_theta", 1e6),
+            rope_local_base_freq=get("rope_local_base_freq", 10000.0),
+            rope_scaling=_rope_scaling_tuple(get("rope_scaling")),
+            layer_plan=plan,
+            max_position_embeddings=get("max_position_embeddings", 131072),
+            attn_bias=bool(get("attention_bias", False)),
+            tie_word_embeddings=bool(get("tie_word_embeddings", True)),
+            norm_eps=get("rms_norm_eps", 1e-6),
+        )
     if mt in ("qwen3", "qwen3_moe"):
         return DecoderConfig(
             vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
@@ -219,10 +249,23 @@ def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.", commit=None,
     p["embed_tokens"] = commit({"embedding": _np(sd[f"{prefix}embed_tokens.weight"])})
     for i in range(cfg.num_layers):
         L = f"{prefix}layers.{i}."
-        layer: dict = {
-            "input_norm": {"scale": _np(sd[L + "input_layernorm.weight"])},
-            "post_attn_norm": {"scale": _np(sd[L + "post_attention_layernorm.weight"])},
-        }
+        if cfg.norm_style == "gemma":
+            # gemma sandwich: HF post_attention_layernorm normalizes the
+            # attention OUTPUT; pre_feedforward_layernorm is the pre-MLP norm
+            layer: dict = {
+                "input_norm": {"scale": _np(sd[L + "input_layernorm.weight"])},
+                "post_attn_out_norm": {
+                    "scale": _np(sd[L + "post_attention_layernorm.weight"])},
+                "post_attn_norm": {
+                    "scale": _np(sd[L + "pre_feedforward_layernorm.weight"])},
+                "post_mlp_out_norm": {
+                    "scale": _np(sd[L + "post_feedforward_layernorm.weight"])},
+            }
+        else:
+            layer = {
+                "input_norm": {"scale": _np(sd[L + "input_layernorm.weight"])},
+                "post_attn_norm": {"scale": _np(sd[L + "post_attention_layernorm.weight"])},
+            }
         attn = {}
         for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
             attn[name] = {"kernel": _np(sd[L + f"self_attn.{name}.weight"]).T}

@@ -49,6 +49,16 @@ class DecoderConfig:
     mlp_bias: bool = False
     # Qwen3-style per-head RMSNorm on q/k (over head_dim, before RoPE)
     qk_norm: bool = False
+    # Gemma-family knobs: (1+w) RMSNorm + sandwich (post-attn/post-mlp)
+    # norms, sqrt(hidden) embedding scale, fixed query pre-scale, tanh
+    # softcaps (gemma2), and the local-attention rope base for sliding
+    # layers (layer_plan opts {"local_rope": True})
+    norm_style: str = "plain"  # "plain" | "gemma"
+    scale_embeddings: bool = False
+    query_pre_attn_scalar: Optional[float] = None
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    rope_local_base_freq: float = 10000.0
     tie_word_embeddings: bool = False
     norm_eps: float = 1e-5
     # MoE (Mixtral-style); 0 experts = dense MLP
@@ -255,6 +265,9 @@ def _rope(x, positions, theta, scaling=None):
         if sdict.get("rope_type") == "yarn":
             inv, mscale = _yarn_inv_freq(d, theta, sdict)
             freq = jnp.asarray(inv)
+        elif sdict.get("rope_type") == "linear":
+            freq = 1.0 / (float(sdict["factor"])
+                          * theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
         else:
             freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
     else:
@@ -293,12 +306,23 @@ class Attention(nn.Module):
             v = dense(KH * D, "v_proj")(x).reshape(B, T, KH, D)
 
         if cfg.qk_norm:
-            # Qwen3: RMSNorm over head_dim on q/k, before RoPE
-            q = RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="q_norm")(q)
-            k = RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="k_norm")(k)
+            # Qwen3/Gemma3: RMSNorm over head_dim on q/k, before RoPE
+            off = 1.0 if cfg.norm_style == "gemma" else 0.0
+            q = RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
+                        scale_offset=off, name="q_norm")(q)
+            k = RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
+                        scale_offset=off, name="k_norm")(k)
         if cfg.positions == "rope":
             q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
             k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
+        if cfg.query_pre_attn_scalar is not None:
+            # Gemma: scores scale by query_pre_attn_scalar**-0.5 instead of
+            # head_dim**-0.5 — fold the RATIO into q so every downstream
+            # path (Pallas kernels and the einsum, which all divide by
+            # sqrt(D)) computes the right scale without plumbing
+            q = q * jnp.asarray(
+                (D ** 0.5) * (cfg.query_pre_attn_scalar ** -0.5), cfg.dtype
+            )
 
         # KV-cache quantization points: quantize before the cache / BMMs.
         # With an fp8 cache, the quantizers hand back (codes, scale) and the
@@ -357,6 +381,7 @@ class Attention(nn.Module):
                 Gq = H // KH
                 if (T == 1 and cfg.attention_window is None
                         and kmax is None and not cfg.attention_sinks
+                        and not cfg.attn_logit_softcap
                         and fused_decode_ok((B, KH, Gq, D), ck.shape[1],
                                             ck.dtype)):
                     # Fused decode step: the cache write DMA rides behind the
@@ -395,7 +420,8 @@ class Attention(nn.Module):
                 )
                 new_kv = (ck, cv, kmax, kmin)
                 if (T == 1 and cfg.attention_window is None
-                        and not cfg.attention_sinks):
+                        and not cfg.attention_sinks
+                        and not cfg.attn_logit_softcap):
                     from ..kernels.block_sparse_attention import (
                         block_sparse_decode_attention,
                         block_sparse_decode_attention_xla,
@@ -437,6 +463,7 @@ class Attention(nn.Module):
             ps = ck.shape[1]
             if (T == 1 and cfg.attention_window is None
                     and not cfg.attention_sinks
+                    and not cfg.attn_logit_softcap
                     and paged_attention_ok(B, KH, G, D, ps)):
                 qg = q[:, 0].reshape(B, KH, G, D)
                 lengths = positions[:, 0] + 1
@@ -471,7 +498,8 @@ class Attention(nn.Module):
         # from the cache without materializing a dequantized copy in HBM.
         if (new_kv is not None and page_table is None and T == 1
                 and cfg.attention_window is None
-                and not cfg.attention_sinks):
+                and not cfg.attention_sinks
+                and not cfg.attn_logit_softcap):
             from ..kernels.attention import decode_attention, decode_attention_ok
 
             S_c = new_kv[0].shape[1]
@@ -491,7 +519,8 @@ class Attention(nn.Module):
         # Prefill/training flash attention: tiled scores never hit HBM —
         # required at long context where the einsum path materializes
         # [B, H, T, S] (kernels/flash_attention.py).
-        if cache_kv is None and T >= 256 and not cfg.attention_sinks:
+        if (cache_kv is None and T >= 256 and not cfg.attention_sinks
+                and not cfg.attn_logit_softcap):
             from ..kernels.flash_attention import flash_attention, flash_attention_ok
 
             if flash_attention_ok(T, k.shape[1], D):
@@ -508,6 +537,9 @@ class Attention(nn.Module):
         scores = jnp.einsum(
             "btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32
         ) / jnp.sqrt(D).astype(jnp.float32)
+        if cfg.attn_logit_softcap:
+            cap = jnp.float32(cfg.attn_logit_softcap)
+            scores = jnp.tanh(scores / cap) * cap
         scores = scores + mask[:, None, None, :, :S]
         if cfg.attention_sinks:
             # gpt-oss learned sinks: one per-head logit joins every softmax
@@ -537,14 +569,15 @@ class MLP(nn.Module):
             feats, use_bias=cfg.mlp_bias, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name=name,
         )
-        if cfg.activation == "silu_glu":
+        if cfg.activation in ("silu_glu", "gelu_glu"):
             if cfg.fused_gate_up:
                 gu = dense(2 * cfg.intermediate_size, "gate_up_proj")(x)
                 gate, up = jnp.split(gu, 2, axis=-1)
             else:
                 gate = dense(cfg.intermediate_size, "gate_proj")(x)
                 up = dense(cfg.intermediate_size, "up_proj")(x)
-            return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
+            act = nn.silu if cfg.activation == "silu_glu" else nn.gelu
+            return dense(cfg.hidden_size, "down_proj")(act(gate) * up)
         h = dense(cfg.intermediate_size, "fc_in")(x)
         return dense(cfg.hidden_size, "fc_out")(nn.gelu(h))
 
@@ -646,8 +679,10 @@ class Block(nn.Module):
     def __call__(self, x, positions, mask, cache_kv=None):
         cfg = self.cfg
         opts = cfg.layer_opts(self.layer_index)
+        off = 1.0 if cfg.norm_style == "gemma" else 0.0
         norm = (
-            (lambda name: RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name=name))
+            (lambda name: RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
+                                  scale_offset=off, name=name))
             if cfg.norm == "rmsnorm"
             else (lambda name: nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
                                             param_dtype=cfg.param_dtype, name=name))
@@ -668,6 +703,12 @@ class Block(nn.Module):
                 attn_cfg = dataclasses.replace(
                     attn_cfg, attention_window=int(opts["window"])
                 )
+            if opts.get("local_rope"):
+                # Gemma3: sliding layers rope at the local base, unscaled
+                attn_cfg = dataclasses.replace(
+                    attn_cfg, rope_theta=cfg.rope_local_base_freq,
+                    rope_scaling=None,
+                )
             if cfg.attention_type == "mla":
                 from .mla import MLAttention
 
@@ -677,6 +718,10 @@ class Block(nn.Module):
             h, new_kv = attn_cls(attn_cfg, name="attn")(
                 norm("input_norm")(x), positions, mask, cache_kv
             )
+            if cfg.norm_style == "gemma":
+                # Gemma sandwich: normalize the block OUTPUT before the
+                # residual add (post_attention_layernorm)
+                h = norm("post_attn_out_norm")(h)
             x = x + h
         elif cache_kv is not None:
             new_kv = (cache_kv[0], cache_kv[1])  # untouched cache slots
@@ -686,13 +731,15 @@ class Block(nn.Module):
             return x, new_kv
         mlp_in = norm("post_attn_norm")(x)
         if cfg.num_experts > 0 and self.layer_index >= cfg.first_k_dense:
-            x = x + MoEBlock(cfg, name="moe")(mlp_in)
+            h = MoEBlock(cfg, name="moe")(mlp_in)
         else:
             mlp_cfg = cfg
             if "ffn" in opts:
                 mlp_cfg = dataclasses.replace(cfg, intermediate_size=int(opts["ffn"]))
-            x = x + MLP(mlp_cfg, name="mlp")(mlp_in)
-        return x, new_kv
+            h = MLP(mlp_cfg, name="mlp")(mlp_in)
+        if cfg.norm_style == "gemma":
+            h = norm("post_mlp_out_norm")(h)
+        return x + h, new_kv
 
 
 class Decoder(nn.Module):
@@ -712,6 +759,8 @@ class Decoder(nn.Module):
         embed = QuantEmbed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
                            param_dtype=cfg.param_dtype, name="embed_tokens")
         x = embed(input_ids)
+        if cfg.scale_embeddings:
+            x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
         if prefix_embeds is not None:
             x = jnp.concatenate([prefix_embeds.astype(x.dtype), x], axis=1)
             T = x.shape[1]
@@ -793,7 +842,9 @@ class Decoder(nn.Module):
                 new_cache["kmin"] = tuple(kmins)
 
         x = (
-            RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="final_norm")(x)
+            RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
+                    scale_offset=(1.0 if cfg.norm_style == "gemma" else 0.0),
+                    name="final_norm")(x)
             if cfg.norm == "rmsnorm"
             else nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
                               param_dtype=cfg.param_dtype, name="final_norm")(x)
@@ -807,6 +858,9 @@ class Decoder(nn.Module):
         else:
             logits = QuantDense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
                                 param_dtype=cfg.param_dtype, name="lm_head")(x)
+        if cfg.final_logit_softcap:
+            cap = jnp.asarray(cfg.final_logit_softcap, logits.dtype)
+            logits = jnp.tanh(logits / cap) * cap
         if output_hidden:
             return logits, new_cache, hidden
         return logits, new_cache
@@ -982,6 +1036,44 @@ def deepseek_v3_config(**overrides) -> DecoderConfig:
         max_position_embeddings=163840,
         attention_type="mla", q_lora_rank=1536, kv_lora_rank=512,
         qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def gemma3_4b_config(**overrides) -> DecoderConfig:
+    """Gemma-3-4B text tower: sandwich norms, (1+w) RMSNorm, qk-norm,
+    5:1 sliding:full attention with local rope base, linear-scaled global
+    rope, scaled embeddings, tied head."""
+    n_layers = int(overrides.pop("num_layers", 34))
+    plan = tuple(
+        () if (i + 1) % 6 == 0 else (("window", 1024), ("local_rope", True))
+        for i in range(n_layers)
+    )
+    base = dict(
+        vocab_size=262208, hidden_size=2560, num_layers=n_layers,
+        num_heads=8, num_kv_heads=4, head_dim=256,
+        intermediate_size=10240, activation="gelu_glu",
+        norm_style="gemma", scale_embeddings=True, qk_norm=True,
+        query_pre_attn_scalar=256.0, tie_word_embeddings=True,
+        rope_theta=1e6, rope_local_base_freq=10000.0,
+        rope_scaling=(("rope_type", "linear"), ("factor", 8.0)),
+        layer_plan=plan, norm_eps=1e-6, max_position_embeddings=131072,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def tiny_gemma3_test_config(**overrides) -> DecoderConfig:
+    base = dict(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=16, intermediate_size=96,
+        activation="gelu_glu", norm_style="gemma", scale_embeddings=True,
+        qk_norm=True, query_pre_attn_scalar=64.0, tie_word_embeddings=True,
+        rope_theta=1e6, rope_local_base_freq=10000.0,
+        rope_scaling=(("rope_type", "linear"), ("factor", 2.0)),
+        layer_plan=((("window", 8), ("local_rope", True)), ()),
+        norm_eps=1e-6, max_position_embeddings=128,
     )
     base.update(overrides)
     return DecoderConfig(**base)

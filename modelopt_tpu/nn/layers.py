@@ -241,22 +241,31 @@ class QuantConv(nn.Module):
 
 
 class RMSNorm(nn.Module):
-    """RMSNorm (no quantization points; norms stay high-precision on TPU)."""
+    """RMSNorm (no quantization points; norms stay high-precision on TPU).
+
+    ``scale_offset=1.0`` gives the Gemma convention: zero-initialized
+    weight, output = norm(x) * (offset + w), multiplied in f32 before the
+    downcast."""
 
     epsilon: float = 1e-6
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     scale_axes: Optional[tuple] = None
+    scale_offset: float = 0.0
 
     @nn.compact
     def __call__(self, x):
+        init = (nn.initializers.zeros_init() if self.scale_offset
+                else nn.initializers.ones_init())
         scale = self.param(
             "scale",
-            _maybe_partition(nn.initializers.ones_init(), self.scale_axes),
+            _maybe_partition(init, self.scale_axes),
             (x.shape[-1],),
             self.param_dtype,
         )
         xf = x.astype(jnp.float32)
         var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
         y = xf * jax.lax.rsqrt(var + self.epsilon)
-        return (y * scale).astype(self.dtype or x.dtype)
+        return (y * (self.scale_offset + scale.astype(jnp.float32))).astype(
+            self.dtype or x.dtype
+        )
