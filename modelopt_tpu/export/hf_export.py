@@ -36,7 +36,9 @@ from ..core.tree import flatten_with_paths, get_in
 from ..quant.algorithms.capture import active_config
 from ..quant.qspec import QuantizerSpec
 
-# our decoder param path -> HF llama-style name (reverse of hf_import)
+# our decoder param path -> HF name (reverse of hf_import); family
+# variations (gemma sandwich norms, qk-norm, MLA, biases) resolved in
+# _layer_map(mcfg)
 _LLAMA_MAP = {
     "embed_tokens/embedding": "model.embed_tokens.weight",
     "final_norm/scale": "model.norm.weight",
@@ -49,19 +51,56 @@ _LAYER_MAP = {
     "attn/k_proj/kernel": "self_attn.k_proj.weight",
     "attn/v_proj/kernel": "self_attn.v_proj.weight",
     "attn/o_proj/kernel": "self_attn.o_proj.weight",
+    "attn/q_proj/bias": "self_attn.q_proj.bias",
+    "attn/k_proj/bias": "self_attn.k_proj.bias",
+    "attn/v_proj/bias": "self_attn.v_proj.bias",
+    "attn/o_proj/bias": "self_attn.o_proj.bias",
     "mlp/gate_proj/kernel": "mlp.gate_proj.weight",
     "mlp/up_proj/kernel": "mlp.up_proj.weight",
     "mlp/down_proj/kernel": "mlp.down_proj.weight",
 }
 
 
-def _hf_name(path: str):
+def _layer_map(mcfg) -> dict:
+    m = dict(_LAYER_MAP)
+    if getattr(mcfg, "qk_norm", False):
+        m["attn/q_norm/scale"] = "self_attn.q_norm.weight"
+        m["attn/k_norm/scale"] = "self_attn.k_norm.weight"
+    if getattr(mcfg, "norm_style", "plain") == "gemma":
+        m["post_attn_out_norm/scale"] = "post_attention_layernorm.weight"
+        m["post_attn_norm/scale"] = "pre_feedforward_layernorm.weight"
+        m["post_mlp_out_norm/scale"] = "post_feedforward_layernorm.weight"
+    if getattr(mcfg, "attention_type", "mha") == "mla":
+        m.update({
+            "attn/q_a_proj/kernel": "self_attn.q_a_proj.weight",
+            "attn/q_a_norm/scale": "self_attn.q_a_layernorm.weight",
+            "attn/q_b_proj/kernel": "self_attn.q_b_proj.weight",
+            "attn/kv_a_proj/kernel": "self_attn.kv_a_proj_with_mqa.weight",
+            "attn/kv_a_norm/scale": "self_attn.kv_a_layernorm.weight",
+            "attn/kv_b_proj/kernel": "self_attn.kv_b_proj.weight",
+        })
+    if getattr(mcfg, "attention_sinks", False):
+        m["attn/sinks"] = "self_attn.sinks"
+    return m
+
+
+def _moe_names(model_type: str):
+    """(router_name, expert_fmt, shared_fmt) for the family's MoE naming."""
+    if model_type == "mixtral":
+        return ("block_sparse_moe.gate.weight",
+                "block_sparse_moe.experts.{e}.{w1}.weight", None)
+    return ("mlp.gate.weight", "mlp.experts.{e}.{name}.weight",
+            "mlp.shared_experts.{name}.weight")
+
+
+def _hf_name(path: str, layer_map=None):
+    layer_map = layer_map if layer_map is not None else _LAYER_MAP
     if path in _LLAMA_MAP:
         return _LLAMA_MAP[path]
     parts = path.split("/", 1)
     if parts[0].startswith("layers_"):
         i = parts[0].split("_")[1]
-        rest = _LAYER_MAP.get(parts[1])
+        rest = layer_map.get(parts[1])
         if rest:
             return f"model.layers.{i}.{rest}"
     return None
@@ -188,13 +227,75 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
     model size (the streaming concern of the reference's
     unified_export_hf_streaming.py:445)."""
     quant_vars = bundle.variables.get("quant", {})
+    mcfg = bundle.module.cfg
+    layer_map = _layer_map(mcfg)
+    model_type = bundle.metadata.get("model_type") or (
+        "mixtral" if (mcfg.num_experts and mcfg.attention_type == "mha"
+                      and not mcfg.moe_bias and not mcfg.n_shared_experts)
+        else "generic"
+    )
+    _w123 = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
 
     for path, leaf in flatten_with_paths(bundle.variables.get("params", {})):
-        name = _hf_name(path)
+        parts = path.split("/")
+        if len(parts) >= 3 and parts[1] == "moe":
+            # stacked expert einsums -> per-expert HF tensors
+            i = parts[0].split("_")[1]
+            router_name, expert_fmt, shared_fmt = _moe_names(model_type)
+            if parts[2] == "router":
+                if parts[-1] == "kernel":
+                    yield f"model.layers.{i}.{router_name}", _np32(leaf).T.astype(np.float16)
+                elif parts[-1] == "bias":
+                    yield (f"model.layers.{i}."
+                           + router_name.rsplit(".weight", 1)[0] + ".bias",
+                           _np32(leaf).astype(np.float16))
+                continue
+            if parts[2] == "e_score_correction_bias":
+                yield (f"model.layers.{i}.mlp.gate.e_score_correction_bias",
+                       _np32(leaf))
+                continue
+            if parts[2] == "shared_experts" and shared_fmt:
+                name = f"model.layers.{i}." + shared_fmt.format(name=parts[3])
+                yield name, _np32(leaf).T.astype(np.float16)
+                continue
+            if parts[-1] == "kernel" and leaf.ndim == 3:
+                proj = parts[2]
+                specs = cfg.resolve(path.rsplit("/kernel", 1)[0] + "/weight_quantizer")
+                arr = _np32(leaf)  # [E, in, out]
+                for e in range(arr.shape[0]):
+                    name = f"model.layers.{i}." + expert_fmt.format(
+                        e=e, name=proj, w1=_w123.get(proj, proj))
+                    w_hf = arr[e].T  # [out, in]
+                    if specs and specs[0].enable:
+                        yield from _export_weight(w_hf, specs[0], name).items()
+                    else:
+                        yield name, w_hf.astype(np.float16)
+                continue
+            continue
+        name = _hf_name(path, layer_map)
         if name is None:
             continue
         if path.endswith("/kernel") and leaf.ndim == 2:
             w_hf = _np32(leaf).T  # [out, in]
+            if (mcfg.attention_type == "mla"
+                    and parts[-2] in ("q_proj", "q_b_proj", "kv_a_proj")):
+                # write HF-canonical INTERLEAVED rope rows (inverse of the
+                # import-time de-interleave — see _deepseek_params)
+                dr = mcfg.qk_rope_head_dim
+                perm = np.concatenate(
+                    [np.arange(0, dr, 2), np.arange(1, dr, 2)])
+                iperm = np.argsort(perm)
+                if parts[-2] == "kv_a_proj":
+                    r = mcfg.kv_lora_rank
+                    w_hf = np.concatenate(
+                        [w_hf[:r], w_hf[r:][iperm]], 0)
+                else:
+                    dn = mcfg.qk_nope_head_dim
+                    H = mcfg.num_heads
+                    w3 = w_hf.reshape(H, dn + dr, -1)
+                    w3 = np.concatenate(
+                        [w3[:, :dn], w3[:, dn:][:, iperm]], 1)
+                    w_hf = w3.reshape(H * (dn + dr), -1)
             specs = cfg.resolve(path.rsplit("/kernel", 1)[0] + "/weight_quantizer")
             dense = path.rsplit("/kernel", 1)[0]
             if specs and specs[0].enable:
@@ -248,7 +349,12 @@ def export_hf_checkpoint(bundle: ModelBundle, export_dir: str,
                       indent=1)
 
     if max_shard_bytes is None:
-        state = dict(_iter_export_tensors(bundle, cfg))
+        # ascontiguousarray: transposed views astype(order='K') stay
+        # F-contiguous and safetensors serializes the RAW buffer — without
+        # this, fp16 weights land on disk transposed (caught by the
+        # round-trip tests)
+        state = {k: np.ascontiguousarray(a)
+                 for k, a in _iter_export_tensors(bundle, cfg)}
         try:
             from safetensors.numpy import save_file
 
@@ -278,6 +384,7 @@ def export_hf_checkpoint(bundle: ModelBundle, export_dir: str,
         shard, shard_bytes = {}, 0
 
     for name, arr in _iter_export_tensors(bundle, cfg):
+        arr = np.ascontiguousarray(arr)  # see note above: raw-buffer writes
         nbytes = arr.size * arr.dtype.itemsize
         if shard and shard_bytes + nbytes > max_shard_bytes:
             _flush()
@@ -301,8 +408,54 @@ def export_hf_checkpoint(bundle: ModelBundle, export_dir: str,
 
 
 def _decoder_config_json(cfg) -> dict:
+    if cfg.attention_type == "mla":
+        mt = "deepseek_v3" if cfg.router_score == "sigmoid" else "deepseek_v2"
+    elif cfg.attention_sinks:
+        mt = "gpt_oss"
+    elif cfg.norm_style == "gemma":
+        mt = "gemma3_text"
+    elif cfg.qk_norm:
+        mt = "qwen3_moe" if cfg.num_experts else "qwen3"
+    elif cfg.num_experts:
+        mt = "mixtral"
+    else:
+        mt = "llama"
+    extra = {}
+    if cfg.attention_type == "mla":
+        extra = {
+            "q_lora_rank": cfg.q_lora_rank, "kv_lora_rank": cfg.kv_lora_rank,
+            "qk_nope_head_dim": cfg.qk_nope_head_dim,
+            "qk_rope_head_dim": cfg.qk_rope_head_dim,
+            "v_head_dim": cfg.v_head_dim,
+            "n_routed_experts": cfg.num_experts or None,
+            "num_experts_per_tok": cfg.experts_per_token,
+            "n_shared_experts": cfg.n_shared_experts,
+            "moe_intermediate_size": cfg.moe_intermediate_size,
+            "first_k_dense_replace": cfg.first_k_dense,
+            "scoring_func": cfg.router_score,
+            "topk_method": ("noaux_tc" if cfg.router_correction_bias
+                            else ("group_limited_greedy" if cfg.n_group
+                                  else "greedy")),
+            "n_group": cfg.n_group, "topk_group": cfg.topk_group,
+            "norm_topk_prob": cfg.norm_topk_prob,
+            "routed_scaling_factor": cfg.routed_scaling_factor,
+        }
+    elif cfg.num_experts:
+        if mt == "mixtral":
+            extra = {"num_local_experts": cfg.num_experts,
+                     "num_experts_per_tok": cfg.experts_per_token}
+        else:
+            extra = {"num_experts": cfg.num_experts,
+                     "num_experts_per_tok": cfg.experts_per_token,
+                     "norm_topk_prob": cfg.norm_topk_prob,
+                     "moe_intermediate_size": cfg.moe_intermediate_size}
+    if cfg.rope_scaling:
+        extra["rope_scaling"] = dict(cfg.rope_scaling)
+    if cfg.head_dim:
+        extra["head_dim"] = cfg.head_dim
     return {
-        "model_type": "llama",
+        "model_type": mt,
+        **extra,
         "vocab_size": cfg.vocab_size,
         "hidden_size": cfg.hidden_size,
         "num_hidden_layers": cfg.num_layers,

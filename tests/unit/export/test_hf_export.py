@@ -135,3 +135,68 @@ class TestShardedStreamingExport:
             s = single[k]
             sv = s.view(np.uint8) if s.dtype.itemsize == 1 and "float8" in s.dtype.name else s
             np.testing.assert_array_equal(tv, np.asarray(sv))
+
+
+class TestFamilyExportRoundtrip:
+    """Unquantized export -> re-import -> logit match pins the reverse name
+    maps for the newer families (qk-norm, MLA, MoE expert unstacking)."""
+
+    def _roundtrip(self, cfg, tmp_path, atol=8e-2):
+        import jax
+
+        from modelopt_tpu.core import ModelBundle
+        from modelopt_tpu.models import Decoder
+        from modelopt_tpu.models.hf_import import from_hf
+
+        m = Decoder(cfg)
+        ids = jnp.asarray([[5, 3, 7, 2]], jnp.int32)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), ids)
+        b = ModelBundle(module=m, variables=dict(v), example_inputs=(ids,))
+        # exporter wants a quantize record; apply an all-disabled config so
+        # weights export as plain fp16 (pure name-map round trip)
+        b = mtq.quantize(
+            b, {"quant_cfg": {"*": {"enable": False}}, "algorithm": None}
+        )
+        export_hf_checkpoint(b, str(tmp_path))
+        state = load_state(str(tmp_path))
+        hf_cfg = json.load(open(tmp_path / "config.json"))
+        b2 = from_hf(state, hf_cfg)
+        o1 = b.apply(ids)
+        o2 = b2.apply(ids)
+        l1 = np.asarray(o1[0] if isinstance(o1, tuple) else o1, np.float32)
+        l2 = np.asarray(o2[0] if isinstance(o2, tuple) else o2, np.float32)
+        # fp16 export round-trip noise only
+        np.testing.assert_allclose(l1, l2, rtol=atol, atol=atol)
+
+    def test_qwen3_roundtrip(self, tmp_path):
+        from modelopt_tpu.models import qwen3_config
+
+        self._roundtrip(qwen3_config(
+            vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, head_dim=16, intermediate_size=96,
+            max_position_embeddings=64,
+        ), tmp_path)
+
+    def test_deepseek_mla_moe_roundtrip(self, tmp_path):
+        from modelopt_tpu.models import tiny_mla_test_config
+
+        self._roundtrip(tiny_mla_test_config(), tmp_path)
+
+    def test_moe_quantized_export_unstacks_experts(self, tmp_path, rng):
+        import jax
+
+        from modelopt_tpu.core import ModelBundle
+        from modelopt_tpu.models import Decoder, tiny_test_config
+
+        cfg = tiny_test_config(num_experts=4, experts_per_token=2)
+        m = Decoder(cfg)
+        ids = jnp.zeros((2, 8), jnp.int32)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), ids)
+        b = ModelBundle(module=m, variables=dict(v), example_inputs=(ids,))
+        q = mtq.quantize(b, "INT4_AWQ_CFG", lambda f: f(ids))
+        state = export_hf_checkpoint(q, str(tmp_path))
+        # mixtral naming, per-expert tensors, packed weights + scales
+        k = "model.layers.0.block_sparse_moe.experts.3.w1.weight"
+        assert k in state, sorted(state)[:8]
+        assert state[k].dtype == np.uint8
+        assert k.rsplit(".weight", 1)[0] + ".weight_scale" in state
