@@ -45,9 +45,11 @@ def _rope_scaling_tuple(rs) -> tuple | None:
     out = [("rope_type", rope_type)]
     for k in ("factor", "original_max_position_embeddings", "beta_fast",
               "beta_slow", "mscale", "mscale_all_dim", "attention_factor",
-              "truncate"):
+              "truncate", "short_factor", "long_factor"):
         v = get(k)
         if v is not None:
+            if isinstance(v, (list, tuple)):
+                v = tuple(float(x) for x in v)  # hashable (jit-static)
             out.append((k, v))
     return tuple(out)
 
@@ -67,6 +69,32 @@ def config_from_hf(hf_config) -> DecoderConfig:
             max_position_embeddings=get("n_positions", 1024), attn_bias=True,
             mlp_bias=True, tie_word_embeddings=True,
             norm_eps=get("layer_norm_epsilon", 1e-5),
+        )
+    if mt in ("phi3", "phi4", "phi"):
+        orig = get("original_max_position_embeddings")
+        scaling = _rope_scaling_tuple(get("rope_scaling"))
+        if scaling is not None:
+            extra = []
+            if orig:
+                extra.append(("original_max_position_embeddings", orig))
+                f = get("max_position_embeddings", orig) / orig
+                extra.append(("factor", f))
+                extra.append(("use_long_factors",
+                              get("max_position_embeddings", orig) > orig))
+            scaling = scaling + tuple(extra)
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
+            num_layers=get("num_hidden_layers"),
+            num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads"),
+            intermediate_size=get("intermediate_size"),
+            fused_qkv=True, fused_gate_up=True,
+            activation="silu_glu", norm="rmsnorm", positions="rope",
+            rope_theta=get("rope_theta", 10000.0), rope_scaling=scaling,
+            max_position_embeddings=get("max_position_embeddings", 4096),
+            attention_window=get("sliding_window"),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            norm_eps=get("rms_norm_eps", 1e-5),
         )
     if mt in ("gemma2", "gemma3_text"):
         layer_types = get("layer_types") or []
@@ -267,10 +295,14 @@ def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.", commit=None,
                 "post_attn_norm": {"scale": _np(sd[L + "post_attention_layernorm.weight"])},
             }
         attn = {}
-        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            attn[name] = {"kernel": _np(sd[L + f"self_attn.{name}.weight"]).T}
-            if cfg.attn_bias and L + f"self_attn.{name}.bias" in sd:
-                attn[name]["bias"] = _np(sd[L + f"self_attn.{name}.bias"])
+        if cfg.fused_qkv:
+            attn["qkv_proj"] = {"kernel": _np(sd[L + "self_attn.qkv_proj.weight"]).T}
+            attn["o_proj"] = {"kernel": _np(sd[L + "self_attn.o_proj.weight"]).T}
+        else:
+            for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                attn[name] = {"kernel": _np(sd[L + f"self_attn.{name}.weight"]).T}
+                if cfg.attn_bias and L + f"self_attn.{name}.bias" in sd:
+                    attn[name]["bias"] = _np(sd[L + f"self_attn.{name}.bias"])
         if cfg.qk_norm:
             attn["q_norm"] = {"scale": _np(sd[L + "self_attn.q_norm.weight"])}
             attn["k_norm"] = {"scale": _np(sd[L + "self_attn.k_norm.weight"])}
@@ -291,6 +323,11 @@ def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.", commit=None,
                     _np(sd[L + f"{ex}.{e}.{theirs}.weight"]).T for e in range(E)
                 ])}
             layer["moe"] = moe
+        elif cfg.fused_gate_up:
+            layer["mlp"] = {
+                "gate_up_proj": {"kernel": _np(sd[L + "mlp.gate_up_proj.weight"]).T},
+                "down_proj": {"kernel": _np(sd[L + "mlp.down_proj.weight"]).T},
+            }
         else:
             layer["mlp"] = {
                 name: {"kernel": _np(sd[L + f"mlp.{name}.weight"]).T}
@@ -385,6 +422,11 @@ def _deepseek_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> di
                     for name in ("gate_proj", "up_proj", "down_proj")
                 }
             layer["moe"] = moe
+        elif cfg.fused_gate_up:
+            layer["mlp"] = {
+                "gate_up_proj": {"kernel": _np(sd[L + "mlp.gate_up_proj.weight"]).T},
+                "down_proj": {"kernel": _np(sd[L + "mlp.down_proj.weight"]).T},
+            }
         else:
             layer["mlp"] = {
                 name: {"kernel": _np(sd[L + f"mlp.{name}.weight"]).T}

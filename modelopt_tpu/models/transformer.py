@@ -268,6 +268,24 @@ def _rope(x, positions, theta, scaling=None):
         elif sdict.get("rope_type") == "linear":
             freq = 1.0 / (float(sdict["factor"])
                           * theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+        elif sdict.get("rope_type") == "longrope":
+            # Phi-3/4: per-dim extension factors; the factor set is a
+            # STATIC choice here (long iff the config's max position
+            # exceeds the original pretraining length) — jitted decode
+            # cannot switch on runtime sequence length
+            import math
+
+            orig = int(sdict.get("original_max_position_embeddings", 4096))
+            use_long = bool(sdict.get("use_long_factors", False))
+            ext = jnp.asarray(
+                sdict["long_factor"] if use_long else sdict["short_factor"],
+                jnp.float32,
+            )
+            freq = 1.0 / (ext * theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2 / d))
+            f = float(sdict.get("factor") or 1.0)
+            mscale = float(sdict.get("attention_factor") or (
+                1.0 if f <= 1.0 else math.sqrt(1 + math.log(f) / math.log(orig))
+            ))
         else:
             freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
     else:
