@@ -45,7 +45,8 @@ def _rope_scaling_tuple(rs) -> tuple | None:
     out = [("rope_type", rope_type)]
     for k in ("factor", "original_max_position_embeddings", "beta_fast",
               "beta_slow", "mscale", "mscale_all_dim", "attention_factor",
-              "truncate", "short_factor", "long_factor"):
+              "truncate", "short_factor", "long_factor",
+              "low_freq_factor", "high_freq_factor"):
         v = get(k)
         if v is not None:
             if isinstance(v, (list, tuple)):
@@ -162,6 +163,7 @@ def config_from_hf(hf_config) -> DecoderConfig:
             intermediate_size=get("intermediate_size"),
             activation="silu_glu", norm="rmsnorm", positions="rope",
             rope_theta=get("rope_theta", 10000.0),
+            rope_scaling=_rope_scaling_tuple(get("rope_scaling")),
             max_position_embeddings=get("max_position_embeddings", 4096),
             attn_bias=bool(get("attention_bias", False)),
             tie_word_embeddings=bool(get("tie_word_embeddings", False)),

@@ -268,6 +268,24 @@ def _rope(x, positions, theta, scaling=None):
         elif sdict.get("rope_type") == "linear":
             freq = 1.0 / (float(sdict["factor"])
                           * theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+        elif sdict.get("rope_type") == "llama3":
+            # Llama-3.1+ context extension (public formula, HF
+            # _compute_llama3_parameters): low-frequency bands divide by
+            # factor, high-frequency bands keep, smooth ramp between
+            import math
+
+            factor = float(sdict["factor"])
+            lowf = float(sdict.get("low_freq_factor", 1.0))
+            highf = float(sdict.get("high_freq_factor", 4.0))
+            old_ctx = float(sdict.get("original_max_position_embeddings", 8192))
+            base_freq = 1.0 / (theta ** (np.arange(0, half, dtype=np.float64) / half))
+            wavelen = 2 * math.pi / base_freq
+            smooth = (old_ctx / wavelen - lowf) / (highf - lowf)
+            smoothed = (1 - smooth) * base_freq / factor + smooth * base_freq
+            out_f = np.where(wavelen > old_ctx / lowf, base_freq / factor,
+                             np.where(wavelen < old_ctx / highf, base_freq,
+                                      smoothed))
+            freq = jnp.asarray(out_f.astype(np.float32))
         elif sdict.get("rope_type") == "longrope":
             # Phi-3/4: per-dim extension factors; the factor set is a
             # STATIC choice here (long iff the config's max position

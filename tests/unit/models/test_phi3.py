@@ -36,3 +36,33 @@ def test_phi3_hf_logit_parity():
     lg = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
     err = np.abs(lg - ref).max() / np.abs(ref).max()
     assert err < 2e-2, err  # bf16 compute vs fp32 torch
+
+
+def test_llama31_rope_scaling_parity():
+    """Llama-3.1+ checkpoints ship rope_type='llama3' frequency scaling —
+    parity vs HF LlamaForCausalLM with the scaling active."""
+    torch = pytest.importorskip("torch")
+    tfm = pytest.importorskip("transformers")
+    from transformers.models.llama.modeling_llama import LlamaForCausalLM
+
+    from modelopt_tpu.models.hf_import import from_hf
+
+    cfg = tfm.LlamaConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=96,
+        rope_theta=10000.0, max_position_embeddings=256,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+        rms_norm_eps=1e-6, tie_word_embeddings=False, attention_bias=False,
+    )
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(cfg).eval().float()
+    ids = torch.tensor([[5, 3, 7, 2, 9, 1, 4, 8]])
+    with torch.no_grad():
+        ref = hf(ids).logits.numpy()
+    b = from_hf(hf, cfg)
+    out = b.apply(jnp.asarray(ids.numpy()))
+    lg = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
+    err = np.abs(lg - ref).max() / np.abs(ref).max()
+    assert err < 2e-2, err
