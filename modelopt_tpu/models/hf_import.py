@@ -97,6 +97,53 @@ def config_from_hf(hf_config) -> DecoderConfig:
             tie_word_embeddings=bool(get("tie_word_embeddings", False)),
             norm_eps=get("rms_norm_eps", 1e-5),
         )
+    if mt in ("llama4", "llama4_text"):
+        tc = get("text_config")
+        if tc is not None:
+            return config_from_hf(tc)
+        n_layers = get("num_hidden_layers")
+        moe_layers = get("moe_layers")
+        if moe_layers is None:
+            step = get("interleave_moe_layer_step", 1)
+            moe_layers = list(range(step - 1, n_layers, step))
+        no_rope = get("no_rope_layers") or [1] * n_layers
+        layer_types = get("layer_types") or [
+            "chunked_attention" if no_rope[i] else "full_attention"
+            for i in range(n_layers)
+        ]
+        plan = []
+        for i in range(n_layers):
+            opts = []
+            if not no_rope[i]:
+                opts.append(("nope", True))
+            if layer_types[i] == "chunked_attention":
+                opts.append(("chunk", get("attention_chunk_size", 8192)))
+            if i not in moe_layers:
+                opts.append(("ffn", get("intermediate_size_mlp")))
+            plan.append(tuple(opts))
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
+            num_layers=n_layers, num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads"),
+            head_dim=get("head_dim"),
+            intermediate_size=get("intermediate_size_mlp"),
+            moe_intermediate_size=get("intermediate_size"),
+            num_experts=get("num_local_experts") or 0,
+            experts_per_token=get("num_experts_per_tok") or 1,
+            n_shared_experts=1, router_score="llama4",
+            qk_l2norm=bool(get("use_qk_norm", True)),
+            attn_temperature_tuning=bool(get("attn_temperature_tuning", True)),
+            floor_scale=float(get("floor_scale", 8192)),
+            attn_scale=float(get("attn_scale", 0.1)),
+            activation="silu_glu", norm="rmsnorm", positions="rope",
+            rope_theta=get("rope_theta", 500000.0),
+            rope_scaling=_rope_scaling_tuple(get("rope_scaling")),
+            layer_plan=tuple(plan),
+            max_position_embeddings=get("max_position_embeddings", 131072),
+            attn_bias=bool(get("attention_bias", False)),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            norm_eps=get("rms_norm_eps", 1e-5),
+        )
     if mt in ("gemma2", "gemma3_text"):
         layer_types = get("layer_types") or []
         window = get("sliding_window", 4096)
@@ -480,6 +527,64 @@ def _gpt_oss_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> dic
     return p
 
 
+def _llama4_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> dict:
+    """Llama-4 text checkpoint map: fused gate_up experts (chunked halves),
+    input-scaled router, always-on shared expert, dense interleave layers
+    under ``feed_forward.*``."""
+    commit = commit or (lambda t: t)
+    p: dict = {}
+    p["embed_tokens"] = commit({"embedding": _np(sd[f"{prefix}embed_tokens.weight"])})
+    I = cfg.moe_intermediate_size
+    D = cfg.dims_per_head
+    # Llama-4 applies INTERLEAVED complex rope (adjacent column pairs); the
+    # native half-split rope needs new col j <- old 2j (see _deepseek_params
+    # — the q.k inner product is permutation-invariant, and the post-rope
+    # L2 norm is too)
+    perm = np.concatenate([np.arange(0, D, 2), np.arange(1, D, 2)])
+
+    def deinterleave(w):  # w [in, heads*D]
+        w = w.reshape(w.shape[0], -1, D)[..., perm]
+        return w.reshape(w.shape[0], -1)
+
+    for i in range(cfg.num_layers):
+        L = f"{prefix}layers.{i}."
+        attn = {}
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            w = _np(sd[L + f"self_attn.{name}.weight"]).T
+            if name in ("q_proj", "k_proj"):
+                w = deinterleave(w)
+            attn[name] = {"kernel": w}
+        layer: dict = {
+            "input_norm": {"scale": _np(sd[L + "input_layernorm.weight"])},
+            "post_attn_norm": {"scale": _np(sd[L + "post_attention_layernorm.weight"])},
+            "attn": attn,
+        }
+        opts = cfg.layer_opts(i)
+        if "ffn" in opts:  # dense interleave layer
+            layer["mlp"] = {
+                name: {"kernel": _np(sd[L + f"feed_forward.{name}.weight"]).T}
+                for name in ("gate_proj", "up_proj", "down_proj")
+            }
+        else:
+            gu = _np(sd[L + "feed_forward.experts.gate_up_proj"])  # [E,Hd,2I]
+            layer["moe"] = {
+                "router": {"kernel": _np(sd[L + "feed_forward.router.weight"]).T},
+                "gate_proj": {"kernel": gu[..., :I]},
+                "up_proj": {"kernel": gu[..., I:]},
+                "down_proj": {"kernel": _np(sd[L + "feed_forward.experts.down_proj"])},
+                "shared_experts": {
+                    name: {"kernel": _np(
+                        sd[L + f"feed_forward.shared_expert.{name}.weight"]).T}
+                    for name in ("gate_proj", "up_proj", "down_proj")
+                },
+            }
+        p[f"layers_{i}"] = commit(layer)
+    p["final_norm"] = commit({"scale": _np(sd[f"{prefix}norm.weight"])})
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = commit({"kernel": _np(sd["lm_head.weight"]).T})
+    return p
+
+
 def _llava_params(sd, cfg, commit=None) -> dict:
     """LLaVA checkpoint map: CLIP vision tower + 2-layer projector + llama
     decoder (reference VLM coverage: examples/vlm_ptq; naming follows HF
@@ -619,6 +724,10 @@ def from_hf(model, hf_config=None, example_len: int = 8, commit=None) -> ModelBu
         example_inputs = (ids,)
     elif mt == "gpt_oss":
         params = _gpt_oss_params(sd, cfg, commit=commit)
+        module = Decoder(cfg)
+        example_inputs = (ids,)
+    elif mt.startswith("llama4"):
+        params = _llama4_params(sd, cfg, commit=commit)
         module = Decoder(cfg)
         example_inputs = (ids,)
     else:

@@ -49,6 +49,15 @@ class DecoderConfig:
     mlp_bias: bool = False
     # Qwen3-style per-head RMSNorm on q/k (over head_dim, before RoPE)
     qk_norm: bool = False
+    # Llama-4 knobs: weightless L2 q/k norm (after RoPE, rope layers only),
+    # NoPE-layer temperature tuning, chunked-causal attention (per layer
+    # via layer_plan {"nope": True} / {"chunk": N}), and input-scaled
+    # sigmoid routing (router_score="llama4")
+    qk_l2norm: bool = False
+    attn_temperature_tuning: bool = False
+    floor_scale: float = 8192.0
+    attn_scale: float = 0.1
+    attention_chunk: Optional[int] = None
     # Gemma-family knobs: (1+w) RMSNorm + sandwich (post-attn/post-mlp)
     # norms, sqrt(hidden) embedding scale, fixed query pre-scale, tanh
     # softcaps (gemma2), and the local-attention rope base for sliding
@@ -351,6 +360,22 @@ class Attention(nn.Module):
         if cfg.positions == "rope":
             q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
             k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
+            if cfg.qk_l2norm:
+                # Llama-4: weightless L2 norm after RoPE (rope layers only)
+                def _l2(x):
+                    xf = x.astype(jnp.float32)
+                    ms = jnp.mean(jnp.square(xf), -1, keepdims=True)
+                    return (xf * jax.lax.rsqrt(ms + 1e-6)).astype(x.dtype)
+
+                q, k = _l2(q), _l2(k)
+        elif cfg.positions == "none" and cfg.attn_temperature_tuning:
+            # Llama-4 NoPE layers: scale q by a log-position temperature
+            # (arXiv:2501.19399) so long-context attention keeps contrast
+            ts = jnp.log1p(
+                jnp.floor((positions.astype(jnp.float32) + 1.0)
+                          / cfg.floor_scale)
+            ) * cfg.attn_scale + 1.0
+            q = q * ts[:, :, None, None].astype(q.dtype)
         if cfg.query_pre_attn_scalar is not None:
             # Gemma: scores scale by query_pre_attn_scalar**-0.5 instead of
             # head_dim**-0.5 — fold the RATIO into q so every downstream
@@ -418,6 +443,7 @@ class Attention(nn.Module):
                 if (T == 1 and cfg.attention_window is None
                         and kmax is None and not cfg.attention_sinks
                         and not cfg.attn_logit_softcap
+                        and cfg.attention_chunk is None
                         and fused_decode_ok((B, KH, Gq, D), ck.shape[1],
                                             ck.dtype)):
                     # Fused decode step: the cache write DMA rides behind the
@@ -457,7 +483,8 @@ class Attention(nn.Module):
                 new_kv = (ck, cv, kmax, kmin)
                 if (T == 1 and cfg.attention_window is None
                         and not cfg.attention_sinks
-                        and not cfg.attn_logit_softcap):
+                        and not cfg.attn_logit_softcap
+                        and cfg.attention_chunk is None):
                     from ..kernels.block_sparse_attention import (
                         block_sparse_decode_attention,
                         block_sparse_decode_attention_xla,
@@ -500,6 +527,7 @@ class Attention(nn.Module):
             if (T == 1 and cfg.attention_window is None
                     and not cfg.attention_sinks
                     and not cfg.attn_logit_softcap
+                    and cfg.attention_chunk is None
                     and paged_attention_ok(B, KH, G, D, ps)):
                 qg = q[:, 0].reshape(B, KH, G, D)
                 lengths = positions[:, 0] + 1
@@ -535,7 +563,8 @@ class Attention(nn.Module):
         if (new_kv is not None and page_table is None and T == 1
                 and cfg.attention_window is None
                 and not cfg.attention_sinks
-                and not cfg.attn_logit_softcap):
+                and not cfg.attn_logit_softcap
+                and cfg.attention_chunk is None):
             from ..kernels.attention import decode_attention, decode_attention_ok
 
             S_c = new_kv[0].shape[1]
@@ -556,7 +585,7 @@ class Attention(nn.Module):
         # required at long context where the einsum path materializes
         # [B, H, T, S] (kernels/flash_attention.py).
         if (cache_kv is None and T >= 256 and not cfg.attention_sinks
-                and not cfg.attn_logit_softcap):
+                and not cfg.attn_logit_softcap and cfg.attention_chunk is None):
             from ..kernels.flash_attention import flash_attention, flash_attention_ok
 
             if flash_attention_ok(T, k.shape[1], D):
@@ -639,18 +668,30 @@ class MoEBlock(nn.Module):
         # affinities over ALL experts, optional selection-only correction
         # bias + group limiting, weights gathered from the ORIGINAL
         # affinities, optional renormalization, post-scale.
-        if cfg.router_score == "sigmoid":
+        if cfg.router_score == "llama4":
+            # Llama-4: sigmoid of the top-k logits scales the expert INPUT
+            # (not the output — the swiglu nonlinearity makes these differ);
+            # unselected experts see a zero input and contribute nothing
+            _, sel = jax.lax.top_k(logits, K)
+            neg = jnp.full_like(logits, -jnp.inf)
+            sel_logits = neg.at[
+                jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None],
+                sel
+            ].set(jnp.take_along_axis(logits, sel, -1))
+            s_in = jax.nn.sigmoid(sel_logits).astype(cfg.dtype)  # [B,T,E]
+            gates = jnp.ones_like(logits)
+        elif cfg.router_score == "sigmoid":
             scores = jax.nn.sigmoid(logits)
         else:
             scores = jax.nn.softmax(logits, axis=-1)
-        select = scores
-        if cfg.router_correction_bias:
+        select = scores if cfg.router_score != "llama4" else None
+        if cfg.router_score != "llama4" and cfg.router_correction_bias:
             # V3 "noaux_tc": bias steers SELECTION only, never the weights.
             # A load-balancing buffer in HF (not trained by gradient).
             cb = self.param("e_score_correction_bias",
                             nn.initializers.zeros_init(), (E,), jnp.float32)
             select = scores + jax.lax.stop_gradient(cb)
-        if cfg.n_group and cfg.n_group > 1:
+        if cfg.router_score != "llama4" and cfg.n_group and cfg.n_group > 1:
             Gn = cfg.n_group
             gsel = select.reshape(B, T, Gn, E // Gn)
             if cfg.router_score == "sigmoid":  # V3: sum of top-2 per group
@@ -662,14 +703,17 @@ class MoEBlock(nn.Module):
             select = jnp.where(
                 jnp.repeat(gmask, E // Gn, axis=-1) > 0, select, 0.0
             )
-        _, sel = jax.lax.top_k(select, K)
-        weights = jnp.take_along_axis(scores, sel, axis=-1)  # [B,T,K]
-        if cfg.norm_topk_prob:
-            weights = weights / (jnp.sum(weights, -1, keepdims=True) + 1e-20)
-        weights = weights * cfg.routed_scaling_factor
-        gates = jnp.zeros_like(logits).at[
-            jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], sel
-        ].set(weights)  # [B,T,E] sparse gate matrix
+        if cfg.router_score != "llama4":
+            _, sel = jax.lax.top_k(select, K)
+            weights = jnp.take_along_axis(scores, sel, axis=-1)  # [B,T,K]
+            if cfg.norm_topk_prob:
+                weights = weights / (jnp.sum(weights, -1, keepdims=True)
+                                     + 1e-20)
+            weights = weights * cfg.routed_scaling_factor
+            gates = jnp.zeros_like(logits).at[
+                jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None],
+                sel
+            ].set(weights)  # [B,T,E] sparse gate matrix
 
         from ..nn.layers import QuantEinsum
 
@@ -683,6 +727,10 @@ class MoEBlock(nn.Module):
         I = cfg.moe_intermediate_size or cfg.intermediate_size
         gate_out = expert_einsum((E, Hd, I), "gate_proj", (E, I))(x)
         up_out = expert_einsum((E, Hd, I), "up_proj", (E, I))(x)
+        if cfg.router_score == "llama4":
+            # fold the input scaling through the (bias-free) linears
+            gate_out = gate_out * s_in[..., None]
+            up_out = up_out * s_in[..., None]
         if cfg.moe_activation == "swiglu_oai":
             # gpt-oss clamped swiglu: glu = min(gate, 7) * sigmoid(1.702 *
             # gate); h = (clip(up, +-7) + 1) * glu
@@ -745,6 +793,13 @@ class Block(nn.Module):
                     attn_cfg, rope_theta=cfg.rope_local_base_freq,
                     rope_scaling=None,
                 )
+            if opts.get("nope"):
+                # Llama-4 NoPE layers: no rotary at all
+                attn_cfg = dataclasses.replace(attn_cfg, positions="none")
+            if "chunk" in opts:
+                attn_cfg = dataclasses.replace(
+                    attn_cfg, attention_chunk=int(opts["chunk"])
+                )
             if cfg.attention_type == "mla":
                 from .mla import MLAttention
 
@@ -766,7 +821,8 @@ class Block(nn.Module):
         if "no_mlp" in opts:
             return x, new_kv
         mlp_in = norm("post_attn_norm")(x)
-        if cfg.num_experts > 0 and self.layer_index >= cfg.first_k_dense:
+        if (cfg.num_experts > 0 and self.layer_index >= cfg.first_k_dense
+                and "ffn" not in opts):
             h = MoEBlock(cfg, name="moe")(mlp_in)
         else:
             mlp_cfg = cfg
@@ -828,17 +884,22 @@ class Decoder(nn.Module):
 
         _masks: dict = {}
 
-        def mask_for(window):
-            # per-layer sliding windows (gpt-oss alternates full/sliding via
-            # layer_plan {"window": w}); masks built once per distinct width
-            if window not in _masks:
+        def mask_for(window, chunk=None):
+            # per-layer sliding windows / chunked attention (gpt-oss,
+            # gemma3, llama4 alternate via layer_plan); masks built once per
+            # distinct (window, chunk)
+            key = (window, chunk)
+            if key not in _masks:
                 valid = causal
                 if window is not None:
                     in_window = key_pos > positions[:, :, None] - window
                     sink = key_pos < cfg.attention_sink
                     valid = valid & (in_window | sink)
-                _masks[window] = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
-            return _masks[window]  # [B,T,S]
+                if chunk is not None:
+                    valid = valid & (key_pos // chunk
+                                     == positions[:, :, None] // chunk)
+                _masks[key] = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+            return _masks[key]  # [B,T,S]
 
         new_cache = None
         ks, vs = [], []
@@ -853,9 +914,11 @@ class Decoder(nn.Module):
                     cache_kv = cache_kv + (cache["page_table"],)
                 elif skip:
                     cache_kv = cache_kv + (cache["kmax"][i], cache["kmin"][i])
-            w_i = cfg.layer_opts(i).get("window", cfg.attention_window)
+            opts_i = cfg.layer_opts(i)
+            w_i = opts_i.get("window", cfg.attention_window)
+            c_i = opts_i.get("chunk", cfg.attention_chunk)
             x, new_kv = Block(cfg, layer_index=i, name=f"layers_{i}")(
-                x, positions, mask_for(w_i), cache_kv
+                x, positions, mask_for(w_i, c_i), cache_kv
             )
             if new_kv is not None:
                 ks.append(new_kv[0])
