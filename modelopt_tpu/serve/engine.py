@@ -62,7 +62,14 @@ class Request:
     max_new_tokens: int = 64
     temperature: float = 0.0
     eos_id: Optional[int] = None
+    # token-id stop sequences (vLLM-style): generation ends when the output
+    # tail matches one; the matched tail is trimmed from out_tokens
+    stop_sequences: tuple = ()
     out_tokens: list = dataclasses.field(default_factory=list)
+    # log p(token | prefix) of each emitted token (None on speculative
+    # ticks, where verify logits are not re-normalized per token)
+    out_logprobs: list = dataclasses.field(default_factory=list)
+    stop_reason: Optional[str] = None  # "eos" | "stop" | "length"
     done: bool = False
     slot: Optional[int] = None
     prefill_pos: int = 0  # tokens of the prompt already ingested
@@ -199,27 +206,27 @@ class ServingEngine:
             lengths = cache["lengths"].at[slot].set(start + true_len)
             cache = {**cache, "lengths": lengths}
             last = logits[0, true_len - 1]
-            tok = _sample(last, temp, key)
-            return cache, tok, hidden
+            tok, lp = _sample_lp(last, temp, key)
+            return cache, tok, hidden, lp
 
         def prefill_fn(variables, cache, ids, slot, start, true_len, temp, key):
-            cache, tok, hidden = _prefill_core(
+            cache, tok, hidden, lp = _prefill_core(
                 variables, cache, ids, slot, start, true_len, temp, key
             )
-            return cache, tok, hidden[0, true_len - 1]
+            return cache, tok, hidden[0, true_len - 1], lp
 
         def prefill_dflash_fn(variables, cache, features, ids, slot, start,
                               true_len, temp, key):
             """dflash prefill also records the chunk's tapped features at
             rows [start, start+bucket) of the slot's feature cache (padding
             rows are overwritten by the next chunk / first spec ticks)."""
-            cache, tok, hidden = _prefill_core(
+            cache, tok, hidden, lp = _prefill_core(
                 variables, cache, ids, slot, start, true_len, temp, key
             )
             features = jax.lax.dynamic_update_slice(
                 features, hidden.astype(features.dtype), (slot, start, 0)
             )
-            return cache, features, tok
+            return cache, features, tok, lp
 
         def decode_fn(variables, cache, tokens, temps, active, key):
             """One decode tick over all slots. ``active`` [B] gates length
@@ -230,8 +237,8 @@ class ServingEngine:
             logits, cache = self._apply(variables, tokens, cache)
             cache = {**cache, "lengths": old_lengths + active.astype(jnp.int32)}
             keys = jax.random.split(key, logits.shape[0])
-            toks = jax.vmap(_sample)(logits[:, -1], temps, keys)
-            return cache, toks
+            toks, lps = jax.vmap(_sample_lp)(logits[:, -1], temps, keys)
+            return cache, toks, lps
 
         if self._is_dflash:
             self._prefill = jax.jit(prefill_dflash_fn, donate_argnums=(1, 2))
@@ -361,7 +368,7 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def submit(self, prompt_tokens, max_new_tokens=64, temperature=0.0,
-               eos_id=None) -> Request:
+               eos_id=None, stop_sequences=None) -> Request:
         if self.spec_k and temperature > 0:
             raise ValueError("speculative engine decode is greedy-only")
         prompt = list(map(int, prompt_tokens))
@@ -371,6 +378,9 @@ class ServingEngine:
             id=next(self._ids), prompt=prompt,
             max_new_tokens=max_new_tokens, temperature=temperature,
             eos_id=eos_id,
+            stop_sequences=tuple(
+                tuple(map(int, ss)) for ss in (stop_sequences or ())
+            ),
         )
         self._queue.append(req)
         return req
@@ -424,13 +434,13 @@ class ServingEngine:
         final = start + len(chunk) >= len(req.prompt)
         self.stats["prefill_chunks"] += 1
         if self._is_dflash:
-            self.cache, self._features, tok = self._prefill(
+            self.cache, self._features, tok, lp = self._prefill(
                 self._vars, self.cache, self._features, jnp.asarray(ids),
                 slot, start, len(chunk), jnp.float32(req.temperature),
                 self._next_key(),
             )
         else:
-            self.cache, tok, hid = self._prefill(
+            self.cache, tok, hid, lp = self._prefill(
                 self._vars, self.cache, jnp.asarray(ids), slot, start,
                 len(chunk), jnp.float32(req.temperature), self._next_key(),
             )
@@ -443,6 +453,7 @@ class ServingEngine:
         self._tokens = self._tokens.at[slot, 0].set(tok)
         self._temps = self._temps.at[slot].set(req.temperature)
         req.out_tokens.append(int(tok))
+        req.out_logprobs.append(float(lp))
         self.stats["prefill_tokens"] += 1
         self._finish_if_done(req)
         return 1
@@ -499,18 +510,20 @@ class ServingEngine:
         if self.spec_k:
             return produced + self._step_speculative()
         active = self._active_mask()
-        self.cache, toks = self._decode(
+        self.cache, toks, lps = self._decode(
             self._vars, self.cache, self._tokens, self._temps, active,
             self._next_key(),
         )
         self.stats["decode_forwards"] += 1
         self._tokens = toks[:, None]
         toks_host = np.asarray(toks)
+        lps_host = np.asarray(lps)
         decoded = 0
         for slot, req in enumerate(self._slots):
             if req is None or slot in self._prefilling:
                 continue
             req.out_tokens.append(int(toks_host[slot]))
+            req.out_logprobs.append(float(lps_host[slot]))
             decoded += 1
             self._finish_if_done(req)
         self.stats["tokens_emitted"] += decoded
@@ -541,6 +554,7 @@ class ServingEngine:
             emitted = preds_h[slot, : int(n_h[slot]) + 1]
             for tok in emitted:
                 req.out_tokens.append(int(tok))
+                req.out_logprobs.append(None)  # spec verify is greedy
                 produced += 1
                 self._finish_if_done(req)
                 if req.done:
@@ -551,6 +565,12 @@ class ServingEngine:
 
     def _finish_if_done(self, req: Request):
         hit_eos = req.eos_id is not None and req.out_tokens and req.out_tokens[-1] == req.eos_id
+        hit_stop = None
+        for ss in req.stop_sequences:
+            if (len(req.out_tokens) >= len(ss)
+                    and tuple(req.out_tokens[-len(ss):]) == ss):
+                hit_stop = ss
+                break
         total_len = len(req.prompt) + len(req.out_tokens)
         # A speculative tick writes spec_k+1 cache positions at once; finish
         # early enough that the scatter can never run past max_seq_len
@@ -560,8 +580,16 @@ class ServingEngine:
         if (
             len(req.out_tokens) >= req.max_new_tokens
             or hit_eos
+            or hit_stop is not None
             or total_len >= seq_cap
         ):
+            req.stop_reason = ("eos" if hit_eos
+                               else "stop" if hit_stop is not None
+                               else "length")
+            if hit_stop is not None:
+                # vLLM convention: the matched stop sequence is trimmed
+                req.out_tokens = req.out_tokens[: -len(hit_stop)]
+                req.out_logprobs = req.out_logprobs[: -len(hit_stop)]
             req.done = True
             if req.slot is not None:
                 if self.paged:
@@ -586,3 +614,11 @@ def _sample(logits, temperature, key):
     temp = jnp.maximum(temperature, 1e-6)
     sampled = jnp.argmax(logits.astype(jnp.float32) / temp + gumbel, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
+def _sample_lp(logits, temperature, key):
+    """(token, log p(token | prefix)) — logprob under the UNTEMPERED
+    distribution (the OpenAI/vLLM convention)."""
+    tok = _sample(logits, temperature, key)
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[tok]
+    return tok, lp

@@ -324,3 +324,31 @@ class TestMLAEngine:
         eng.run()
         assert req.done
         assert req.out_tokens == naive_greedy(b, prompt, 6)
+
+
+class TestStopAndLogprobs:
+    def test_stop_sequence_trims_and_finishes(self, bundle):
+        # discover what greedy emits, then stop on its 3rd-4th tokens
+        full = naive_greedy(bundle, [5, 17, 42, 7], 6)
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,))
+        req = eng.submit([5, 17, 42, 7], max_new_tokens=6,
+                         stop_sequences=[full[2:4]])
+        eng.run()
+        assert req.done and req.stop_reason == "stop"
+        assert req.out_tokens == full[:2]  # stop tail trimmed
+
+    def test_logprobs_emitted_and_consistent(self, bundle):
+        import math
+
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,))
+        req = eng.submit([5, 17, 42, 7], max_new_tokens=5)
+        eng.run()
+        assert len(req.out_logprobs) == len(req.out_tokens) == 5
+        assert all(lp is not None and lp <= 0.0 and math.isfinite(lp)
+                   for lp in req.out_logprobs)
+        # greedy tokens: each logprob is the max over the vocab => > log(1/V)
+        assert all(lp > math.log(1.0 / bundle.module.cfg.vocab_size)
+                   for lp in req.out_logprobs)
+        assert req.stop_reason == "length"
