@@ -84,7 +84,15 @@ def test_two_process_dcn_mesh(tmp_path):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=180)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=180)[0] for p in procs]
+    finally:
+        # never leak workers: a surviving child blocks the pytest process
+        # at exit (observed as a post-[100%] hang in CI) and holds CPUs
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=10)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"MULTIHOST_OK {i}" in out, out
