@@ -21,6 +21,7 @@ from ..api import max_calibrate, register_calib_algorithm
 from ..fake_quant import _blocked, fake_quantize
 from .capture import (
     capture_inputs,
+    kernel_for_write,
     fq_with_amax,
     fused_groups,
     quant_linears,
@@ -79,7 +80,7 @@ def awq_lite(
             orig = get_in(variables["params"], info.kernel_path)
             params = set_in(
                 variables["params"], info.kernel_path,
-                (info.kernel * s[:, None]).astype(orig.dtype),
+                kernel_for_write(info, info.kernel * s[:, None]).astype(orig.dtype),
             )
             variables = {**variables, "params": params}
             qpath = tuple(info.dense_path.split("/")) + (
@@ -138,7 +139,8 @@ def awq_clip(
 
         orig = get_in(bundle.variables["params"], info.kernel_path)
         params = set_in(
-            bundle.variables["params"], info.kernel_path, w_clipped.astype(orig.dtype)
+            bundle.variables["params"], info.kernel_path,
+            kernel_for_write(info, w_clipped).astype(orig.dtype),
         )
         bundle = bundle.replace(variables={**bundle.variables, "params": params})
     return max_calibrate(bundle, forward_loop)

@@ -89,22 +89,35 @@ def capture_inputs(
 class LinearInfo:
     dense_path: str
     kernel_path: tuple  # path inside variables['params']
-    kernel: jnp.ndarray  # [in, out]
+    kernel: jnp.ndarray  # [in, out] (MoE experts: the 2-D folded view)
     wspec: Optional[QuantizerSpec]  # first weight-quantizer spec (or None)
     aspec: Optional[QuantizerSpec]  # input-quantizer spec (or None)
     x: Optional[jnp.ndarray] = None  # captured input [K, in]
+    # MoE expert einsums [E, in, out] participate through a FOLDED 2-D view
+    # [in, E*out]: the pre-quant/smoothing scale lives on the (shared)
+    # input, so one in-dim scale serving all experts is exactly the
+    # deployable semantics; write-backs unfold via kernel_for_write.
+    moe_shape: Optional[tuple] = None  # (E, in, out) when folded
+
+
+def kernel_for_write(info: "LinearInfo", new_w: jnp.ndarray) -> jnp.ndarray:
+    """Unfold a (possibly MoE-folded) kernel back to its stored shape."""
+    if info.moe_shape is None:
+        return new_w
+    E, fin, fout = info.moe_shape
+    return new_w.reshape(fin, E, fout).transpose(1, 0, 2)
 
 
 def quant_linears(bundle: ModelBundle, captured: dict) -> list[LinearInfo]:
-    """Assemble per-linear metadata for every captured 2-D kernel whose weight
-    quantizer is enabled. (3-D MoE expert kernels are handled per-expert by
-    slicing the leading dim — see ``expand_experts``.)"""
+    """Assemble per-linear metadata for every captured kernel whose weight
+    quantizer is enabled. 3-D MoE expert kernels participate through a
+    folded 2-D view (see LinearInfo.moe_shape)."""
     cfg = active_config(bundle)
     infos = []
     for dense_path, x in captured.items():
         kpath = tuple(dense_path.split("/")) + ("kernel",)
         kernel = get_in(bundle.variables.get("params", {}), kpath)
-        if kernel is None or kernel.ndim != 2:
+        if kernel is None or kernel.ndim not in (2, 3):
             continue
         wspecs = cfg.resolve(dense_path + "/weight_quantizer")
         aspecs = cfg.resolve(dense_path + "/input_quantizer")
@@ -112,10 +125,34 @@ def quant_linears(bundle: ModelBundle, captured: dict) -> list[LinearInfo]:
         aspec = aspecs[0] if aspecs else None
         if wspec is None or not wspec.enable:
             continue
+        moe_shape = None
+        if kernel.ndim == 3:
+            # MoE expert kernel [E, in, out] -> folded [in, E*out]. Only
+            # negative-axis specs carry over unchanged (in = -2, out = -1
+            # in both views); positive axes (explicit per-expert dims)
+            # don't fold — skip those.
+            def _axes(spec):
+                axes = tuple(spec.axis or ())
+                blk = spec.block
+                if blk is not None:
+                    sizes = blk.sizes if hasattr(blk, "sizes") else blk
+                    pairs = sizes.items() if hasattr(sizes, "items") else sizes
+                    axes = axes + tuple(int(a) for a, _ in pairs)
+                return axes
+
+            if any(a >= 0 for a in _axes(wspec)):
+                continue
+            E, fin, fout = kernel.shape
+            moe_shape = (E, fin, fout)
+            kernel = kernel.transpose(1, 0, 2).reshape(fin, E * fout)
+            if x is not None and x.shape[0] % 1 == 0 and x.ndim == 2 \
+                    and x.shape[-1] != fin:
+                continue  # captured input doesn't feed this kernel shape
         infos.append(
             LinearInfo(
                 dense_path=dense_path, kernel_path=kpath,
-                kernel=kernel.astype(jnp.float32), wspec=wspec, aspec=aspec, x=x,
+                kernel=kernel.astype(jnp.float32), wspec=wspec, aspec=aspec,
+                x=x, moe_shape=moe_shape,
             )
         )
     return infos

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ...core.tree import get_in, set_in
 from ..api import _update_rules, max_calibrate, register_calib_algorithm
 from ..fake_quant import _blocked, reduce_amax
-from .capture import capture_inputs, fq_with_amax, quant_linears, weight_amax_map
+from .capture import kernel_for_write, capture_inputs, fq_with_amax, quant_linears, weight_amax_map
 
 
 def _supported(wspec) -> bool:
@@ -112,14 +112,19 @@ def _gptq_pass(bundle, forward_loop, damp, max_tokens, path_filter=None,
         variables = {
             **variables,
             "params": set_in(
-                variables["params"], info.kernel_path, new_w.astype(orig.dtype)
+                variables["params"], info.kernel_path,
+                kernel_for_write(info, new_w).astype(orig.dtype)
             ),
         }
-        # pin the grid: store static amax for the weight quantizer
+        # pin the grid: store static amax for the weight quantizer,
+        # computed in the KERNEL'S STORED SHAPE (MoE infos fold [E,in,out]
+        # to [in,E*out] for the pass; the runtime quantizer reduces the 3-D
+        # layout — in-dim blocks map 1:1 between the views)
         wq_path = tuple(info.dense_path.split("/")) + ("weight_quantizer", "amax")
         wspec = info.wspec
+        kern_store = kernel_for_write(info, info.kernel)
         if wspec.block is not None:
-            xb, _, baxes = _blocked(info.kernel, wspec.block)
+            xb, _, baxes = _blocked(kern_store, wspec.block)
             amax = jnp.max(jnp.abs(xb), axis=baxes, keepdims=True)
             bs = dict(wspec.block.sizes)
             static_rules[info.dense_path + "/weight_quantizer"] = {
@@ -127,14 +132,14 @@ def _gptq_pass(bundle, forward_loop, damp, max_tokens, path_filter=None,
                 "narrow_range": not wspec.is_fp,
             }
         elif wspec.axis is not None:
-            keep = tuple(a % info.kernel.ndim for a in wspec.axis)
-            red = tuple(i for i in range(info.kernel.ndim) if i not in keep)
-            amax = jnp.max(jnp.abs(info.kernel), axis=red)
+            keep = tuple(a % kern_store.ndim for a in wspec.axis)
+            red = tuple(i for i in range(kern_store.ndim) if i not in keep)
+            amax = jnp.max(jnp.abs(kern_store), axis=red)
             static_rules[info.dense_path + "/weight_quantizer"] = {
                 "narrow_range": not wspec.is_fp
             }
         else:
-            amax = jnp.max(jnp.abs(info.kernel))
+            amax = jnp.max(jnp.abs(kern_store))
             static_rules[info.dense_path + "/weight_quantizer"] = {
                 "narrow_range": not wspec.is_fp
             }

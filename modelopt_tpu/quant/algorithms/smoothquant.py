@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from ...core.tree import get_in, set_in
 from ..api import max_calibrate, register_calib_algorithm
-from .capture import capture_inputs, fused_groups, quant_linears
+from .capture import kernel_for_write, capture_inputs, fused_groups, quant_linears
 
 _EPS = 1e-8
 
@@ -27,7 +27,8 @@ def apply_group_scale(bundle, group, s):
     for info in group:
         orig = get_in(variables["params"], info.kernel_path)
         new_kernel = (info.kernel * s[:, None]).astype(orig.dtype)
-        params = set_in(variables["params"], info.kernel_path, new_kernel)
+        params = set_in(variables["params"], info.kernel_path,
+                        kernel_for_write(info, new_kernel))
         variables = {**variables, "params": params}
         qpath = tuple(info.dense_path.split("/")) + ("input_quantizer", "pre_quant_scale")
         quant = set_in(variables.get("quant", {}), qpath, (1.0 / s).astype(jnp.float32))

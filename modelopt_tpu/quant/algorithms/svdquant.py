@@ -28,6 +28,9 @@ def svdquant(
     infos = quant_linears(bundle, captured)
     variables = bundle.variables
 
+    # the low-rank residual branch lives on QuantDense only — folded MoE
+    # expert kernels don't participate in svdquant
+    infos = [i for i in infos if i.moe_shape is None]
     for group in fused_groups(infos):
         act_amax = jnp.max(jnp.abs(group[0].x), axis=0)
         w_amax = jnp.max(

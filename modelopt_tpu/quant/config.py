@@ -12,8 +12,10 @@ matches override earlier ones attribute-by-attribute, matching the reference's
 
 Layout convention: JAX Dense kernels are ``[in_features, out_features]``
 (transposed vs. torch). Per-output-channel weight quant is therefore
-``axis: (-1,)`` and AWQ-style input-dim blocks are ``{0: 128}`` here, where
+``axis: (-1,)`` and AWQ-style input-dim blocks are ``{-2: 128}`` here, where
 the reference writes ``axis: 0`` / ``{-1: 128}`` on ``[out, in]`` weights.
+Weight blocks use NEGATIVE axes so the same preset is shape-correct on 3-D
+MoE expert kernels ``[E, in, out]`` (axis 0 there is the EXPERT dim).
 """
 
 from __future__ import annotations
@@ -165,10 +167,10 @@ _W_INT8_PC = {"num_bits": 8, "axis": (-1,)}            # per-out-channel
 _A_INT8_PT = {"num_bits": 8, "axis": None}             # per-tensor
 _W_FP8 = {"num_bits": (4, 3), "axis": None}
 _A_FP8 = {"num_bits": (4, 3), "axis": None}
-_W_INT4_BLOCK = {"num_bits": 4, "block_sizes": {0: 128}}
+_W_INT4_BLOCK = {"num_bits": 4, "block_sizes": {-2: 128}}
 _W_NVFP4 = {
     "num_bits": (2, 1),
-    "block_sizes": {0: 16, "type": "dynamic", "scale_format": "e4m3", "two_level": True},
+    "block_sizes": {-2: 16, "type": "dynamic", "scale_format": "e4m3", "two_level": True},
 }
 _A_NVFP4 = {
     "num_bits": (2, 1),
@@ -187,7 +189,7 @@ FP8_PER_CHANNEL_PER_TOKEN_CFG = _cfg(
     {"num_bits": (4, 3), "block_sizes": {-1: 0, "type": "dynamic"}},
 )
 FP8_2D_BLOCKWISE_WEIGHT_ONLY_CFG = _cfg(
-    {"num_bits": (4, 3), "block_sizes": {0: 128, 1: 128, "type": "dynamic"}}, None
+    {"num_bits": (4, 3), "block_sizes": {-2: 128, -1: 128, "type": "dynamic"}}, None
 )
 INT4_BLOCKWISE_WEIGHT_ONLY_CFG = _cfg(_W_INT4_BLOCK, None)
 INT4_AWQ_CFG = _cfg(_W_INT4_BLOCK, None, algorithm={"method": "awq_lite"})
@@ -195,7 +197,7 @@ INT4_AWQ_CLIP_CFG = _cfg(_W_INT4_BLOCK, None, algorithm={"method": "awq_clip"})
 INT4_AWQ_FULL_CFG = _cfg(_W_INT4_BLOCK, None, algorithm={"method": "awq_full"})
 W4A8_AWQ_BETA_CFG = _cfg(
     # sequential: INT4 block-128 then FP8 per-tensor on the same weight
-    [ {"num_bits": 4, "block_sizes": {0: 128}}, {"num_bits": (4, 3), "axis": None} ],
+    [ {"num_bits": 4, "block_sizes": {-2: 128}}, {"num_bits": (4, 3), "axis": None} ],
     _A_FP8,
     algorithm={"method": "awq_lite"},
 )
@@ -222,11 +224,11 @@ NVFP4_MLP_ONLY_CFG = _cfg(
 )
 W4A8_NVFP4_FP8_CFG = _cfg(_W_NVFP4, _A_FP8)
 
-# MX blocks run along the contracting dim: axis 0 for [in, out] weight
+# MX blocks run along the contracting dim: axis -2 for [.., in, out] weight
 # kernels, the feature (-1) axis for activations
 _MX_W = lambda nb: {  # noqa: E731
     "num_bits": nb,
-    "block_sizes": {0: 32, "type": "dynamic", "scale_format": "e8m0", "two_level": False},
+    "block_sizes": {-2: 32, "type": "dynamic", "scale_format": "e8m0", "two_level": False},
 }
 _MX_A = lambda nb: {  # noqa: E731
     "num_bits": nb,
@@ -247,7 +249,7 @@ MXFP4_MLP_WEIGHT_ONLY_CFG = _cfg(
 # (reference: NVFP4_FOUR_OVER_SIX_CFG, config.py:1771)
 _W_NVFP4_46 = {
     "num_bits": (2, 1),
-    "block_sizes": {0: 16, "type": "dynamic", "scale_format": "e4m3",
+    "block_sizes": {-2: 16, "type": "dynamic", "scale_format": "e4m3",
                     "two_level": True, "four_over_six": True},
 }
 NVFP4_FOUR_OVER_SIX_CFG = _cfg(_W_NVFP4_46, _A_NVFP4)

@@ -94,6 +94,10 @@ class QuantizerSpec:
     def __post_init__(self):
         if isinstance(self.num_bits, list):
             object.__setattr__(self, "num_bits", tuple(self.num_bits))
+        if self.block is not None and not isinstance(self.block, BlockSpec):
+            # accept raw {axis: size} mappings (user configs) anywhere a
+            # BlockSpec is expected
+            object.__setattr__(self, "block", BlockSpec.from_dict(dict(self.block)))
         if isinstance(self.axis, int):
             object.__setattr__(self, "axis", (self.axis,))
         elif isinstance(self.axis, list):
