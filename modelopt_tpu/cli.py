@@ -29,12 +29,20 @@ def _build_model(name: str):
     from modelopt_tpu.core import ModelBundle  # noqa: F401
     from modelopt_tpu.models import (
         Decoder,
+        deepseek_v2_lite_config,
+        gemma3_4b_config,
         gpt2_config,
+        gpt_oss_20b_config,
         llama3_8b_config,
         load_hf_checkpoint,
         mistral_config,
         mixtral_config,
         qwen2_config,
+        qwen3_config,
+        qwen3_moe_config,
+        tiny_gemma3_test_config,
+        tiny_gptoss_test_config,
+        tiny_mla_test_config,
         tiny_test_config,
         tinyllama_config,
     )
@@ -43,12 +51,20 @@ def _build_model(name: str):
         return load_hf_checkpoint(name, example_len=64)
     cfgs = {
         "tiny": tiny_test_config,
+        "tiny-mla": tiny_mla_test_config,
+        "tiny-gptoss": tiny_gptoss_test_config,
+        "tiny-gemma3": tiny_gemma3_test_config,
         "gpt2": gpt2_config,
         "tinyllama": tinyllama_config,
         "llama3-8b": llama3_8b_config,
         "qwen2": qwen2_config,
+        "qwen3-8b": qwen3_config,
+        "qwen3-moe-30b": qwen3_moe_config,
         "mistral": mistral_config,
         "mixtral": mixtral_config,
+        "deepseek-v2-lite": deepseek_v2_lite_config,
+        "gpt-oss-20b": gpt_oss_20b_config,
+        "gemma3-4b": gemma3_4b_config,
     }
     if name not in cfgs:
         raise SystemExit(f"--model must be a checkpoint dir or one of {sorted(cfgs)}")
