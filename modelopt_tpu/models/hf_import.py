@@ -71,6 +71,23 @@ def config_from_hf(hf_config) -> DecoderConfig:
             mlp_bias=True, tie_word_embeddings=True,
             norm_eps=get("layer_norm_epsilon", 1e-5),
         )
+    if mt == "nemotron":
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
+            num_layers=get("num_hidden_layers"),
+            num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads"),
+            head_dim=get("head_dim"),
+            intermediate_size=get("intermediate_size"),
+            activation="relu2", norm="layernorm1p", positions="rope",
+            partial_rotary_factor=float(get("partial_rotary_factor", 0.5)),
+            rope_theta=get("rope_theta", 10000.0),
+            max_position_embeddings=get("max_position_embeddings", 4096),
+            attn_bias=bool(get("attention_bias", False)),
+            mlp_bias=bool(get("mlp_bias", False)),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            norm_eps=get("norm_eps", 1e-5),
+        )
     if mt in ("phi3", "phi4", "phi"):
         orig = get("original_max_position_embeddings")
         scaling = _rope_scaling_tuple(get("rope_scaling"))
@@ -326,7 +343,18 @@ def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.", commit=None,
     p["embed_tokens"] = commit({"embedding": _np(sd[f"{prefix}embed_tokens.weight"])})
     for i in range(cfg.num_layers):
         L = f"{prefix}layers.{i}."
-        if cfg.norm_style == "gemma":
+        if cfg.norm == "layernorm1p":
+            layer: dict = {
+                "input_norm": {
+                    "scale": _np(sd[L + "input_layernorm.weight"]),
+                    "bias": _np(sd[L + "input_layernorm.bias"]),
+                },
+                "post_attn_norm": {
+                    "scale": _np(sd[L + "post_attention_layernorm.weight"]),
+                    "bias": _np(sd[L + "post_attention_layernorm.bias"]),
+                },
+            }
+        elif cfg.norm_style == "gemma":
             # gemma sandwich: HF post_attention_layernorm normalizes the
             # attention OUTPUT; pre_feedforward_layernorm is the pre-MLP norm
             layer: dict = {
@@ -377,13 +405,21 @@ def _llama_like_params(sd, cfg: DecoderConfig, prefix="model.", commit=None,
                 "gate_up_proj": {"kernel": _np(sd[L + "mlp.gate_up_proj.weight"]).T},
                 "down_proj": {"kernel": _np(sd[L + "mlp.down_proj.weight"]).T},
             }
+        elif cfg.activation == "relu2":
+            layer["mlp"] = {
+                name: {"kernel": _np(sd[L + f"mlp.{name}.weight"]).T}
+                for name in ("up_proj", "down_proj")
+            }
         else:
             layer["mlp"] = {
                 name: {"kernel": _np(sd[L + f"mlp.{name}.weight"]).T}
                 for name in ("gate_proj", "up_proj", "down_proj")
             }
         p[f"layers_{i}"] = commit(layer)
-    p["final_norm"] = commit({"scale": _np(sd[f"{prefix}norm.weight"])})
+    fn = {"scale": _np(sd[f"{prefix}norm.weight"])}
+    if cfg.norm == "layernorm1p":
+        fn["bias"] = _np(sd[f"{prefix}norm.bias"])
+    p["final_norm"] = commit(fn)
     if not cfg.tie_word_embeddings:
         p["lm_head"] = commit({"kernel": _np(sd[lm_head_key]).T})
     return p
@@ -475,6 +511,11 @@ def _deepseek_params(sd, cfg: DecoderConfig, prefix="model.", commit=None) -> di
             layer["mlp"] = {
                 "gate_up_proj": {"kernel": _np(sd[L + "mlp.gate_up_proj.weight"]).T},
                 "down_proj": {"kernel": _np(sd[L + "mlp.down_proj.weight"]).T},
+            }
+        elif cfg.activation == "relu2":
+            layer["mlp"] = {
+                name: {"kernel": _np(sd[L + f"mlp.{name}.weight"]).T}
+                for name in ("up_proj", "down_proj")
             }
         else:
             layer["mlp"] = {

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn.layers import QuantDense, QuantEmbed, RMSNorm
+from ..nn.layers import LayerNorm1p, QuantDense, QuantEmbed, RMSNorm
 from ..nn.quantizer import TensorQuantizer  # noqa: F401 (re-export for models)
 
 
@@ -40,8 +40,10 @@ class DecoderConfig:
     num_kv_heads: Optional[int] = None  # None = MHA
     head_dim: Optional[int] = None
     intermediate_size: int = 5632
-    activation: str = "silu_glu"  # "silu_glu" | "gelu"
-    norm: str = "rmsnorm"  # "rmsnorm" | "layernorm"
+    activation: str = "silu_glu"  # "silu_glu" | "gelu_glu" | "gelu" | "relu2"
+    norm: str = "rmsnorm"  # "rmsnorm" | "layernorm" | "layernorm1p"
+    # rotary applied to the first fraction of head_dim (Nemotron: 0.5)
+    partial_rotary_factor: float = 1.0
     positions: str = "rope"  # "rope" | "learned"
     rope_theta: float = 10000.0
     max_position_embeddings: int = 4096
@@ -358,8 +360,17 @@ class Attention(nn.Module):
             k = RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
                         scale_offset=off, name="k_norm")(k)
         if cfg.positions == "rope":
-            q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
-            k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
+            if cfg.partial_rotary_factor < 1.0:
+                rd = int(D * cfg.partial_rotary_factor)
+                q = jnp.concatenate(
+                    [_rope(q[..., :rd], positions, cfg.rope_theta,
+                           cfg.rope_scaling), q[..., rd:]], -1)
+                k = jnp.concatenate(
+                    [_rope(k[..., :rd], positions, cfg.rope_theta,
+                           cfg.rope_scaling), k[..., rd:]], -1)
+            else:
+                q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+                k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
             if cfg.qk_l2norm:
                 # Llama-4: weightless L2 norm after RoPE (rope layers only)
                 def _l2(x):
@@ -643,6 +654,10 @@ class MLP(nn.Module):
                 up = dense(cfg.intermediate_size, "up_proj")(x)
             act = nn.silu if cfg.activation == "silu_glu" else nn.gelu
             return dense(cfg.hidden_size, "down_proj")(act(gate) * up)
+        if cfg.activation == "relu2":
+            # Nemotron: squared ReLU, no gating
+            h = dense(cfg.intermediate_size, "up_proj")(x)
+            return dense(cfg.hidden_size, "down_proj")(jnp.square(nn.relu(h)))
         h = dense(cfg.intermediate_size, "fc_in")(x)
         return dense(cfg.hidden_size, "fc_out")(nn.gelu(h))
 
@@ -764,13 +779,18 @@ class Block(nn.Module):
         cfg = self.cfg
         opts = cfg.layer_opts(self.layer_index)
         off = 1.0 if cfg.norm_style == "gemma" else 0.0
-        norm = (
-            (lambda name: RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
-                                  scale_offset=off, name=name))
-            if cfg.norm == "rmsnorm"
-            else (lambda name: nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
-                                            param_dtype=cfg.param_dtype, name=name))
-        )
+        if cfg.norm == "rmsnorm":
+            norm = lambda name: RMSNorm(  # noqa: E731
+                epsilon=cfg.norm_eps, dtype=cfg.dtype, scale_offset=off,
+                name=name)
+        elif cfg.norm == "layernorm1p":
+            norm = lambda name: LayerNorm1p(  # noqa: E731
+                epsilon=cfg.norm_eps, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name=name)
+        else:
+            norm = lambda name: nn.LayerNorm(  # noqa: E731
+                epsilon=cfg.norm_eps, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name=name)
         new_kv = None
         if "no_attn" not in opts:
             attn_cfg = cfg
@@ -940,14 +960,19 @@ class Decoder(nn.Module):
                 new_cache["kmax"] = tuple(kmaxs)
                 new_cache["kmin"] = tuple(kmins)
 
-        x = (
-            RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
-                    scale_offset=(1.0 if cfg.norm_style == "gemma" else 0.0),
-                    name="final_norm")(x)
-            if cfg.norm == "rmsnorm"
-            else nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
-                              param_dtype=cfg.param_dtype, name="final_norm")(x)
-        )
+        if cfg.norm == "rmsnorm":
+            x = RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
+                        scale_offset=(1.0 if cfg.norm_style == "gemma"
+                                      else 0.0),
+                        name="final_norm")(x)
+        elif cfg.norm == "layernorm1p":
+            x = LayerNorm1p(epsilon=cfg.norm_eps, dtype=cfg.dtype,
+                            param_dtype=cfg.param_dtype,
+                            name="final_norm")(x)
+        else:
+            x = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype,
+                             param_dtype=cfg.param_dtype,
+                             name="final_norm")(x)
         hidden = x  # post-final-norm hidden states (EAGLE draft input)
         if cfg.hidden_taps is not None:
             # EAGLE-3 feature vector: tapped mid-layer states + final hidden

@@ -240,6 +240,29 @@ class QuantConv(nn.Module):
         return TensorQuantizer(name="output_quantizer")(y)
 
 
+class LayerNorm1p(nn.Module):
+    """LayerNorm with zero-init weight applied as (1 + w) plus bias
+    (Nemotron / Megatron layernorm1p convention)."""
+
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.zeros_init(), (d,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (d,),
+                          self.param_dtype)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * (1.0 + scale.astype(jnp.float32)) + bias.astype(jnp.float32)
+        return y.astype(self.dtype or x.dtype)
+
+
 class RMSNorm(nn.Module):
     """RMSNorm (no quantization points; norms stay high-precision on TPU).
 

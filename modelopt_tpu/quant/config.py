@@ -288,6 +288,19 @@ KV_CACHE_NVFP4_ROTATE = {
 }
 NVFP4_KV_ROTATE_CFG = _cfg(_W_NVFP4, _A_NVFP4, extra=KV_CACHE_NVFP4_ROTATE)
 
+# MiniMax-M3-style MIXED format: MXFP8 base + NVFP4 routed experts
+# (reference workload: examples/minimax_m3/hf_ptq_mixed_mxfp8_nvfp4.py —
+# routers, shared experts, lm_head and KV stay high precision)
+MIXED_MXFP8_NVFP4_EXPERTS_CFG = _cfg(
+    _MX_W((4, 3)), _MX_A((4, 3)),
+    extra={
+        "*moe*weight_quantizer": _W_NVFP4,
+        "*moe*input_quantizer": {"enable": False},
+        "*moe/shared_experts*weight_quantizer": _MX_W((4, 3)),
+        "*moe/shared_experts*input_quantizer": _MX_A((4, 3)),
+    },
+)
+
 choices = {
     name: obj
     for name, obj in list(globals().items())

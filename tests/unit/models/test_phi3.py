@@ -66,3 +66,37 @@ def test_llama31_rope_scaling_parity():
     lg = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
     err = np.abs(lg - ref).max() / np.abs(ref).max()
     assert err < 2e-2, err
+
+
+def test_nemotron_hf_logit_parity():
+    """Nemotron (squared-ReLU MLP, layernorm1p, partial rotary) — logit
+    parity vs HF NemotronForCausalLM with non-trivial norm weights."""
+    torch = pytest.importorskip("torch")
+    tfm = pytest.importorskip("transformers")
+    from transformers.models.nemotron.modeling_nemotron import (
+        NemotronForCausalLM,
+    )
+
+    from modelopt_tpu.models.hf_import import from_hf
+
+    cfg = tfm.NemotronConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=96, partial_rotary_factor=0.5,
+        rope_theta=10000.0, norm_eps=1e-5, tie_word_embeddings=False,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(0)
+    hf = NemotronForCausalLM(cfg).eval().float()
+    with torch.no_grad():  # nonzero norms pin the (1+w)+bias convention
+        for n, p in hf.named_parameters():
+            if "layernorm" in n or ".norm." in n:
+                p.uniform_(-0.3, 0.3)
+    ids = torch.tensor([[5, 3, 7, 2, 9, 1, 4, 8]])
+    with torch.no_grad():
+        ref = hf(ids).logits.numpy()
+    b = from_hf(hf, cfg)
+    out = b.apply(jnp.asarray(ids.numpy()))
+    lg = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
+    err = np.abs(lg - ref).max() / np.abs(ref).max()
+    assert err < 2e-2, err
