@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attend_chunk(q_ref, k_ref, v_ref, base, L, k_scale,
-                  acc_ref, m_ref, l_ref):
+                  acc_ref, m_ref, l_ref, softcap=None):
     """One online-softmax update over a KV chunk, per head.
 
     q_ref block [1, KH, G, D]; k/v_ref blocks [1, ..., tokens, KH*D] in
@@ -59,6 +59,8 @@ def _attend_chunk(q_ref, k_ref, v_ref, base, L, k_scale,
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * inv_sqrt_d                                         # [G, tokens]
+        if softcap is not None:  # gemma2-style tanh logit cap (static)
+            s = jnp.tanh(s / softcap) * softcap
         s = jnp.where(valid, s, -1e30)
         m_prev = m_ref[h][:, :1]                               # [G, 1]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -75,10 +77,21 @@ def _attend_chunk(q_ref, k_ref, v_ref, base, L, k_scale,
         m_ref[h] = jnp.broadcast_to(m_cur, (G, 128))
 
 
-def _finalize_out(o_ref, acc_ref, l_ref, v_scale):
+def _finalize_out(o_ref, acc_ref, l_ref, v_scale, m_ref=None, sinks_ref=None):
     KH, G, D = o_ref.shape[1:]
     for h in range(KH):
-        out = acc_ref[h] * (v_scale / jnp.maximum(l_ref[h][:, :1], 1e-30))
+        acc = acc_ref[h]
+        l_fin = l_ref[h][:, :1]
+        if sinks_ref is not None:
+            # learned attention sink (gpt-oss): one extra logit joins the
+            # softmax; its mass is dropped, so only the denominator moves
+            sink = sinks_ref[0, h][:, :1]                      # [G, 1]
+            m_prev = m_ref[h][:, :1]
+            m_fin = jnp.maximum(m_prev, sink)
+            alpha = jnp.exp(m_prev - m_fin)
+            acc = acc * alpha
+            l_fin = l_fin * alpha + jnp.exp(sink - m_fin)
+        out = acc * (v_scale / jnp.maximum(l_fin, 1e-30))
         o_ref[0, h] = out.astype(o_ref.dtype)
 
 
@@ -96,8 +109,9 @@ def _scales_arr(k_scale, v_scale):
     ])
 
 
-def _decode_attn_kernel(lens_ref, scales_ref, q_ref, k_ref, v_ref, o_ref,
-                        acc_ref, m_ref, l_ref, *, chunk: int):
+def _decode_attn_kernel(lens_ref, scales_ref, q_ref, sinks_ref, k_ref, v_ref,
+                        o_ref, acc_ref, m_ref, l_ref, *, chunk: int,
+                        softcap, use_sinks):
     b = pl.program_id(0)
     c = pl.program_id(1)
     nc = pl.num_programs(1)
@@ -112,30 +126,43 @@ def _decode_attn_kernel(lens_ref, scales_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(c * chunk < L)
     def _attend():
         _attend_chunk(q_ref, k_ref, v_ref, c * chunk, L,
-                      scales_ref[0], acc_ref, m_ref, l_ref)
+                      scales_ref[0], acc_ref, m_ref, l_ref, softcap=softcap)
 
     @pl.when(c == nc - 1)
     def _finalize():
-        _finalize_out(o_ref, acc_ref, l_ref, scales_ref[1])
+        _finalize_out(o_ref, acc_ref, l_ref, scales_ref[1], m_ref,
+                      sinks_ref if use_sinks else None)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "chunk", "softcap"))
 def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
-                     out_dtype=jnp.bfloat16, chunk=256):
+                     out_dtype=jnp.bfloat16, chunk=256, sinks=None,
+                     softcap=None):
     """q [B, KH, G, D]; k/v_cache [B, S, KH*D] (bf16 / float8_e4m3fn / int8
     codes) — the models.transformer.make_cache native layout, read in place
     with NO per-step transpose/copy of the cache; lengths [B] valid key
-    counts; scalar scales for quantized caches. Returns [B, KH, G, D]."""
+    counts; scalar scales for quantized caches. ``sinks`` [KH, G] learned
+    per-head sink logits (gpt-oss); ``softcap`` a static gemma2-style tanh
+    cap. Returns [B, KH, G, D]."""
     B, KH, G, D = q.shape
     S = k_cache.shape[1]
     if S % chunk:
         chunk = S  # small caches: single chunk
     nc = S // chunk
+    use_sinks = sinks is not None
+    sinks_arr = jnp.broadcast_to(
+        jnp.asarray(sinks if use_sinks else 0.0, jnp.float32).reshape(
+            (KH, G, 1) if use_sinks else (1, 1, 1)),
+        (KH, G, 128),
+    )[None]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, nc),
         in_specs=[
             pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KH, G, 128), lambda b, c, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, KH * D), lambda b, c, *_: (b, c, 0),
                          memory_space=pltpu.VMEM),
@@ -146,7 +173,8 @@ def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
                                memory_space=pltpu.VMEM),
         scratch_shapes=_SCRATCH(KH, G, D),
     )
-    kernel = functools.partial(_decode_attn_kernel, chunk=chunk)
+    kernel = functools.partial(_decode_attn_kernel, chunk=chunk,
+                               softcap=softcap, use_sinks=use_sinks)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -157,7 +185,7 @@ def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
             transcendentals=B * KH * G * S,
         ),
     )(lengths.astype(jnp.int32), _scales_arr(k_scale, v_scale),
-      q, k_cache, v_cache)
+      q, sinks_arr, k_cache, v_cache)
 
 
 def _kv_write_kernel(start_ref, v_ref, cache_ref, o_ref, sem):
@@ -237,9 +265,10 @@ def decode_attention_ok(q_shape, S: int, cache_dtype=None) -> bool:
 # ---------------------------------------------------------------------------
 # Fused decode step: KV-cache write + attention in ONE kernel
 # ---------------------------------------------------------------------------
-def _fused_decode_kernel(pos_ref, scales_ref, q_ref, knew_ref, vnew_ref,
-                         k_ref, v_ref, o_ref, kout_ref, vout_ref,
-                         acc_ref, m_ref, l_ref, sem_k, sem_v, *, chunk: int):
+def _fused_decode_kernel(pos_ref, scales_ref, q_ref, sinks_ref, knew_ref,
+                         vnew_ref, k_ref, v_ref, o_ref, kout_ref, vout_ref,
+                         acc_ref, m_ref, l_ref, sem_k, sem_v, *, chunk: int,
+                         softcap, use_sinks):
     b = pl.program_id(0)
     c = pl.program_id(1)
     nc = pl.num_programs(1)
@@ -284,7 +313,7 @@ def _fused_decode_kernel(pos_ref, scales_ref, q_ref, knew_ref, vnew_ref,
         # (its HBM row may still be mid-DMA; stale data there is masked out
         # by the L bound)
         _attend_chunk(q_ref, k_ref, v_ref, c * chunk, L,
-                      k_scale, acc_ref, m_ref, l_ref)
+                      k_scale, acc_ref, m_ref, l_ref, softcap=softcap)
 
     @pl.when(c == nc - 1)
     def _finalize():
@@ -298,6 +327,8 @@ def _fused_decode_kernel(pos_ref, scales_ref, q_ref, knew_ref, vnew_ref,
                 qh, kn, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * inv_sqrt_d                                       # [G, 1]
+            if softcap is not None:
+                s_n = jnp.tanh(s_n / softcap) * softcap
             m_prev = m_ref[h][:, :1]
             m_fin = jnp.maximum(m_prev, s_n)
             alpha = jnp.exp(m_prev - m_fin)
@@ -307,6 +338,13 @@ def _fused_decode_kernel(pos_ref, scales_ref, q_ref, knew_ref, vnew_ref,
                 e_n.astype(jnp.bfloat16), vn, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if use_sinks:
+                # learned sink: extra softmax slot whose mass is dropped
+                sink = sinks_ref[0, h][:, :1]
+                m2 = jnp.maximum(m_fin, sink)
+                a2 = jnp.exp(m_fin - m2)
+                acc = acc * a2
+                l_fin = l_fin * a2 + jnp.exp(sink - m2)
             out = acc * (v_scale / jnp.maximum(l_fin, 1e-30))
             o_ref[0, h] = out.astype(o_ref.dtype)
 
@@ -317,10 +355,12 @@ def _fused_decode_kernel(pos_ref, scales_ref, q_ref, knew_ref, vnew_ref,
         cv.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "chunk", "softcap"))
 def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
                            k_scale=None, v_scale=None,
-                           out_dtype=jnp.bfloat16, chunk=256):
+                           out_dtype=jnp.bfloat16, chunk=256, sinks=None,
+                           softcap=None):
     """One decode step, fused: write k/v_new [B, 1, KH*D] (already in the
     cache's dtype/codes) into the caches at per-slot position ``pos`` [B]
     AND return attention of q [B, KH, G, D] over pos+1 keys (the new token
@@ -335,11 +375,19 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
     if S % chunk:
         chunk = S
     nc = S // chunk
+    use_sinks = sinks is not None
+    sinks_arr = jnp.broadcast_to(
+        jnp.asarray(sinks if use_sinks else 0.0, jnp.float32).reshape(
+            (KH, G, 1) if use_sinks else (1, 1, 1)),
+        (KH, G, 128),
+    )[None]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, nc),
         in_specs=[
             pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KH, G, 128), lambda b, c, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, KHD), lambda b, c, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -361,7 +409,8 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_fused_decode_kernel, chunk=chunk)
+    kernel = functools.partial(_fused_decode_kernel, chunk=chunk,
+                               softcap=softcap, use_sinks=use_sinks)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -370,14 +419,15 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
-        # inputs incl. prefetch: 0=pos 1=scales 2=q 3=knew 4=vnew 5=k 6=v
-        input_output_aliases={5: 1, 6: 2},
+        # inputs incl. prefetch: 0=pos 1=scales 2=q 3=sinks 4=knew 5=vnew
+        # 6=k 7=v
+        input_output_aliases={6: 1, 7: 2},
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * KH * G * S * D,
             bytes_accessed=2 * B * KH * S * D * k_cache.dtype.itemsize,
             transcendentals=B * KH * G * S,
         ),
-    )(pos.astype(jnp.int32), _scales_arr(k_scale, v_scale), q,
+    )(pos.astype(jnp.int32), _scales_arr(k_scale, v_scale), q, sinks_arr,
       k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
       k_cache, v_cache)
 

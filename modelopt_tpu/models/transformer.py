@@ -352,6 +352,14 @@ class Attention(nn.Module):
             k = dense(KH * D, "k_proj")(x).reshape(B, T, KH, D)
             v = dense(KH * D, "v_proj")(x).reshape(B, T, KH, D)
 
+        sinks = (
+            # gpt-oss learned sinks: one per-head logit joins every softmax
+            # (its probability mass is then dropped — an "attend to
+            # nothing" slot that damps low-information heads)
+            self.param("sinks", nn.initializers.zeros_init(), (H,),
+                       cfg.param_dtype)
+            if cfg.attention_sinks else None
+        )
         if cfg.qk_norm:
             # Qwen3/Gemma3: RMSNorm over head_dim on q/k, before RoPE
             off = 1.0 if cfg.norm_style == "gemma" else 0.0
@@ -452,8 +460,7 @@ class Attention(nn.Module):
                 start = positions_kv[:, 0]
                 Gq = H // KH
                 if (T == 1 and cfg.attention_window is None
-                        and kmax is None and not cfg.attention_sinks
-                        and not cfg.attn_logit_softcap
+                        and kmax is None
                         and cfg.attention_chunk is None
                         and fused_decode_ok((B, KH, Gq, D), ck.shape[1],
                                             ck.dtype)):
@@ -467,6 +474,9 @@ class Attention(nn.Module):
                         k_scale=(k_scale if real_fp8 else None),
                         v_scale=(v_scale if real_fp8 else None),
                         out_dtype=cfg.dtype,
+                        sinks=(sinks.reshape(KH, Gq).astype(jnp.float32)
+                               if cfg.attention_sinks else None),
+                        softcap=cfg.attn_logit_softcap,
                     )
                     out = out.reshape(B, 1, H * D)
                     out = dense(cfg.hidden_size, "o_proj")(out)
@@ -573,8 +583,6 @@ class Attention(nn.Module):
         # from the cache without materializing a dequantized copy in HBM.
         if (new_kv is not None and page_table is None and T == 1
                 and cfg.attention_window is None
-                and not cfg.attention_sinks
-                and not cfg.attn_logit_softcap
                 and cfg.attention_chunk is None):
             from ..kernels.attention import decode_attention, decode_attention_ok
 
@@ -587,6 +595,9 @@ class Attention(nn.Module):
                     k_scale=(k_scale if cache_kv is not None and new_kv[0].dtype == jnp.float8_e4m3fn else None),
                     v_scale=(v_scale if cache_kv is not None and new_kv[1].dtype == jnp.float8_e4m3fn else None),
                     out_dtype=cfg.dtype,
+                    sinks=(sinks.reshape(KH, G).astype(jnp.float32)
+                           if cfg.attention_sinks else None),
+                    softcap=cfg.attn_logit_softcap,
                 )
                 out = out.reshape(B, 1, H * D)
                 out = dense(cfg.hidden_size, "o_proj")(out)
@@ -618,11 +629,6 @@ class Attention(nn.Module):
             scores = jnp.tanh(scores / cap) * cap
         scores = scores + mask[:, None, None, :, :S]
         if cfg.attention_sinks:
-            # gpt-oss learned sinks: one per-head logit joins every softmax
-            # (its probability mass is then dropped — an "attend to
-            # nothing" slot that damps low-information heads)
-            sinks = self.param("sinks", nn.initializers.zeros_init(), (H,),
-                               cfg.param_dtype)
             sk = sinks.reshape(KH, G).astype(jnp.float32)
             sk = jnp.broadcast_to(sk[None, :, :, None, None], (B, KH, G, T, 1))
             combined = jnp.concatenate([scores.astype(jnp.float32), sk], -1)

@@ -79,3 +79,69 @@ def test_length_one(rng, interp):
         np.asarray(out[0, 0]), np.tile(np.asarray(v[0, 0, 0]), (G, 1)),
         rtol=8e-3, atol=8e-3,
     )
+
+
+def ref_attention_sinks(q, k, v, lengths, sinks=None, softcap=None):
+    """Reference with optional per-head sink logits and tanh softcap."""
+    B, KH, G, D = q.shape
+    out = np.zeros((B, KH, G, D), np.float32)
+    for b in range(B):
+        L = int(lengths[b])
+        for h in range(KH):
+            s = np.asarray(q[b, h], np.float32) @ np.asarray(
+                k[b, :L, h], np.float32).T / np.sqrt(D)
+            if softcap is not None:
+                s = np.tanh(s / softcap) * softcap
+            if sinks is not None:
+                s = np.concatenate([s, np.tile(
+                    np.asarray(sinks[h], np.float32).reshape(G, 1), (1, 1))], 1)
+            p = np.exp(s - s.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            if sinks is not None:
+                p = p[:, :-1]
+            out[b, h] = p @ np.asarray(v[b, :L, h], np.float32)
+    return out
+
+
+def test_decode_kernel_sinks_and_softcap(rng, interp):
+    B, S, KH, G, D = 2, 32, 2, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, KH, G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, KH, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, KH, D)), jnp.float32)
+    lengths = jnp.asarray([9, 32], jnp.int32)
+    sinks = rng.standard_normal((KH, G)).astype(np.float32)
+    for cap in (None, 5.0):
+        out = decode_attention(
+            q, k.reshape(B, S, KH * D), v.reshape(B, S, KH * D), lengths,
+            out_dtype=jnp.float32, sinks=jnp.asarray(sinks), softcap=cap,
+        )
+        ref = ref_attention_sinks(q, np.asarray(k), np.asarray(v),
+                                  np.asarray(lengths), sinks, cap)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-2)
+
+
+def test_fused_kernel_sinks_matches_ref(rng, interp):
+    from modelopt_tpu.kernels.attention import fused_decode_attention
+
+    B, S, KH, G, D = 2, 32, 2, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, KH, G, D)), jnp.float32)
+    k = rng.standard_normal((B, S, KH, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, KH, D)).astype(np.float32)
+    pos = np.asarray([7, 19])
+    kn = jnp.asarray(rng.standard_normal((B, 1, KH, D)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, 1, KH, D)), jnp.float32)
+    sinks = rng.standard_normal((KH, G)).astype(np.float32)
+    out, ck, cv = fused_decode_attention(
+        q, kn.reshape(B, 1, KH * D), vn.reshape(B, 1, KH * D),
+        jnp.asarray(k.reshape(B, S, KH * D)),
+        jnp.asarray(v.reshape(B, S, KH * D)),
+        jnp.asarray(pos, jnp.int32), out_dtype=jnp.float32,
+        sinks=jnp.asarray(sinks), softcap=5.0,
+    )
+    # reference: the new token joins at position pos[b]
+    kk, vv = k.copy(), v.copy()
+    for b in range(2):
+        kk[b, pos[b]] = np.asarray(kn)[b, 0]
+        vv[b, pos[b]] = np.asarray(vn)[b, 0]
+    ref = ref_attention_sinks(q, kk, vv, pos + 1, sinks, 5.0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-2)
