@@ -162,6 +162,40 @@ class MLAttention(nn.Module):
                 scale = scale * ms * ms
         q_lat = jnp.einsum("bthd,rhd->bthr", q_nope.astype(cfg.dtype),
                            w_k.astype(cfg.dtype))
+
+        # Decode fast path: MLA's absorbed attention is EXACTLY a
+        # single-shared-KV-head decode over the latent rows — q_eff =
+        # [q_lat ; q_pe ; 0-pad] against the (padded) cache rows, with the
+        # value projection commuting out of the PV product (o_lat =
+        # p @ rows[:, :r]). The Pallas decode kernel reads the (fp8) cache
+        # in place; the XLA path below dequantizes the whole cache in HBM
+        # every step.
+        if cache_kv is not None and T == 1:
+            from ..kernels.attention import decode_attention, decode_attention_ok
+
+            Dc = ck.shape[-1]  # padded row width
+            if decode_attention_ok((B, 1, H, Dc), ck.shape[1], ck.dtype):
+                pad = Dc - (r + dr)
+                q_eff = jnp.concatenate(
+                    [q_lat[:, 0], q_pe[:, 0].astype(cfg.dtype)]
+                    + ([jnp.zeros((B, H, pad), cfg.dtype)] if pad else []),
+                    axis=-1,
+                )[:, None]  # [B, KH=1, G=H, Dc]
+                # neutralize the kernel's 1/sqrt(Dc) and apply the MLA scale
+                q_eff = q_eff * jnp.asarray(scale * (Dc ** 0.5), cfg.dtype)
+                lengths = positions[:, 0] + 1
+                o_lat_pad = decode_attention(
+                    q_eff, ck, ck, lengths,
+                    k_scale=(row_scale if real_fp8 else None),
+                    v_scale=(row_scale if real_fp8 else None),
+                    out_dtype=cfg.dtype,
+                )  # [B, 1, H, Dc]
+                o_lat = o_lat_pad[:, 0][..., :r][:, None]  # [B, T=1, H, r]
+                out = jnp.einsum("bthr,rhd->bthd", o_lat,
+                                 w_v.astype(cfg.dtype))
+                out = out.reshape(B, 1, H * dv)
+                return dense(cfg.hidden_size, "o_proj")(out), new_kv
+
         s = jnp.einsum("bthr,bsr->bhts", q_lat.astype(cfg.dtype),
                        c_all, preferred_element_type=jnp.float32)
         s = s + jnp.einsum("bthd,bsd->bhts", q_pe.astype(cfg.dtype),

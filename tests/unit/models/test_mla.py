@@ -169,3 +169,42 @@ def test_deepseek_v3_hf_logit_parity():
     logits = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
     err = np.abs(logits - ref).max() / np.abs(ref).max()
     assert err < 2e-2, err  # bf16 compute vs fp32 torch
+
+
+def test_mla_kernel_formulation_matches_einsum():
+    """The decode fast path reformulates absorbed MLA attention as a
+    single-shared-KV-head Pallas decode (q_eff = [q_lat;q_pe;pad] over
+    padded latent rows, value projection commuted out of the PV product) —
+    pin the formulation against the einsum path in interpreter mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from modelopt_tpu.kernels.attention import decode_attention
+
+    rng = np.random.default_rng(0)
+    B, S, H, r, dr = 2, 16, 2, 24, 8
+    Dc = 128  # padded row width
+    L = np.asarray([5, 16])
+    rows = rng.standard_normal((B, S, r + dr)).astype(np.float32) * 0.3
+    q_lat = rng.standard_normal((B, H, r)).astype(np.float32)
+    q_pe = rng.standard_normal((B, H, dr)).astype(np.float32)
+    scale = 1.0 / np.sqrt(17.0)
+
+    # einsum reference
+    s = (np.einsum("bhr,bsr->bhs", q_lat, rows[..., :r])
+         + np.einsum("bhd,bsd->bhs", q_pe, rows[..., r:])) * scale
+    for b in range(B):
+        s[b, :, L[b]:] = -1e30
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    o_ref = np.einsum("bhs,bsr->bhr", p, rows[..., :r])
+
+    pad = Dc - (r + dr)
+    ck = jnp.asarray(np.pad(rows, ((0, 0), (0, 0), (0, pad))))
+    q_eff = jnp.asarray(
+        np.pad(np.concatenate([q_lat, q_pe], -1), ((0, 0), (0, 0), (0, pad)))
+    )[:, None] * (scale * Dc ** 0.5)
+    with pltpu.force_tpu_interpret_mode():
+        o = decode_attention(q_eff.astype(jnp.float32), ck, ck,
+                             jnp.asarray(L, jnp.int32), out_dtype=jnp.float32)
+    got = np.asarray(o)[:, 0][..., :r]
+    np.testing.assert_allclose(got, o_ref, rtol=2e-2, atol=2e-2)
