@@ -352,3 +352,28 @@ class TestStopAndLogprobs:
         assert all(lp > math.log(1.0 / bundle.module.cfg.vocab_size)
                    for lp in req.out_logprobs)
         assert req.stop_reason == "length"
+
+
+class TestNewFamilyEngine:
+    """Families with alternating windows / sinks / chunked attention must
+    serve with exact greedy parity (per-layer masks at decode time)."""
+
+    @pytest.mark.parametrize("family", ["gemma3", "gptoss"])
+    def test_family_engine_matches_naive(self, family):
+        from modelopt_tpu.models import (
+            tiny_gemma3_test_config, tiny_gptoss_test_config,
+        )
+
+        cfg = {"gemma3": tiny_gemma3_test_config,
+               "gptoss": tiny_gptoss_test_config}[family](dtype=jnp.float32)
+        m = Decoder(cfg)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        v = m.init(jax.random.PRNGKey(0), ids)
+        b = ModelBundle(module=m, variables=dict(v), example_inputs=(ids,))
+        eng = ServingEngine(b, max_batch=2, max_seq_len=32,
+                            prefill_buckets=(16,))
+        prompt = [5, 3, 7, 2, 9]
+        req = eng.submit(prompt, max_new_tokens=6)
+        eng.run()
+        assert req.done
+        assert req.out_tokens == naive_greedy(b, prompt, 6)
