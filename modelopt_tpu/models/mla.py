@@ -118,12 +118,16 @@ class MLAttention(nn.Module):
         rows = jnp.concatenate([c_kv, k_pe], axis=-1)  # [B, T, r+dr]
         kq_mod = TensorQuantizer(name="k_quantizer")
         new_kv = None
+        page_table = None
         if cache_kv is not None:
-            assert len(cache_kv) == 3, (
-                "MLA supports the dense cache only (paged / skip-softmax "
-                "caches are MHA features; serve MLA models with paged=False)"
+            assert len(cache_kv) in (3, 4), (
+                "MLA supports dense or paged caches (skip-softmax summaries "
+                "are an MHA feature)"
             )
-            ck, cv_ph, positions_kv = cache_kv
+            if len(cache_kv) == 4:
+                ck, cv_ph, positions_kv, page_table = cache_kv
+            else:
+                ck, cv_ph, positions_kv = cache_kv
             real_fp8 = ck.dtype == jnp.float8_e4m3fn
             if real_fp8:
                 row_codes, row_scale = kq_mod(rows, with_scale=True)
@@ -134,11 +138,24 @@ class MLAttention(nn.Module):
             pad = ck.shape[-1] - (r + dr)
             if pad:
                 row_codes = jnp.pad(row_codes, ((0, 0), (0, 0), (0, pad)))
-            from ..kernels.attention import dense_kv_write
+            if page_table is not None:
+                from ..kernels.paged_attention import (
+                    paged_gather_dense, paged_kv_write,
+                )
 
-            ck = dense_kv_write(ck, row_codes, positions_kv[:, 0])
-            new_kv = (ck, cv_ph)
-            lat = ck[..., : r + dr]
+                ps = ck.shape[1]
+                rows_idx = jnp.arange(B)[:, None]
+                pids = page_table[rows_idx, positions_kv // ps]  # [B, T]
+                offs = positions_kv % ps
+                ck = paged_kv_write(ck, row_codes, pids, offs)
+                new_kv = (ck, cv_ph)
+                lat = paged_gather_dense(ck, page_table)[..., : r + dr]
+            else:
+                from ..kernels.attention import dense_kv_write
+
+                ck = dense_kv_write(ck, row_codes, positions_kv[:, 0])
+                new_kv = (ck, cv_ph)
+                lat = ck[..., : r + dr]
             if real_fp8:
                 lat = lat.astype(cfg.dtype) * row_scale.astype(cfg.dtype)
             else:
@@ -172,9 +189,37 @@ class MLAttention(nn.Module):
         # every step.
         if cache_kv is not None and T == 1:
             from ..kernels.attention import decode_attention, decode_attention_ok
+            from ..kernels.paged_attention import (
+                paged_attention_ok, paged_decode_attention,
+            )
 
             Dc = ck.shape[-1]  # padded row width
-            if decode_attention_ok((B, 1, H, Dc), ck.shape[1], ck.dtype):
+            use_paged_kernel = (
+                page_table is not None
+                and ck.dtype == jnp.float8_e4m3fn
+                and paged_attention_ok(B, 1, H, Dc, ck.shape[1])
+                and Dc % 128 == 0
+            )
+            if use_paged_kernel:
+                pad = Dc - (r + dr)
+                q_eff = jnp.concatenate(
+                    [q_lat[:, 0], q_pe[:, 0].astype(cfg.dtype)]
+                    + ([jnp.zeros((B, H, pad), cfg.dtype)] if pad else []),
+                    axis=-1,
+                )[:, None] * jnp.asarray(scale * (Dc ** 0.5), cfg.dtype)
+                lengths = positions[:, 0] + 1
+                o_lat_pad = paged_decode_attention(
+                    q_eff, ck, ck, page_table, lengths,
+                    k_scale=row_scale, v_scale=row_scale,
+                    out_dtype=cfg.dtype,
+                )
+                o_lat = o_lat_pad[:, 0][..., :r][:, None]
+                out = jnp.einsum("bthr,rhd->bthd", o_lat,
+                                 w_v.astype(cfg.dtype))
+                out = out.reshape(B, 1, H * dv)
+                return dense(cfg.hidden_size, "o_proj")(out), new_kv
+            if page_table is None and decode_attention_ok(
+                    (B, 1, H, Dc), ck.shape[1], ck.dtype):
                 pad = Dc - (r + dr)
                 q_eff = jnp.concatenate(
                     [q_lat[:, 0], q_pe[:, 0].astype(cfg.dtype)]

@@ -111,12 +111,6 @@ class ServingEngine:
                         "(chunked-prefill starts must stay bucket-aligned)"
                     )
         self.paged = paged
-        if paged and getattr(self.cfg, "attention_type", "mha") == "mla":
-            raise NotImplementedError(
-                "paged KV is not yet wired for MLA latent caches — serve "
-                "DeepSeek-family models with paged=False (the latent cache "
-                "is already ~9x smaller than per-head K/V)"
-            )
         if paged:
             if max_seq_len % page_size:
                 raise ValueError("max_seq_len must be a page_size multiple")

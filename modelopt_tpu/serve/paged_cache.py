@@ -65,6 +65,18 @@ def make_paged_cache(cfg, max_batch: int, pcfg: PagedCacheConfig, dtype=None):
     ``page_table``: the Decoder detects the key and takes the paged path."""
     dtype = dtype or cfg.dtype
     # heads merged into the lane dim — see models.transformer.make_cache
+    if getattr(cfg, "attention_type", "mha") == "mla":
+        dc = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+        width = -(-dc // 128) * 128  # padded latent row
+        vshape = (pcfg.n_pages, pcfg.page_size, 0)
+        shape = (pcfg.n_pages, pcfg.page_size, width)
+        return {
+            "k": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+            "v": tuple(jnp.zeros(vshape, dtype) for _ in range(cfg.num_layers)),
+            "lengths": jnp.zeros((max_batch,), jnp.int32),
+            "page_table": jnp.zeros((max_batch, pcfg.max_pages_per_slot),
+                                    jnp.int32),
+        }
     shape = (pcfg.n_pages, pcfg.page_size, cfg.kv_heads * cfg.dims_per_head)
     return {
         "k": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),

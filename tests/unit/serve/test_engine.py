@@ -377,3 +377,19 @@ class TestNewFamilyEngine:
         eng.run()
         assert req.done
         assert req.out_tokens == naive_greedy(b, prompt, 6)
+
+    def test_mla_paged_engine_matches_naive(self):
+        from modelopt_tpu.models import tiny_mla_test_config
+
+        cfg = tiny_mla_test_config(dtype=jnp.float32)
+        m = Decoder(cfg)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        v = m.init(jax.random.PRNGKey(0), ids)
+        b = ModelBundle(module=m, variables=dict(v), example_inputs=(ids,))
+        eng = ServingEngine(b, max_batch=2, max_seq_len=32, paged=True,
+                            page_size=8, prefill_buckets=(16,))
+        prompt = [5, 3, 7, 2]
+        req = eng.submit(prompt, max_new_tokens=6)
+        eng.run()
+        assert req.done
+        assert req.out_tokens == naive_greedy(b, prompt, 6)
