@@ -54,7 +54,10 @@ def main():
     print(f"served {len(reqs)} requests, {n_tok} tokens in {dt:.1f}s "
           f"({n_tok/dt:.1f} tok/s incl. compile)")
     for r in reqs[:3]:
-        print(f"  req {r.id}: prompt[{len(r.prompt)}] -> {r.out_tokens[:8]}...")
+        lp = [round(x, 2) if x is not None else None
+              for x in r.out_logprobs[:4]]
+        print(f"  req {r.id}: prompt[{len(r.prompt)}] -> {r.out_tokens[:8]}... "
+              f"logprobs {lp} stop={r.stop_reason}")
 
 
 if __name__ == "__main__":
