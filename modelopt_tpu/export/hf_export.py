@@ -81,6 +81,13 @@ def _layer_map(mcfg) -> dict:
         })
     if getattr(mcfg, "attention_sinks", False):
         m["attn/sinks"] = "self_attn.sinks"
+    if getattr(mcfg, "norm", "rmsnorm") == "layernorm1p":
+        m["input_norm/bias"] = "input_layernorm.bias"
+        m["post_attn_norm/bias"] = "post_attention_layernorm.bias"
+    if getattr(mcfg, "router_score", "") == "llama4":
+        # llama4 dense interleave layers live under feed_forward.*
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            m[f"mlp/{proj}/kernel"] = f"feed_forward.{proj}.weight"
     return m
 
 
@@ -89,14 +96,23 @@ def _moe_names(model_type: str):
     if model_type == "mixtral":
         return ("block_sparse_moe.gate.weight",
                 "block_sparse_moe.experts.{e}.{w1}.weight", None)
+    if model_type == "gpt_oss":
+        return ("mlp.router.weight", None, None)
+    if model_type.startswith("llama4"):
+        return ("feed_forward.router.weight", None,
+                "feed_forward.shared_expert.{name}.weight")
     return ("mlp.gate.weight", "mlp.experts.{e}.{name}.weight",
             "mlp.shared_experts.{name}.weight")
 
 
-def _hf_name(path: str, layer_map=None):
+_LLAMA_MAP_1P = {**_LLAMA_MAP, "final_norm/bias": "model.norm.bias"}
+
+
+def _hf_name(path: str, layer_map=None, top_map=None):
+    top_map = top_map or _LLAMA_MAP
     layer_map = layer_map if layer_map is not None else _LAYER_MAP
-    if path in _LLAMA_MAP:
-        return _LLAMA_MAP[path]
+    if path in top_map:
+        return top_map[path]
     parts = path.split("/", 1)
     if parts[0].startswith("layers_"):
         i = parts[0].split("_")[1]
@@ -126,7 +142,8 @@ def _export_weight(w_hf: np.ndarray, spec: QuantizerSpec, name: str, amax=None):
     if not spec.is_fp and spec.num_bits == 4 and spec.block is not None:
         from .. import csrc
 
-        group = dict(spec.block.sizes).get(0, 128)  # our axis-0 == input dim
+        bs = dict(spec.block.sizes)
+        group = bs.get(-2, bs.get(0, 128))  # in-dim blocks: -2 (legacy 0)
         O, I = w_hf.shape
         group = min(group, I)  # tiny dims: one group spans the whole input
         packed, s = csrc.round_and_pack_int4(w_hf, group)
@@ -146,7 +163,8 @@ def _export_weight(w_hf: np.ndarray, spec: QuantizerSpec, name: str, amax=None):
     elif spec.is_fp and (spec.fp_format.exp_bits, spec.fp_format.man_bits) == (2, 1):
         from ..quant.qtensor import _encode_e2m1
 
-        group = dict(spec.block.sizes).get(0, 16)
+        bs = dict(spec.block.sizes)
+        group = bs.get(-2, bs.get(0, 16))
         O, I = w_hf.shape
         group = min(group, I)
         wb = w_hf.reshape(O, I // group, group)
@@ -205,10 +223,12 @@ def _quant_algo(cfg) -> dict:
             algo = "FP8"
         elif s.is_fp and (s.fp_format.exp_bits, s.fp_format.man_bits) == (2, 1):
             algo = "NVFP4"
-            group = dict(s.block.sizes).get(0, 16) if s.block else 16
+            group = (dict(s.block.sizes).get(-2, dict(s.block.sizes).get(0, 16))
+                     if s.block else 16)
         elif s.num_bits == 4:
             algo = "W4A8_AWQ" if (aspec and aspec[0].enable) else "W4A16_AWQ"
-            group = dict(s.block.sizes).get(0, 128) if s.block else 128
+            group = (dict(s.block.sizes).get(-2, dict(s.block.sizes).get(0, 128))
+                     if s.block else 128)
         elif s.num_bits == 8:
             algo = "W8A8_SQ_PER_CHANNEL" if (aspec and aspec[0].enable) else "INT8_WO"
     kv_algo = _kv_algo(kv[0]) if (kv and kv[0].enable) else None
@@ -229,18 +249,19 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
     quant_vars = bundle.variables.get("quant", {})
     mcfg = bundle.module.cfg
     layer_map = _layer_map(mcfg)
-    model_type = bundle.metadata.get("model_type") or (
-        "mixtral" if (mcfg.num_experts and mcfg.attention_type == "mha"
-                      and not mcfg.moe_bias and not mcfg.n_shared_experts)
-        else "generic"
-    )
+    model_type = (bundle.metadata.get("model_type")
+                  or _decoder_config_json(mcfg)["model_type"])
     _w123 = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
+    get_param = lambda p: get_in(  # noqa: E731
+        bundle.variables.get("params", {}), tuple(p.split("/")))
 
     for path, leaf in flatten_with_paths(bundle.variables.get("params", {})):
         parts = path.split("/")
         if len(parts) >= 3 and parts[1] == "moe":
-            # stacked expert einsums -> per-expert HF tensors
             i = parts[0].split("_")[1]
+            fused = model_type in ("gpt_oss", "llama4", "llama4_text")
+            prefix = ("feed_forward" if model_type.startswith("llama4")
+                      else "mlp")
             router_name, expert_fmt, shared_fmt = _moe_names(model_type)
             if parts[2] == "router":
                 if parts[-1] == "kernel":
@@ -258,7 +279,47 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
                 name = f"model.layers.{i}." + shared_fmt.format(name=parts[3])
                 yield name, _np32(leaf).T.astype(np.float16)
                 continue
+            if fused:
+                # HF-canonical FUSED stacked expert tensors ([E, in, out]
+                # input-major, no transpose): gate_up re-fused (gpt-oss
+                # interleaved columns, llama4 chunked halves) + biases.
+                # Emitted once, keyed off the gate_proj leaf; quantization
+                # metadata doesn't apply to fused-format checkpoints, so
+                # experts export in fp16.
+                if parts[2] == "up_proj":
+                    continue  # folded into the gate_proj emission
+                base = f"model.layers.{i}.{prefix}.experts"
+                if parts[2] == "gate_proj":
+                    gate = _np32(get_param(f"{parts[0]}/moe/gate_proj/kernel"))
+                    up = _np32(get_param(f"{parts[0]}/moe/up_proj/kernel"))
+                    E_, fin, fout = gate.shape
+                    gu = np.empty((E_, fin, 2 * fout), np.float32)
+                    if model_type == "gpt_oss":
+                        gu[..., 0::2], gu[..., 1::2] = gate, up
+                    else:  # llama4: chunked halves
+                        gu[..., :fout], gu[..., fout:] = gate, up
+                    if parts[-1] == "kernel":
+                        yield f"{base}.gate_up_proj", gu.astype(np.float16)
+                    else:  # bias [E, I] pairs -> [E, 2I]
+                        gb = _np32(get_param(f"{parts[0]}/moe/gate_proj/bias"))
+                        ub = _np32(get_param(f"{parts[0]}/moe/up_proj/bias"))
+                        gub = np.empty((gb.shape[0], 2 * gb.shape[1]),
+                                       np.float32)
+                        gub[:, 0::2], gub[:, 1::2] = gb, ub
+                        yield (f"{base}.gate_up_proj_bias",
+                               gub.astype(np.float16))
+                    continue
+                if parts[2] == "down_proj":
+                    if parts[-1] == "kernel":
+                        yield (f"{base}.down_proj",
+                               _np32(leaf).astype(np.float16))
+                    else:
+                        yield (f"{base}.down_proj_bias",
+                               _np32(leaf).astype(np.float16))
+                    continue
+                continue
             if parts[-1] == "kernel" and leaf.ndim == 3:
+                # per-expert HF tensors (mixtral / qwen3-moe / deepseek)
                 proj = parts[2]
                 specs = cfg.resolve(path.rsplit("/kernel", 1)[0] + "/weight_quantizer")
                 arr = _np32(leaf)  # [E, in, out]
@@ -272,7 +333,9 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
                         yield name, w_hf.astype(np.float16)
                 continue
             continue
-        name = _hf_name(path, layer_map)
+        top_map = (_LLAMA_MAP_1P if mcfg.norm == "layernorm1p"
+                   else _LLAMA_MAP)
+        name = _hf_name(path, layer_map, top_map)
         if name is None:
             continue
         if path.endswith("/kernel") and leaf.ndim == 2:
@@ -412,8 +475,16 @@ def _decoder_config_json(cfg) -> dict:
         mt = "deepseek_v3" if cfg.router_score == "sigmoid" else "deepseek_v2"
     elif cfg.attention_sinks:
         mt = "gpt_oss"
+    elif cfg.router_score == "llama4":
+        mt = "llama4_text"
     elif cfg.norm_style == "gemma":
-        mt = "gemma3_text"
+        # gemma2 = softcaps without per-head qk-norm
+        mt = "gemma2" if (cfg.attn_logit_softcap and not cfg.qk_norm) \
+            else "gemma3_text"
+    elif cfg.norm == "layernorm1p":
+        mt = "nemotron"
+    elif cfg.fused_qkv and cfg.fused_gate_up and not cfg.num_experts:
+        mt = "phi3"
     elif cfg.qk_norm:
         mt = "qwen3_moe" if cfg.num_experts else "qwen3"
     elif cfg.num_experts:
@@ -441,7 +512,7 @@ def _decoder_config_json(cfg) -> dict:
             "routed_scaling_factor": cfg.routed_scaling_factor,
         }
     elif cfg.num_experts:
-        if mt == "mixtral":
+        if mt in ("mixtral", "gpt_oss"):
             extra = {"num_local_experts": cfg.num_experts,
                      "num_experts_per_tok": cfg.experts_per_token}
         else:
@@ -453,6 +524,49 @@ def _decoder_config_json(cfg) -> dict:
         extra["rope_scaling"] = dict(cfg.rope_scaling)
     if cfg.head_dim:
         extra["head_dim"] = cfg.head_dim
+    if cfg.layer_plan is not None:
+        # encode the per-layer plan in the family's HF vocabulary
+        n = cfg.num_layers
+        opts = [cfg.layer_opts(i) for i in range(n)]
+        if mt == "llama4_text":
+            extra.update({
+                "no_rope_layers": [0 if o.get("nope") else 1 for o in opts],
+                "layer_types": ["chunked_attention" if "chunk" in o
+                                else "full_attention" for o in opts],
+                "attention_chunk_size": next(
+                    (o["chunk"] for o in opts if "chunk" in o), 8192),
+                "moe_layers": [i for i, o in enumerate(opts)
+                               if "ffn" not in o],
+                "intermediate_size": cfg.moe_intermediate_size,
+                "intermediate_size_mlp": cfg.intermediate_size,
+                "num_local_experts": cfg.num_experts,
+                "use_qk_norm": cfg.qk_l2norm,
+                "attn_temperature_tuning": cfg.attn_temperature_tuning,
+                "floor_scale": cfg.floor_scale,
+                "attn_scale": cfg.attn_scale,
+            })
+            extra.pop("num_experts", None)
+            extra.pop("moe_intermediate_size", None)
+        else:
+            extra["layer_types"] = [
+                "sliding_attention" if "window" in o else "full_attention"
+                for o in opts
+            ]
+            w = next((o["window"] for o in opts if "window" in o), None)
+            if w is not None:
+                extra["sliding_window"] = w
+    if cfg.norm_style == "gemma":
+        extra.update({
+            "query_pre_attn_scalar": cfg.query_pre_attn_scalar,
+            "rope_local_base_freq": cfg.rope_local_base_freq,
+            "attn_logit_softcapping": cfg.attn_logit_softcap,
+            "final_logit_softcapping": cfg.final_logit_softcap,
+        })
+    if cfg.norm == "layernorm1p":
+        extra["partial_rotary_factor"] = cfg.partial_rotary_factor
+        extra["mlp_bias"] = cfg.mlp_bias
+    if cfg.attention_sinks:
+        extra["attention_bias"] = cfg.attn_bias
     return {
         "model_type": mt,
         **extra,

@@ -123,7 +123,12 @@ def config_from_hf(hf_config) -> DecoderConfig:
         if moe_layers is None:
             step = get("interleave_moe_layer_step", 1)
             moe_layers = list(range(step - 1, n_layers, step))
-        no_rope = get("no_rope_layers") or [1] * n_layers
+        # HF fills empty/None no_rope_layers with the interval pattern
+        # (every `no_rope_layer_interval`th layer is NoPE)
+        interval = get("no_rope_layer_interval", 4)
+        no_rope = get("no_rope_layers") or [
+            int((i + 1) % interval != 0) for i in range(n_layers)
+        ]
         layer_types = get("layer_types") or [
             "chunked_attention" if no_rope[i] else "full_attention"
             for i in range(n_layers)
@@ -162,7 +167,14 @@ def config_from_hf(hf_config) -> DecoderConfig:
             norm_eps=get("rms_norm_eps", 1e-5),
         )
     if mt in ("gemma2", "gemma3_text"):
-        layer_types = get("layer_types") or []
+        n_layers = get("num_hidden_layers")
+        pattern = get("sliding_window_pattern",
+                      6 if mt == "gemma3_text" else 2)
+        # HF default: every `pattern`-th layer is full attention
+        layer_types = get("layer_types") or [
+            "sliding_attention" if (i + 1) % pattern else "full_attention"
+            for i in range(n_layers)
+        ]
         window = get("sliding_window", 4096)
         plan = tuple(
             (("window", window), ("local_rope", True))
@@ -183,7 +195,10 @@ def config_from_hf(hf_config) -> DecoderConfig:
             attn_logit_softcap=get("attn_logit_softcapping"),
             final_logit_softcap=get("final_logit_softcapping"),
             rope_theta=get("rope_theta", 1e6),
-            rope_local_base_freq=get("rope_local_base_freq", 10000.0),
+            rope_local_base_freq=get(
+                "rope_local_base_freq",
+                10000.0 if mt == "gemma3_text" else get("rope_theta", 1e6),
+            ),
             rope_scaling=_rope_scaling_tuple(get("rope_scaling")),
             layer_plan=plan,
             max_position_embeddings=get("max_position_embeddings", 131072),

@@ -145,8 +145,7 @@ def quant_linears(bundle: ModelBundle, captured: dict) -> list[LinearInfo]:
             E, fin, fout = kernel.shape
             moe_shape = (E, fin, fout)
             kernel = kernel.transpose(1, 0, 2).reshape(fin, E * fout)
-            if x is not None and x.shape[0] % 1 == 0 and x.ndim == 2 \
-                    and x.shape[-1] != fin:
+            if x is not None and x.shape[-1] != fin:
                 continue  # captured input doesn't feed this kernel shape
         infos.append(
             LinearInfo(

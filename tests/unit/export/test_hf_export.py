@@ -200,3 +200,21 @@ class TestFamilyExportRoundtrip:
         assert k in state, sorted(state)[:8]
         assert state[k].dtype == np.uint8
         assert k.rsplit(".weight", 1)[0] + ".weight_scale" in state
+
+    def test_gptoss_roundtrip(self, tmp_path):
+        from modelopt_tpu.models import tiny_gptoss_test_config
+
+        self._roundtrip(tiny_gptoss_test_config(), tmp_path)
+
+    def test_gemma3_roundtrip(self, tmp_path):
+        from modelopt_tpu.models import tiny_gemma3_test_config
+
+        self._roundtrip(tiny_gemma3_test_config(), tmp_path)
+
+    def test_nemotron_roundtrip(self, tmp_path):
+        from modelopt_tpu.models import tiny_test_config
+
+        self._roundtrip(tiny_test_config(
+            activation="relu2", norm="layernorm1p",
+            partial_rotary_factor=0.5,
+        ), tmp_path)
