@@ -151,10 +151,13 @@ def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
         chunk = S  # small caches: single chunk
     nc = S // chunk
     use_sinks = sinks is not None
+    # sinks ride a tiny VMEM block; without sinks a 1-row dummy keeps the
+    # kernel signature static at zero extra DMA cost
+    sh = (KH, G) if use_sinks else (1, 1)
     sinks_arr = jnp.broadcast_to(
-        jnp.asarray(sinks if use_sinks else 0.0, jnp.float32).reshape(
-            (KH, G, 1) if use_sinks else (1, 1, 1)),
-        (KH, G, 128),
+        jnp.asarray(sinks if use_sinks else 0.0,
+                    jnp.float32).reshape(sh + (1,)),
+        sh + (128,),
     )[None]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -162,7 +165,7 @@ def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
         in_specs=[
             pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KH, G, 128), lambda b, c, *_: (0, 0, 0, 0),
+            pl.BlockSpec((1,) + sh + (128,), lambda b, c, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, KH * D), lambda b, c, *_: (b, c, 0),
                          memory_space=pltpu.VMEM),
@@ -376,10 +379,11 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
         chunk = S
     nc = S // chunk
     use_sinks = sinks is not None
+    sh = (KH, G) if use_sinks else (1, 1)
     sinks_arr = jnp.broadcast_to(
-        jnp.asarray(sinks if use_sinks else 0.0, jnp.float32).reshape(
-            (KH, G, 1) if use_sinks else (1, 1, 1)),
-        (KH, G, 128),
+        jnp.asarray(sinks if use_sinks else 0.0,
+                    jnp.float32).reshape(sh + (1,)),
+        sh + (128,),
     )[None]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -387,7 +391,7 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
         in_specs=[
             pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KH, G, 128), lambda b, c, *_: (0, 0, 0, 0),
+            pl.BlockSpec((1,) + sh + (128,), lambda b, c, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, KHD), lambda b, c, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
