@@ -49,13 +49,25 @@ DECODER_RULES: tuple = (
     (r".*/moe/(gate_proj|up_proj)/kernel", P("ep", None, "tp")),
     (r".*/moe/down_proj/kernel", P("ep", "tp", None)),
     (r".*/moe/router/kernel", P(None, None)),
-    # attention: column-parallel qkv, row-parallel output
-    (r".*/(q_proj|k_proj|v_proj)/kernel", P(None, "tp")),
-    (r".*/(q_proj|k_proj|v_proj)/bias", P("tp")),
+    # shared experts (deepseek/llama4): dense MLP inside the moe scope
+    (r".*/moe/shared_experts/(gate_proj|up_proj)/kernel", P(None, "tp")),
+    (r".*/moe/shared_experts/down_proj/kernel", P("tp", None)),
+    # MoE expert biases (gpt-oss)
+    (r".*/moe/(gate_proj|up_proj)/bias", P("ep", "tp")),
+    (r".*/moe/down_proj/bias", P("ep", None)),
+    # attention: column-parallel qkv (incl. fused), row-parallel output
+    (r".*/(q_proj|k_proj|v_proj|qkv_proj)/kernel", P(None, "tp")),
+    (r".*/(q_proj|k_proj|v_proj|qkv_proj)/bias", P("tp")),
     (r".*/o_proj/kernel", P("tp", None)),
-    # dense MLP: column-parallel in, row-parallel out
-    (r".*/mlp/(gate_proj|up_proj|fc_in)/kernel", P(None, "tp")),
-    (r".*/mlp/(gate_proj|up_proj|fc_in)/bias", P("tp")),
+    # MLA: per-head expansions are column-parallel; the shared latent
+    # projections/norms stay replicated (the latent row is per-token
+    # shared state, tiny next to the per-head tensors)
+    (r".*/(q_b_proj|kv_b_proj)/kernel", P(None, "tp")),
+    (r".*/(q_a_proj|kv_a_proj)/kernel", P(None, None)),
+    # dense MLP: column-parallel in, row-parallel out (incl. fused gate_up
+    # and nemotron's ungated up/down)
+    (r".*/mlp/(gate_proj|up_proj|gate_up_proj|fc_in)/kernel", P(None, "tp")),
+    (r".*/mlp/(gate_proj|up_proj|gate_up_proj|fc_in)/bias", P("tp")),
     (r".*/mlp/(down_proj|fc_out)/kernel", P("tp", None)),
     # embeddings / lm head: vocab-parallel
     (r".*embed_tokens/embedding", P("tp", None)),

@@ -116,3 +116,26 @@ class TestShardedServing:
         req2 = eng2.submit([5, 17, 42], max_new_tokens=5)
         eng2.run()
         assert req.out_tokens == req2.out_tokens
+
+
+def test_mla_tp_reshard_invariance():
+    """MLA models produce identical logits under tp=1 vs tp=4 sharding
+    (per-head expansions column-parallel, latent projections replicated)."""
+    import jax.numpy as jnp
+
+    from modelopt_tpu.models import Decoder, tiny_mla_test_config
+    from modelopt_tpu.parallel.mesh import make_mesh, shard_variables
+
+    cfg = tiny_mla_test_config(num_experts=0, n_shared_experts=0,
+                               first_k_dense=0, dtype=jnp.float32)
+    m = Decoder(cfg)
+    ids = jnp.asarray([[5, 3, 7, 2]], jnp.int32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), ids)
+    ref = m.apply(v, ids)
+    ref = np.asarray(ref[0] if isinstance(ref, tuple) else ref, np.float32)
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    with mesh:
+        vs = shard_variables(dict(v), mesh)
+        out = jax.jit(lambda vv, ii: m.apply(vv, ii))(vs, ids)
+    got = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
