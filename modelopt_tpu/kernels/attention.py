@@ -235,9 +235,9 @@ def dense_kv_write(cache, vals, start):
         in_specs=[
             pl.BlockSpec((1, T, KHD), lambda b, start: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cache: aliased, not read
+            pl.BlockSpec(memory_space=pl.ANY),  # cache: aliased, not read
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
@@ -405,8 +405,8 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
         out_specs=[
             pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=_SCRATCH(KH, G, D) + [
             pltpu.SemaphoreType.DMA,

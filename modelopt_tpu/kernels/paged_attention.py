@@ -139,9 +139,9 @@ def paged_kv_write(pool, vals, pids, offs):
         in_specs=[
             pl.BlockSpec((1, 1, KHD), lambda b, t, pids, offs: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # pool: aliased, not read
+            pl.BlockSpec(memory_space=pl.ANY),  # pool: aliased, not read
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
