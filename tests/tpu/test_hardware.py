@@ -51,18 +51,56 @@ def test_w4a16_kernel_parity_on_hw(rng):
 def test_decode_attention_fp8_on_hw(rng):
     from modelopt_tpu.kernels.attention import decode_attention
 
-    B, S, KH, G, D = 4, 128, 2, 4, 64
+    B, S, KH, G, D = 4, 128, 2, 4, 128
     q = jnp.asarray(rng.standard_normal((B, KH, G, D)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((B, S, KH, D)) / 50).astype(jnp.float8_e4m3fn)
     v = jnp.asarray(rng.standard_normal((B, S, KH, D)) / 50).astype(jnp.float8_e4m3fn)
     lengths = jnp.asarray([3, 50, 100, 128], jnp.int32)
-    out = decode_attention(q, k, v, lengths, k_scale=50.0, v_scale=50.0,
+    out = decode_attention(q, k.reshape(B, S, KH * D), v.reshape(B, S, KH * D),
+                           lengths, k_scale=50.0, v_scale=50.0,
                            out_dtype=jnp.float32)
     assert np.isfinite(np.asarray(out)).all()
     # masked slots: batch 0 attends only 3 keys — all outputs bounded by
     # the max |v| over those keys * 50
     vmax = float(jnp.max(jnp.abs(v[0, :3].astype(jnp.float32) * 50.0)))
     assert float(jnp.max(jnp.abs(out[0]))) <= vmax + 1e-3
+
+
+def test_fused_decode_sinks_softcap_on_hw(rng):
+    """Mosaic compile + sanity of the fused write+attend kernel with
+    learned sinks and softcap on the lane-merged layout."""
+    from modelopt_tpu.kernels.attention import fused_decode_attention
+
+    B, S, KH, G, D = 4, 128, 2, 4, 128
+    q = jnp.asarray(rng.standard_normal((B, KH, G, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, KH * D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, KH * D)), jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((B, 1, KH * D)), jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((B, 1, KH * D)), jnp.bfloat16)
+    pos = jnp.asarray([3, 50, 100, 126], jnp.int32)
+    sinks = jnp.asarray(rng.standard_normal((KH, G)), jnp.float32)
+    out, ck, cv = fused_decode_attention(q, kn, vn, k, v, pos,
+                                         sinks=sinks, softcap=30.0,
+                                         out_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(out)).all()
+    # the write landed: cache row pos[b] equals the new token's row
+    got = np.asarray(ck)[np.arange(B), np.asarray(pos)]
+    np.testing.assert_allclose(got, np.asarray(kn)[:, 0], rtol=1e-2,
+                               atol=1e-2)
+
+
+def test_mla_latent_decode_on_hw(rng):
+    """MLA single-shared-KV-head reformulation on hardware (fp8 latent)."""
+    from modelopt_tpu.kernels.attention import decode_attention
+
+    B, S, H, Dc = 4, 128, 8, 640  # padded latent row width (512+64 -> 640)
+    q_eff = jnp.asarray(rng.standard_normal((B, 1, H, Dc)), jnp.bfloat16)
+    rows = jnp.asarray(rng.standard_normal((B, S, Dc)) / 50).astype(
+        jnp.float8_e4m3fn)
+    lengths = jnp.asarray([3, 50, 100, 128], jnp.int32)
+    out = decode_attention(q_eff, rows, rows, lengths, k_scale=50.0,
+                           v_scale=50.0, out_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_flash_attention_on_hw(rng):
