@@ -546,14 +546,19 @@ class ServingEngine:
             self.stats["draft_accepted"] += int(n_h[slot])
             self.stats["decode_slot_steps"] += 1
             emitted = preds_h[slot, : int(n_h[slot]) + 1]
+            last_tok = None
             for tok in emitted:
                 req.out_tokens.append(int(tok))
                 req.out_logprobs.append(None)  # spec verify is greedy
+                last_tok = int(tok)
                 produced += 1
                 self._finish_if_done(req)
                 if req.done:
                     break
-            self._tokens = self._tokens.at[slot, 0].set(int(req.out_tokens[-1]))
+            if not req.done:
+                # (out_tokens may have been TRIMMED by a stop-sequence
+                # match, so feed the raw last emitted token, not [-1])
+                self._tokens = self._tokens.at[slot, 0].set(last_tok)
         self.stats["tokens_emitted"] += produced
         return produced
 
