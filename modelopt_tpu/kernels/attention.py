@@ -256,9 +256,10 @@ def decode_attention_ok(q_shape, S: int, cache_dtype=None) -> bool:
     B, KH, G, D = q_shape
     if jax.default_backend() != "tpu":
         return False
-    if cache_dtype is not None and cache_dtype != jnp.float8_e4m3fn:
-        # bf16 decode: XLA einsum already fine; int8 codes: scales not yet
-        # plumbed at the call site — keep it off until the int8-MXU path
+    if cache_dtype is not None and cache_dtype not in (
+            jnp.float8_e4m3fn, jnp.int8):
+        # bf16 decode: the XLA einsum path is already fine and the per-call
+        # kernel overhead is a net loss (measured on v5e)
         return False
     if S > 8192 or D % 128 != 0:
         return False

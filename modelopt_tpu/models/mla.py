@@ -128,9 +128,14 @@ class MLAttention(nn.Module):
                 ck, cv_ph, positions_kv, page_table = cache_kv
             else:
                 ck, cv_ph, positions_kv = cache_kv
-            real_fp8 = ck.dtype == jnp.float8_e4m3fn
+            real_fp8 = ck.dtype in (jnp.float8_e4m3fn, jnp.int8)
             if real_fp8:
                 row_codes, row_scale = kq_mod(rows, with_scale=True)
+                if ck.dtype == jnp.int8 and row_scale is None:
+                    raise ValueError(
+                        "an int8 latent cache needs a CALIBRATED per-tensor "
+                        "int8 k_quantizer (INT8_KV_CFG-style)"
+                    )
                 row_scale = (jnp.float32(1.0) if row_scale is None
                              else row_scale)
             else:
@@ -196,7 +201,7 @@ class MLAttention(nn.Module):
             Dc = ck.shape[-1]  # padded row width
             use_paged_kernel = (
                 page_table is not None
-                and ck.dtype == jnp.float8_e4m3fn
+                and ck.dtype in (jnp.float8_e4m3fn, jnp.int8)
                 and paged_attention_ok(B, 1, H, Dc, ck.shape[1])
                 and Dc % 128 == 0
             )

@@ -424,10 +424,16 @@ class Attention(nn.Module):
                 ck, cv, positions_kv, page_table = cache_kv
             else:
                 ck, cv, positions_kv = cache_kv  # ck/cv [B, S_max, KH*D]
-            real_fp8 = ck.dtype == jnp.float8_e4m3fn
+            real_fp8 = ck.dtype in (jnp.float8_e4m3fn, jnp.int8)
             if real_fp8:
                 k_codes, k_scale = kq_mod(k, with_scale=True)
                 v_codes, v_scale = vq_mod(v, with_scale=True)
+                if ck.dtype == jnp.int8 and (k_scale is None or v_scale is None):
+                    raise ValueError(
+                        "an int8 KV cache needs CALIBRATED per-tensor int8 "
+                        "k/v quantizers (INT8_KV_CFG) — a scale-1 cast "
+                        "would round O(1) keys to {-1, 0, 1}"
+                    )
                 # no calibrated fp8 KV quantizer (or calib phase): store a
                 # direct e4m3 cast (scale 1) — |k| is O(1) so this is safe
                 k_scale = jnp.float32(1.0) if k_scale is None else k_scale

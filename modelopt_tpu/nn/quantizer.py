@@ -198,26 +198,33 @@ class TensorQuantizer(nn.Module):
         if not specs:
             return ret(x)
 
-        # real-codes path for fp8 per-tensor static specs (KV cache storage)
+        # real-codes path for per-tensor static specs (KV cache storage):
+        # fp8 e4m3 or int8 codes + one fp32 scale
         if (
             with_scale
             and phase == PHASE_QUANT
             and len(specs) == 1
             and specs[0].enable
-            and specs[0].is_fp
             and specs[0].block is None
             and specs[0].axis is None
             and not specs[0].dynamic
             and not specs[0].rotate
-            and (specs[0].fp_format.exp_bits, specs[0].fp_format.man_bits) == (4, 3)
             and self.has_variable("quant", "amax")
         ):
+            sp = specs[0]
             amax = self.get_variable("quant", "amax")
-            scale = jnp.maximum(amax.astype(jnp.float32), 1e-12) / 448.0
-            codes = jnp.clip(x.astype(jnp.float32) / scale, -448.0, 448.0).astype(
-                jnp.float8_e4m3fn
-            )
-            return codes, scale
+            if sp.is_fp and (sp.fp_format.exp_bits, sp.fp_format.man_bits) == (4, 3):
+                scale = jnp.maximum(amax.astype(jnp.float32), 1e-12) / 448.0
+                codes = jnp.clip(x.astype(jnp.float32) / scale, -448.0, 448.0).astype(
+                    jnp.float8_e4m3fn
+                )
+                return codes, scale
+            if not sp.is_fp and sp.num_bits == 8:
+                scale = jnp.maximum(amax.astype(jnp.float32), 1e-12) / 127.0
+                codes = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) / scale), -127.0, 127.0
+                ).astype(jnp.int8)
+                return codes, scale
 
         # Hadamard rotation (QuaRot-style): quantize in the rotated basis,
         # rotate back — calibration statistics are likewise collected on the

@@ -275,7 +275,16 @@ KV_CACHE_FP8_AFFINE = {
     "*k_quantizer": {"num_bits": (4, 3), "axis": None, "bias_mode": "static"},
     "*v_quantizer": {"num_bits": (4, 3), "axis": None, "bias_mode": "static"},
 }
+# INT8 KV cache: per-tensor static int8 codes + fp32 scale — the same
+# storage/kernel path as FP8_KV with integer codes (requires calibration;
+# see transformer.py's trace-time check)
+KV_CACHE_INT8 = {
+    "*k_quantizer": {"num_bits": 8, "axis": None},
+    "*v_quantizer": {"num_bits": 8, "axis": None},
+}
 FP8_KV_CFG = _cfg(_W_FP8, _A_FP8, extra=KV_CACHE_FP8)
+INT8_KV_CFG = _cfg(_W_INT8_PC, _A_INT8_PT, extra=KV_CACHE_INT8,
+                   algorithm={"method": "smoothquant"})
 FP8_AFFINE_KV_CFG = _cfg(_W_FP8, _A_FP8, extra=KV_CACHE_FP8_AFFINE)
 NVFP4_KV_CFG = _cfg(_W_NVFP4, _A_NVFP4, extra=KV_CACHE_NVFP4)
 # Hadamard-rotated NVFP4 KV cache: k/v (and q, so scores stay consistent

