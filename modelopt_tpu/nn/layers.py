@@ -136,16 +136,48 @@ class QuantEinsum(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        kernel = self.param(
-            "kernel",
-            _maybe_partition(self.kernel_init, self.kernel_axes),
-            tuple(self.kernel_shape),
-            self.param_dtype,
-        )
         x = TensorQuantizer(name="input_quantizer")(x)
-        kernel = TensorQuantizer(name="weight_quantizer")(kernel)
         dtype = self.dtype or x.dtype
-        y = jnp.einsum(self.einsum_str, x.astype(dtype), kernel.astype(dtype))
+        if self.has_variable("quant", "qweight"):
+            # compressed MoE experts: the packed tensor holds the FOLDED
+            # [in, E*out] view (see quant/compress.py) — per-expert scales
+            # fall out of the distinct columns. Known expert einsums
+            # re-associate so no weight transpose ever materializes.
+            from ..nn.quantizer import active_quant_config
+            from ..quant.qtensor import dequantize_qtensor
+
+            cfg = active_quant_config()
+            specs = (cfg.resolve("/".join(self.path) + "/weight_quantizer")
+                     if cfg else None)
+            if not specs:
+                raise ValueError(
+                    f"{'/'.join(self.path)}: qweight present but no active "
+                    "weight-quantizer spec to interpret it"
+                )
+            E, fin, fout = self.kernel_shape
+            qt = self.get_variable("quant", "qweight")
+            w2d = dequantize_qtensor(qt, specs[0], (fin, E * fout))
+            w2d = w2d.astype(dtype)
+            if self.einsum_str == "btd,edf->btef":
+                y = jnp.einsum("btd,df->btf", x.astype(dtype), w2d)
+                y = y.reshape(*y.shape[:-1], E, fout)
+            elif self.einsum_str == "bteo,eod->bted":
+                # per-expert contraction: e pairs across both operands
+                w3 = w2d.reshape(fin, E, fout)
+                y = jnp.einsum("bteo,oed->bted", x.astype(dtype), w3)
+            else:
+                kernel = w2d.reshape(fin, E, fout).transpose(1, 0, 2)
+                y = jnp.einsum(self.einsum_str, x.astype(dtype), kernel)
+        else:
+            kernel = self.param(
+                "kernel",
+                _maybe_partition(self.kernel_init, self.kernel_axes),
+                tuple(self.kernel_shape),
+                self.param_dtype,
+            )
+            kernel = TensorQuantizer(name="weight_quantizer")(kernel)
+            y = jnp.einsum(self.einsum_str, x.astype(dtype),
+                           kernel.astype(dtype))
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros_init(), tuple(self.bias_shape), self.param_dtype

@@ -31,8 +31,22 @@ def _compress_variables(bundle: ModelBundle):
         dense_path = path.rsplit("/weight_quantizer", 1)[0]
         kpath = tuple(dense_path.split("/")) + ("kernel",)
         kernel = get_in(variables.get("params", {}), kpath)
-        if kernel is None or kernel.ndim != 2:
+        if kernel is None or kernel.ndim not in (2, 3):
             continue
+        if kernel.ndim == 3:
+            # MoE expert kernels [E, in, out] compress through the FOLDED
+            # [in, E*out] view (same fold as calibration — in-dim blocks
+            # map 1:1, per-expert scales fall out of distinct columns);
+            # QuantEinsum re-associates its einsums so the fold never
+            # transposes at inference. Positive-axis (explicit per-expert)
+            # specs don't fold.
+            axes = tuple(spec.axis or ())
+            if spec.block is not None:
+                axes = axes + tuple(int(a) for a, _ in spec.block.sizes)
+            if any(a >= 0 for a in axes):
+                continue
+            E, fin, fout = kernel.shape
+            kernel = kernel.transpose(1, 0, 2).reshape(fin, E * fout)
         if compressible_format(spec, kernel.shape) is None:
             continue
         qt, fmt = quantize_qtensor(kernel, spec)

@@ -71,3 +71,32 @@ def test_gptq_updates_moe_experts(moe_bundle):
     out = jax.jit(q.make_fn(phase=PHASE_QUANT))(q.variables, data)
     lg = out[0] if isinstance(out, tuple) else out
     assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_compress_packs_moe_experts(moe_bundle):
+    """compress() packs 3-D expert kernels (folded view) and the
+    compressed model's outputs match the fake-quant model."""
+    from modelopt_tpu.core import PHASE_QUANT
+    from modelopt_tpu.core.tree import get_in as tget
+
+    data = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0, 256)
+    q = mtq.quantize(moe_bundle, {
+        "quant_cfg": {"*weight_quantizer": {"num_bits": 4,
+                                            "block_sizes": {-2: 32}},
+                      "*input_quantizer": {"enable": False},
+                      "*output_quantizer": {"enable": False},
+                      "*lm_head*": {"enable": False},
+                      "*router*": {"enable": False},
+                      "*embed*": {"enable": False}},
+        "algorithm": "max"}, lambda f: f(data))
+    ref = jax.jit(q.make_fn(phase=PHASE_QUANT))(q.variables, data)
+    ref = np.asarray(ref[0] if isinstance(ref, tuple) else ref, np.float32)
+    c = mtq.compress(q)
+    # expert kernel gone from params, qweight present
+    assert tget(c.variables["params"], ("layers_0", "moe", "gate_proj",
+                                        "kernel")) is None
+    assert tget(c.variables["quant"], ("layers_0", "moe", "gate_proj",
+                                       "qweight")) is not None
+    out = jax.jit(c.make_fn(phase=PHASE_QUANT))(c.variables, data)
+    out = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
+    np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
