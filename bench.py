@@ -77,7 +77,18 @@ def main():
 
     import jax.numpy as _jnp
 
-    ms8, weight_gb, build_s = measure("W4A8_INT8_DYNAMIC_CFG")
+    try:
+        ms8, weight_gb, build_s = measure("W4A8_INT8_DYNAMIC_CFG")
+    except Exception as e:  # pragma: no cover - defensive on-chip guard
+        # A Mosaic lowering failure in the fused decode-attention path must
+        # not zero the round's bench: retry on the XLA attention fallback.
+        import os
+
+        print(f"# pallas attention path failed, retrying on XLA: {e!r}",
+              flush=True)
+        os.environ["MODELOPT_TPU_NO_PALLAS_ATTN"] = "1"
+        jax.clear_caches()
+        ms8, weight_gb, build_s = measure("W4A8_INT8_DYNAMIC_CFG")
     tok_s = BATCH / (ms8 / 1e3)
     # W4A8 + FP8 KV cache (FP8_KV family: real e4m3 cache rows via the
     # lane-merged layout + fused decode-attention kernel): KV reads halve.

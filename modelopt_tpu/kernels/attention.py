@@ -27,11 +27,19 @@ einsum formulation is already efficient.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _pallas_attn_disabled() -> bool:
+    """Emergency kill-switch: MODELOPT_TPU_NO_PALLAS_ATTN=1 routes decode
+    attention and cache writes to the XLA fallbacks (checked at trace
+    time, so it composes with jit retracing after a failed compile)."""
+    return os.environ.get("MODELOPT_TPU_NO_PALLAS_ATTN", "0") not in ("0", "")
 
 
 def _attend_chunk(q_ref, k_ref, v_ref, base, L, k_scale,
@@ -225,7 +233,7 @@ def dense_kv_write(cache, vals, start):
     # lower (observed on v5e with D=16 test models). Small models take the
     # XLA path — their caches are tiny, so the scatter pathology doesn't
     # bite.
-    if jax.default_backend() != "tpu" or KHD % 128:
+    if jax.default_backend() != "tpu" or KHD % 128 or _pallas_attn_disabled():
         return jax.vmap(
             lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (s, 0))
         )(cache, vals.astype(cache.dtype), start)
@@ -442,6 +450,6 @@ def fused_decode_ok(q_shape, S: int, cache_dtype=None) -> bool:
     (unlike the read-only kernel, it also eliminates the per-layer cache
     write, so it wins for bf16 too)."""
     B, KH, G, D = q_shape
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or _pallas_attn_disabled():
         return False
     return S <= 8192 and D % 128 == 0

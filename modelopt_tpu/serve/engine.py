@@ -102,8 +102,21 @@ class ServingEngine:
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
         self.max_admit = max_admit
-        self.prefill_buckets = tuple(sorted(prefill_buckets))
+        # clamp buckets to the cache: an unclamped default (64, 256) on a
+        # small max_seq_len would prefill past the cache bound (silently
+        # dropped by TPU scatter, a hard error on CPU)
+        self.prefill_buckets = tuple(sorted(
+            {min(b, max_seq_len) for b in prefill_buckets}
+        ))
         for i, small in enumerate(self.prefill_buckets):
+            if max_seq_len % small:
+                # a bucket-sized write at a bucket-aligned start must stay
+                # inside the cache even on the final chunk
+                raise ValueError(
+                    f"max_seq_len ({max_seq_len}) must be a multiple of "
+                    f"every prefill bucket (got {self.prefill_buckets}); "
+                    "pass compatible prefill_buckets"
+                )
             for big in self.prefill_buckets[i + 1:]:
                 if big % small:
                     raise ValueError(

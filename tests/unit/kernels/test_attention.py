@@ -145,3 +145,18 @@ def test_fused_kernel_sinks_matches_ref(rng, interp):
         vv[b, pos[b]] = np.asarray(vn)[b, 0]
     ref = ref_attention_sinks(q, kk, vv, pos + 1, sinks, 5.0)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-2)
+
+
+def test_no_pallas_attn_kill_switch(monkeypatch):
+    """MODELOPT_TPU_NO_PALLAS_ATTN=1 forces the XLA fallbacks (bench.py's
+    defensive retry path relies on this)."""
+    from modelopt_tpu.kernels.attention import dense_kv_write, fused_decode_ok
+
+    monkeypatch.setenv("MODELOPT_TPU_NO_PALLAS_ATTN", "1")
+    assert not fused_decode_ok((4, 8, 4, 128), 256, jnp.bfloat16)
+    # dense_kv_write still works (vmapped dynamic_update_slice path)
+    cache = jnp.zeros((2, 8, 256), jnp.bfloat16)
+    vals = jnp.ones((2, 1, 256), jnp.bfloat16)
+    out = dense_kv_write(cache, vals, jnp.asarray([0, 3], jnp.int32))
+    assert float(out[0, 0].sum()) == 256.0 and float(out[1, 3].sum()) == 256.0
+    assert float(out.sum()) == 512.0

@@ -413,3 +413,23 @@ class TestInt8KV:
                                 prefill_buckets=(16,), kv_dtype=jnp.int8)
             eng.submit([5, 3], max_new_tokens=2)
             eng.run()
+
+
+class TestSmallCacheBuckets:
+    def test_buckets_clamped_to_max_seq_len(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=32)
+        assert eng.prefill_buckets == (32,)
+        req = eng.submit(list(range(1, 9)), max_new_tokens=6)
+        eng.run()
+        assert len(req.out_tokens) == 6
+
+    def test_incompatible_cap_raises(self, bundle):
+        import pytest as _pytest
+
+        from modelopt_tpu.serve import ServingEngine
+
+        with _pytest.raises(ValueError, match="multiple of"):
+            ServingEngine(bundle, max_batch=2, max_seq_len=300,
+                          prefill_buckets=(64, 256))
