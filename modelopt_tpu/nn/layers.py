@@ -144,6 +144,7 @@ class QuantEinsum(nn.Module):
             # fall out of the distinct columns. Known expert einsums
             # re-associate so no weight transpose ever materializes.
             from ..nn.quantizer import active_quant_config
+            from ..quant.backends import qgemm
             from ..quant.qtensor import dequantize_qtensor
 
             cfg = active_quant_config()
@@ -156,17 +157,28 @@ class QuantEinsum(nn.Module):
                 )
             E, fin, fout = self.kernel_shape
             qt = self.get_variable("quant", "qweight")
-            w2d = dequantize_qtensor(qt, specs[0], (fin, E * fout))
-            w2d = w2d.astype(dtype)
             if self.einsum_str == "btd,edf->btef":
-                y = jnp.einsum("btd,df->btf", x.astype(dtype), w2d)
-                y = y.reshape(*y.shape[:-1], E, fout)
+                # gate/up experts: the folded view IS a plain [fin, E*fout]
+                # GEMM — ride the fused dequant-GEMM backends like QuantDense
+                aspecs = (cfg.resolve("/".join(self.path) + "/input_quantizer")
+                          if cfg else None)
+                act_int8 = bool(
+                    aspecs and aspecs[0].enable and not aspecs[0].is_fp
+                    and aspecs[0].num_bits == 8
+                )
+                x2d = x.astype(dtype).reshape(-1, fin)
+                y2d = qgemm(x2d, qt, specs[0], (fin, E * fout),
+                            out_dtype=dtype, act_int8=act_int8)
+                y = y2d.reshape(*x.shape[:-1], E, fout)
             elif self.einsum_str == "bteo,eod->bted":
-                # per-expert contraction: e pairs across both operands
-                w3 = w2d.reshape(fin, E, fout)
+                # per-expert contraction (block-diagonal in the folded view):
+                # e pairs across both operands — dequantize + einsum
+                w2d = dequantize_qtensor(qt, specs[0], (fin, E * fout))
+                w3 = w2d.astype(dtype).reshape(fin, E, fout)
                 y = jnp.einsum("bteo,oed->bted", x.astype(dtype), w3)
             else:
-                kernel = w2d.reshape(fin, E, fout).transpose(1, 0, 2)
+                w2d = dequantize_qtensor(qt, specs[0], (fin, E * fout))
+                kernel = w2d.astype(dtype).reshape(fin, E, fout).transpose(1, 0, 2)
                 y = jnp.einsum(self.einsum_str, x.astype(dtype), kernel)
         else:
             kernel = self.param(
