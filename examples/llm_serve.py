@@ -44,7 +44,8 @@ def main():
     rng = np.random.default_rng(1)
     reqs = [
         eng.submit(rng.integers(0, cfg.vocab_size, rng.integers(4, 24)).tolist(),
-                   max_new_tokens=args.max_new, temperature=0.7)
+                   max_new_tokens=args.max_new, temperature=0.7,
+                   top_k=50, top_p=0.95)
         for _ in range(args.requests)
     ]
     t0 = time.time()

@@ -212,7 +212,9 @@ def cmd_serve(args):
                         max_seq_len=args.max_seq_len)
     rng = np.random.default_rng(0)
     V = bundle.module.cfg.vocab_size
-    reqs = [eng.submit(list(rng.integers(0, V, 8)), max_new_tokens=16)
+    reqs = [eng.submit(list(rng.integers(0, V, 8)), max_new_tokens=16,
+                       temperature=args.temperature, top_k=args.top_k,
+                       top_p=args.top_p)
             for _ in range(args.requests)]
     eng.run()
     n_tok = sum(len(r.out_tokens) for r in reqs)
@@ -262,6 +264,9 @@ def main(argv=None):
     p.add_argument("--max-batch", type=int, default=4)
     p.add_argument("--max-seq-len", type=int, default=256)
     p.add_argument("--requests", type=int, default=4)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
     p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

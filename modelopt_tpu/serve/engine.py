@@ -61,6 +61,10 @@ class Request:
     prompt: list
     max_new_tokens: int = 64
     temperature: float = 0.0
+    # vLLM-convention sampling filters (applied per slot, on device):
+    # top_k=0 and top_p=1.0 disable them
+    top_k: int = 0
+    top_p: float = 1.0
     eos_id: Optional[int] = None
     # token-id stop sequences (vLLM-style): generation ends when the output
     # tail matches one; the matched tail is trimmed from out_tokens
@@ -147,6 +151,8 @@ class ServingEngine:
         self._ids = itertools.count()
         self._tokens = jnp.zeros((max_batch, 1), jnp.int32)  # last token per slot
         self._temps = jnp.zeros((max_batch,), jnp.float32)
+        self._topk = jnp.zeros((max_batch,), jnp.int32)   # 0 = no top-k
+        self._topp = jnp.ones((max_batch,), jnp.float32)  # 1 = no top-p
         # tokens_emitted counts DECODE-phase emissions only (plain or
         # speculative ticks); the token sampled at the end of a prefill is
         # prefill_tokens. decode_slot_steps counts (tick × active slot)
@@ -176,7 +182,8 @@ class ServingEngine:
             self._spec_decode = jax.jit(self._make_spec_decode(),
                                         donate_argnums=(1, 3))
 
-        def _prefill_core(variables, cache, ids, slot, start, true_len, temp, key):
+        def _prefill_core(variables, cache, ids, slot, start, true_len, temp,
+                          tk, tp, key):
             """Ingest one bucket-size chunk for ``slot`` beginning at prompt
             position ``start``; returns (cache, last_token, chunk_hidden).
             The token/hidden are only meaningful on the final chunk."""
@@ -213,29 +220,36 @@ class ServingEngine:
             lengths = cache["lengths"].at[slot].set(start + true_len)
             cache = {**cache, "lengths": lengths}
             last = logits[0, true_len - 1]
-            tok, lp = _sample_lp(last, temp, key)
+            filt = jax.lax.cond(
+                (tk > 0) | (tp < 1.0),
+                lambda l: _filter_logits(l, tk, tp),
+                lambda l: l.astype(jnp.float32),
+                last,
+            )
+            tok, lp = _sample_lp(last, temp, key, filt)
             return cache, tok, hidden, lp
 
-        def prefill_fn(variables, cache, ids, slot, start, true_len, temp, key):
+        def prefill_fn(variables, cache, ids, slot, start, true_len, temp,
+                       tk, tp, key):
             cache, tok, hidden, lp = _prefill_core(
-                variables, cache, ids, slot, start, true_len, temp, key
+                variables, cache, ids, slot, start, true_len, temp, tk, tp, key
             )
             return cache, tok, hidden[0, true_len - 1], lp
 
         def prefill_dflash_fn(variables, cache, features, ids, slot, start,
-                              true_len, temp, key):
+                              true_len, temp, tk, tp, key):
             """dflash prefill also records the chunk's tapped features at
             rows [start, start+bucket) of the slot's feature cache (padding
             rows are overwritten by the next chunk / first spec ticks)."""
             cache, tok, hidden, lp = _prefill_core(
-                variables, cache, ids, slot, start, true_len, temp, key
+                variables, cache, ids, slot, start, true_len, temp, tk, tp, key
             )
             features = jax.lax.dynamic_update_slice(
                 features, hidden.astype(features.dtype), (slot, start, 0)
             )
             return cache, features, tok, lp
 
-        def decode_fn(variables, cache, tokens, temps, active, key):
+        def decode_fn(variables, cache, tokens, temps, topk, topp, active, key):
             """One decode tick over all slots. ``active`` [B] gates length
             advancement so idle/prefilling slots are untouched (their KV
             write lands on a position that is overwritten before it is ever
@@ -244,7 +258,8 @@ class ServingEngine:
             logits, cache = self._apply(variables, tokens, cache)
             cache = {**cache, "lengths": old_lengths + active.astype(jnp.int32)}
             keys = jax.random.split(key, logits.shape[0])
-            toks, lps = jax.vmap(_sample_lp)(logits[:, -1], temps, keys)
+            filt = _filter_batch(logits[:, -1], topk, topp)
+            toks, lps = jax.vmap(_sample_lp)(logits[:, -1], temps, keys, filt)
             return cache, toks, lps
 
         if self._is_dflash:
@@ -375,15 +390,20 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def submit(self, prompt_tokens, max_new_tokens=64, temperature=0.0,
-               eos_id=None, stop_sequences=None) -> Request:
-        if self.spec_k and temperature > 0:
+               top_k=0, top_p=1.0, eos_id=None, stop_sequences=None) -> Request:
+        if self.spec_k and (temperature > 0 or top_k > 0 or top_p < 1.0):
             raise ValueError("speculative engine decode is greedy-only")
+        if not 0.0 < top_p <= 1.0:
+            raise ValueError("top_p must be in (0, 1]")
+        if top_k < 0:
+            raise ValueError("top_k must be >= 0 (0 disables)")
         prompt = list(map(int, prompt_tokens))
         if len(prompt) >= self.max_seq_len:
             raise ValueError("prompt exceeds max_seq_len")
         req = Request(
             id=next(self._ids), prompt=prompt,
             max_new_tokens=max_new_tokens, temperature=temperature,
+            top_k=int(top_k), top_p=float(top_p),
             eos_id=eos_id,
             stop_sequences=tuple(
                 tuple(map(int, ss)) for ss in (stop_sequences or ())
@@ -444,12 +464,15 @@ class ServingEngine:
             self.cache, self._features, tok, lp = self._prefill(
                 self._vars, self.cache, self._features, jnp.asarray(ids),
                 slot, start, len(chunk), jnp.float32(req.temperature),
+                jnp.int32(req.top_k), jnp.float32(req.top_p),
                 self._next_key(),
             )
         else:
             self.cache, tok, hid, lp = self._prefill(
                 self._vars, self.cache, jnp.asarray(ids), slot, start,
-                len(chunk), jnp.float32(req.temperature), self._next_key(),
+                len(chunk), jnp.float32(req.temperature),
+                jnp.int32(req.top_k), jnp.float32(req.top_p),
+                self._next_key(),
             )
         req.prefill_pos = start + len(chunk)
         if not final:
@@ -459,6 +482,8 @@ class ServingEngine:
             self._hidden = self._hidden.at[slot].set(hid)
         self._tokens = self._tokens.at[slot, 0].set(tok)
         self._temps = self._temps.at[slot].set(req.temperature)
+        self._topk = self._topk.at[slot].set(req.top_k)
+        self._topp = self._topp.at[slot].set(req.top_p)
         req.out_tokens.append(int(tok))
         req.out_logprobs.append(float(lp))
         self.stats["prefill_tokens"] += 1
@@ -518,8 +543,8 @@ class ServingEngine:
             return produced + self._step_speculative()
         active = self._active_mask()
         self.cache, toks, lps = self._decode(
-            self._vars, self.cache, self._tokens, self._temps, active,
-            self._next_key(),
+            self._vars, self.cache, self._tokens, self._temps,
+            self._topk, self._topp, active, self._next_key(),
         )
         self.stats["decode_forwards"] += 1
         self._tokens = toks[:, None]
@@ -628,9 +653,44 @@ def _sample(logits, temperature, key):
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
-def _sample_lp(logits, temperature, key):
-    """(token, log p(token | prefix)) — logprob under the UNTEMPERED
-    distribution (the OpenAI/vLLM convention)."""
-    tok = _sample(logits, temperature, key)
+def _filter_logits(logits, top_k, top_p):
+    """Mask a [V] logit vector to its top-k / nucleus-p support (-inf
+    elsewhere). top_k=0 / top_p=1.0 are identities; ties at the threshold
+    are kept (standard). The exact full-vocab formulation (like vLLM's):
+    one descending sort feeds both filters."""
+    V = logits.shape[-1]
+    f32 = logits.astype(jnp.float32)
+    srt = jnp.sort(f32)[::-1]
+    k = jnp.clip(jnp.where(top_k > 0, top_k, V), 1, V)
+    kth = jnp.take(srt, k - 1)
+    probs = jax.nn.softmax(srt)
+    cum = jnp.cumsum(probs)
+    # token i is kept if the mass BEFORE it is < p (the top-1 token is
+    # always kept: its preceding mass is 0)
+    keep = (cum - probs) < top_p
+    pth = jnp.min(jnp.where(keep, srt, jnp.inf))
+    thr = jnp.maximum(kth, pth)
+    return jnp.where(f32 < thr, -jnp.inf, f32)
+
+
+def _filter_batch(logits, top_k, top_p):
+    """[B, V] batch filter; skips the per-slot sorts entirely (lax.cond)
+    when no slot has a filter active — the greedy/temperature-only path
+    pays nothing."""
+    need = jnp.any((top_k > 0) | (top_p < 1.0))
+    return jax.lax.cond(
+        need,
+        lambda lg: jax.vmap(_filter_logits)(lg, top_k, top_p),
+        lambda lg: lg.astype(jnp.float32),
+        logits,
+    )
+
+
+def _sample_lp(logits, temperature, key, filtered=None):
+    """(token, log p(token | prefix)) — the token is drawn from the
+    (optionally top-k/top-p filtered) tempered distribution; the reported
+    logprob is under the UNTEMPERED, unfiltered distribution (the
+    OpenAI/vLLM convention)."""
+    tok = _sample(logits if filtered is None else filtered, temperature, key)
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[tok]
     return tok, lp

@@ -433,3 +433,65 @@ class TestSmallCacheBuckets:
         with _pytest.raises(ValueError, match="multiple of"):
             ServingEngine(bundle, max_batch=2, max_seq_len=300,
                           prefill_buckets=(64, 256))
+
+
+class TestTopKTopP:
+    def test_filter_logits_math(self):
+        from modelopt_tpu.serve.engine import _filter_logits
+
+        lg = jnp.asarray([2.0, 1.0, 0.0, -1.0, -2.0])
+        # top_k=2 keeps exactly the two largest
+        f = np.asarray(_filter_logits(lg, jnp.int32(2), jnp.float32(1.0)))
+        assert np.isfinite(f[:2]).all() and np.isneginf(f[2:]).all()
+        # top_p just above the top-1 mass keeps the top-2 (first token kept
+        # unconditionally, second starts below the p threshold)
+        p1 = float(jax.nn.softmax(lg)[0])
+        f = np.asarray(_filter_logits(lg, jnp.int32(0), jnp.float32(p1 + 0.01)))
+        assert np.isfinite(f[:2]).all() and np.isneginf(f[2:]).all()
+        # tiny top_p keeps only the argmax
+        f = np.asarray(_filter_logits(lg, jnp.int32(0), jnp.float32(1e-6)))
+        assert np.isfinite(f[0]) and np.isneginf(f[1:]).all()
+        # identities
+        f = np.asarray(_filter_logits(lg, jnp.int32(0), jnp.float32(1.0)))
+        np.testing.assert_allclose(f, np.asarray(lg))
+
+    def test_top_k1_equals_greedy(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        prompt = [5, 9, 2, 7]
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,))
+        greedy = eng.submit(prompt, max_new_tokens=8)
+        eng.run()
+        eng2 = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                             prefill_buckets=(16,), seed=123)
+        hot = eng2.submit(prompt, max_new_tokens=8, temperature=5.0, top_k=1)
+        eng2.run()
+        assert hot.out_tokens == greedy.out_tokens
+
+    def test_tiny_top_p_equals_greedy(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        prompt = [5, 9, 2, 7]
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,))
+        greedy = eng.submit(prompt, max_new_tokens=8)
+        eng.run()
+        eng2 = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                             prefill_buckets=(16,), seed=7)
+        hot = eng2.submit(prompt, max_new_tokens=8, temperature=3.0,
+                          top_p=1e-6)
+        eng2.run()
+        assert hot.out_tokens == greedy.out_tokens
+
+    def test_validation(self, bundle):
+        import pytest as _pytest
+
+        from modelopt_tpu.serve import ServingEngine
+
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,))
+        with _pytest.raises(ValueError, match="top_p"):
+            eng.submit([1, 2], top_p=0.0)
+        with _pytest.raises(ValueError, match="top_k"):
+            eng.submit([1, 2], top_k=-1)
