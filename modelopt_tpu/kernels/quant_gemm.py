@@ -318,3 +318,79 @@ def nvfp4_gemm(x, packed, scale, scale2, block: int = 16, out_dtype=jnp.bfloat16
         ),
     )(x, packed, scale, scale2)
     return out[:M]
+
+
+# ---------------------------------------------------------------------------
+# Grouped W4A16: per-expert int4 GEMMs in ONE kernel (MoE down-projections)
+# ---------------------------------------------------------------------------
+def _grouped_w4a16_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
+    """One (expert, N-tile) grid step of the grouped GEMM: identical dequant
+    + split-half dot structure to _w4a16_kernel, but x/o ride a leading
+    expert dim (sliced to this step's expert by the grid index map)."""
+    K2 = p_ref.shape[0]
+    nb = K2 // block
+    M = x_ref.shape[1]
+    TN = p_ref.shape[1]
+
+    def body(b, acc):
+        off = b * block
+        pb = p_ref[pl.ds(off, block), :].astype(jnp.int32)
+        lo = ((pb & 0xF) - 8).astype(jnp.bfloat16)
+        hi = (((pb >> 4) ^ 8) - 8).astype(jnp.bfloat16)
+        xlo = x_ref[0, :, pl.ds(off, block)].astype(jnp.bfloat16)
+        xhi = x_ref[0, :, pl.ds(K2 + off, block)].astype(jnp.bfloat16)
+        plo = jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
+        phi = jnp.dot(xhi, hi, preferred_element_type=jnp.float32)
+        s_lo = s_ref[pl.ds(b, 1), :]
+        s_hi = s_ref[pl.ds(nb + b, 1), :]
+        return acc + plo * s_lo + phi * s_hi
+
+    acc = jax.lax.fori_loop(
+        0, nb, body, jnp.zeros((M, TN), jnp.float32), unroll=False
+    )
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_per_expert", "block",
+                                             "out_dtype"))
+def grouped_w4a16_gemm(x, packed, scale, n_per_expert: int, block: int = 128,
+                       out_dtype=jnp.bfloat16):
+    """Per-expert GEMMs y[e] = x[e] @ W[e] in one kernel. x [E, M, K];
+    packed uint8 [K/2, E*N] (the quant/compress.py folded layout — expert
+    e's weight is the 128-aligned column slice e*N:(e+1)*N, itself a valid
+    split-half-packed [K/2, N] tensor); scale f32 [K/block, E*N].
+    Returns [E, M, N]. One pallas_call for all experts: grid (E, N/TN), so
+    per-call overhead amortizes across the whole MoE layer and packed
+    expert weights stream HBM->VMEM at 4 bits (the XLA path materializes a
+    dequantized bf16 copy of every expert every step)."""
+    E, M, K = x.shape
+    K2, EN = packed.shape
+    N = n_per_expert
+    TN = _pick_tn(N, K2, 1.5)
+    nt = N // TN
+    pad = (-M) % 8
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    Mp = x.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_grouped_w4a16_kernel, block=block),
+        grid=(E, nt),
+        in_specs=[
+            pl.BlockSpec((1, Mp, 2 * K2), lambda e, n: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, TN), lambda e, n: (0, e * nt + n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * K2 // block, TN), lambda e, n: (0, e * nt + n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Mp, TN), lambda e, n: (e, 0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, Mp, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * Mp * 2 * K2 * N,
+            bytes_accessed=K2 * EN + (2 * K2 // block) * EN * 4
+            + E * Mp * 2 * K2 * 2,
+            transcendentals=0,
+        ),
+    )(x, packed, scale)
+    return out[:, :M]

@@ -52,14 +52,27 @@ def build_compressed_bundle(module, example_inputs, quant_preset, seed=0,
         pathstr = "/".join(path)
         key, sub = jax.random.split(key)
         leaf_shape, leaf_dtype = tree.shape, tree.dtype
-        is_kernel = path[-1] == "kernel" and len(leaf_shape) == 2
+        is_kernel = path[-1] == "kernel" and len(leaf_shape) in (2, 3)
         if is_kernel:
             dense = pathstr.rsplit("/kernel", 1)[0]
             specs = cfg.resolve(dense + "/weight_quantizer")
             spec = specs[0] if specs else None
-            if spec is not None and spec.enable and compressible_format(spec, leaf_shape):
+            pack_shape = leaf_shape
+            if spec is not None and len(leaf_shape) == 3:
+                # MoE expert kernels [E, in, out]: pack the FOLDED
+                # [in, E*out] view (same fold as quant/compress.py);
+                # positive-axis (explicit per-expert) specs don't fold
+                axes = tuple(spec.axis or ())
+                if spec.block is not None:
+                    axes = axes + tuple(int(a) for a, _ in spec.block.sizes)
+                if any(a >= 0 for a in axes):
+                    spec = None
+                else:
+                    E, fin, fout = leaf_shape
+                    pack_shape = (fin, E * fout)
+            if spec is not None and spec.enable and compressible_format(spec, pack_shape):
                 fn = cached(
-                    "pack", leaf_shape, jnp.bfloat16,
+                    "pack", pack_shape, jnp.bfloat16,
                     lambda shape, dtype, spec: (
                         lambda k: quantize_qtensor(
                             jax.random.normal(k, shape, dtype) * init_scale, spec

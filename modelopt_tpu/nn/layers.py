@@ -171,11 +171,16 @@ class QuantEinsum(nn.Module):
                             out_dtype=dtype, act_int8=act_int8)
                 y = y2d.reshape(*x.shape[:-1], E, fout)
             elif self.einsum_str == "bteo,eod->bted":
-                # per-expert contraction (block-diagonal in the folded view):
-                # e pairs across both operands — dequantize + einsum
-                w2d = dequantize_qtensor(qt, specs[0], (fin, E * fout))
-                w3 = w2d.astype(dtype).reshape(fin, E, fout)
-                y = jnp.einsum("bteo,oed->bted", x.astype(dtype), w3)
+                # per-expert contraction (block-diagonal in the folded
+                # view): the grouped kernel runs all expert GEMMs in one
+                # pallas_call at decode shapes; dequantize+einsum otherwise
+                from ..quant.backends import grouped_qgemm
+
+                B_, T_ = x.shape[:2]
+                x3 = x.astype(dtype).reshape(B_ * T_, E, fin)
+                y3 = grouped_qgemm(x3, qt, specs[0], (E, fin, fout),
+                                   out_dtype=dtype)
+                y = y3.reshape(B_, T_, E, fout)
             else:
                 w2d = dequantize_qtensor(qt, specs[0], (fin, E * fout))
                 kernel = w2d.astype(dtype).reshape(fin, E, fout).transpose(1, 0, 2)

@@ -92,3 +92,34 @@ def qgemm(x2d, qt: dict, spec: QuantizerSpec, kn, out_dtype=None,
                                  block=block_of(spec, 16), out_dtype=out_dtype)
     w = dequantize_qtensor(qt, spec, kn).astype(out_dtype)
     return jnp.dot(x2d.astype(out_dtype), w)
+
+
+def grouped_qgemm(x3, qt: dict, spec: QuantizerSpec, efn, out_dtype=None):
+    """Per-expert GEMMs for MoE down-projections: x3 [M, E, K] (token-major)
+    against a FOLDED packed weight [K, E*N] (quant/compress.py layout where
+    expert e's matrix is columns e*N:(e+1)*N). Returns [M, E, N].
+
+    int4 at decode shapes rides the grouped Pallas kernel — one call for
+    the whole expert set, packed weights streamed at 4 bits; everything
+    else falls back to dequantize + einsum."""
+    E, K, N = efn
+    M = x3.shape[0]
+    out_dtype = out_dtype or x3.dtype
+    fmt = compressible_format(spec, (K, E * N))
+    if (
+        fmt == "int4"
+        and jax.default_backend() == "tpu"
+        and M <= PALLAS_MAX_M
+        and K % 256 == 0  # K2 % 128 for the split-half packed rows
+        and N % 128 == 0
+        and E * K * N >= 2**22  # amortized across the whole expert set
+    ):
+        from ..kernels import quant_gemm as kq
+
+        xe = x3.astype(out_dtype).transpose(1, 0, 2)  # [E, M, K]
+        y = kq.grouped_w4a16_gemm(xe, qt["data"], qt["scale"], N,
+                                  block=block_of(spec), out_dtype=out_dtype)
+        return y.transpose(1, 0, 2)
+    w = dequantize_qtensor(qt, spec, (K, E * N)).astype(out_dtype)
+    w3 = w.reshape(K, E, N)
+    return jnp.einsum("meo,oed->med", x3.astype(out_dtype), w3)

@@ -84,3 +84,29 @@ def test_nvfp4_parity(rng, interp):
                       block=16, out_dtype=jnp.float32)
     ref = x @ qt.dequantize_nvfp4(packed, 16).astype(jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref, np.float32), rtol=2e-2, atol=3e-1)
+
+
+def test_grouped_w4a16_parity(rng, interp):
+    """Grouped per-expert kernel matches E independent dequant GEMMs on the
+    folded [K, E*N] packed layout."""
+    E, K, N, M = 4, 512, 256, 8
+    w = jnp.asarray(rng.standard_normal((K, E * N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((E, M, K)), jnp.bfloat16)
+    packed = qt.quantize_int4(w, block=128)
+    y = kq.grouped_w4a16_gemm(x, packed["data"], packed["scale"], N,
+                              block=128, out_dtype=jnp.float32)
+    wd = qt.dequantize_int4(packed, 128).astype(jnp.bfloat16)
+    for e in range(E):
+        ref = x[e] @ wd[:, e * N:(e + 1) * N]
+        np.testing.assert_allclose(
+            np.asarray(y[e]), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-1
+        )
+
+
+def test_grouped_w4a16_odd_m(rng, interp):
+    E, K, N = 2, 256, 128
+    w = jnp.asarray(rng.standard_normal((K, E * N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((E, 3, K)), jnp.bfloat16)
+    packed = qt.quantize_int4(w, block=128)
+    y = kq.grouped_w4a16_gemm(x, packed["data"], packed["scale"], N, block=128)
+    assert y.shape == (E, 3, N)

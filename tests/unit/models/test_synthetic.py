@@ -39,3 +39,30 @@ def test_builder_memory_is_packed():
     nb = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(b.variables))
     nf = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(full))
     assert nb < nf * 0.6
+
+
+def test_builder_packs_moe_expert_kernels():
+    """3-D expert kernels pack through the folded [in, E*out] view (same
+    fold as quant/compress.py) and the compressed forward runs."""
+    import dataclasses
+
+    from modelopt_tpu.core.tree import get_in
+
+    cfg = dataclasses.replace(tiny_test_config(), num_experts=4,
+                              experts_per_token=2)
+    m = Decoder(cfg)
+    ids = jnp.zeros((2, 8), jnp.int32)
+    preset = {"quant_cfg": {
+        "*weight_quantizer": {"num_bits": 4, "block_sizes": {-2: 32}},
+        "*input_quantizer": {"enable": False},
+        "*output_quantizer": {"enable": False},
+        "*lm_head*": {"enable": False}, "*router*": {"enable": False},
+        "*embed*": {"enable": False}}, "algorithm": "max"}
+    b = build_compressed_bundle(m, (ids,), preset)
+    qw = get_in(b.variables["quant"], ("layers_0", "moe", "gate_proj",
+                                       "qweight"))
+    assert qw is not None and qw["data"].shape == (32, 512)
+    assert get_in(b.variables["params"],
+                  ("layers_0", "moe", "gate_proj", "kernel")) is None
+    lg, _ = b.apply(ids)
+    assert np.isfinite(np.asarray(lg, np.float32)).all()
