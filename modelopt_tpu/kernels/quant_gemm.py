@@ -394,3 +394,70 @@ def grouped_w4a16_gemm(x, packed, scale, n_per_expert: int, block: int = 128,
         ),
     )(x, packed, scale)
     return out[:, :M]
+
+
+def _grouped_nvfp4_kernel(x_ref, p_ref, s_ref, s2_ref, o_ref, *, block: int):
+    """Grouped variant of _nvfp4_kernel: one (expert, N-tile) per grid step,
+    x/o carry a leading expert dim."""
+    K2, TN = p_ref.shape
+    M = x_ref.shape[1]
+    ch = min(_CHUNK, K2)
+    nch = K2 // ch
+    sb = ch // block
+    expand = _expand_matrix(ch, sb)
+    s2 = s2_ref[0, 0]
+    nsrow_half = K2 // block
+    acc = jnp.zeros((M, TN), jnp.float32)
+    for half in range(2):
+        for c in range(nch):
+            off = c * ch
+            pb = p_ref[pl.ds(off, ch), :].astype(jnp.int32)
+            w = _decode_e2m1((pb >> (4 * half)) & 0xF)
+            srows = s_ref[pl.ds(half * nsrow_half + c * sb, sb), :].astype(jnp.float32)
+            srep = jnp.dot(expand, srows, preferred_element_type=jnp.float32)
+            wd = (w * srep).astype(jnp.bfloat16)
+            xc = x_ref[0, :, pl.ds(half * K2 + off, ch)].astype(jnp.bfloat16)
+            acc = acc + jnp.dot(xc, wd, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc * s2).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_per_expert", "block",
+                                             "out_dtype"))
+def grouped_nvfp4_gemm(x, packed, scale, scale2, n_per_expert: int,
+                       block: int = 16, out_dtype=jnp.bfloat16):
+    """Per-expert NVFP4 GEMMs in one kernel (see grouped_w4a16_gemm for the
+    folded layout contract). x [E, M, K]; packed uint8 [K/2, E*N]; scale
+    e4m3 [K/block, E*N]; scale2 f32 [1,1] (per-tensor). Returns [E, M, N]."""
+    E, M, K = x.shape
+    K2, EN = packed.shape
+    N = n_per_expert
+    TN = _pick_tn(N, K2, 2.0)
+    nt = N // TN
+    pad = (-M) % 8
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    Mp = x.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_grouped_nvfp4_kernel, block=block),
+        grid=(E, nt),
+        in_specs=[
+            pl.BlockSpec((1, Mp, 2 * K2), lambda e, n: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, TN), lambda e, n: (0, e * nt + n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * K2 // block, TN), lambda e, n: (0, e * nt + n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda e, n: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Mp, TN), lambda e, n: (e, 0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, Mp, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * Mp * 2 * K2 * N,
+            bytes_accessed=K2 * EN + (2 * K2 // block) * EN
+            + E * Mp * 2 * K2 * 2,
+            transcendentals=0,
+        ),
+    )(x, packed, scale, scale2)
+    return out[:, :M]

@@ -106,19 +106,28 @@ def grouped_qgemm(x3, qt: dict, spec: QuantizerSpec, efn, out_dtype=None):
     M = x3.shape[0]
     out_dtype = out_dtype or x3.dtype
     fmt = compressible_format(spec, (K, E * N))
-    if (
-        fmt == "int4"
-        and jax.default_backend() == "tpu"
+    K2 = K // 2
+    grouped_ok = (
+        jax.default_backend() == "tpu"
         and M <= PALLAS_MAX_M
         and K % 256 == 0  # K2 % 128 for the split-half packed rows
         and N % 128 == 0
         and E * K * N >= 2**22  # amortized across the whole expert set
-    ):
+    )
+    if fmt == "int4" and grouped_ok:
         from ..kernels import quant_gemm as kq
 
         xe = x3.astype(out_dtype).transpose(1, 0, 2)  # [E, M, K]
         y = kq.grouped_w4a16_gemm(xe, qt["data"], qt["scale"], N,
                                   block=block_of(spec), out_dtype=out_dtype)
+        return y.transpose(1, 0, 2)
+    if fmt == "nvfp4" and grouped_ok and (K2 % 256 == 0 or K2 == 128):
+        from ..kernels import quant_gemm as kq
+
+        xe = x3.astype(out_dtype).transpose(1, 0, 2)
+        y = kq.grouped_nvfp4_gemm(xe, qt["data"], qt["scale"], qt["scale2"],
+                                  N, block=block_of(spec, 16),
+                                  out_dtype=out_dtype)
         return y.transpose(1, 0, 2)
     w = dequantize_qtensor(qt, spec, (K, E * N)).astype(out_dtype)
     w3 = w.reshape(K, E, N)

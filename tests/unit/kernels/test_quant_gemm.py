@@ -110,3 +110,19 @@ def test_grouped_w4a16_odd_m(rng, interp):
     packed = qt.quantize_int4(w, block=128)
     y = kq.grouped_w4a16_gemm(x, packed["data"], packed["scale"], N, block=128)
     assert y.shape == (E, 3, N)
+
+
+def test_grouped_nvfp4_parity(rng, interp):
+    E, K, N, M = 2, 512, 128, 8
+    w = jnp.asarray(rng.standard_normal((K, E * N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((E, M, K)), jnp.bfloat16)
+    packed = qt.quantize_nvfp4(w, block=16)
+    y = kq.grouped_nvfp4_gemm(x, packed["data"], packed["scale"],
+                              packed["scale2"], N, block=16,
+                              out_dtype=jnp.float32)
+    wd = qt.dequantize_nvfp4(packed, 16).astype(jnp.bfloat16)
+    for e in range(E):
+        ref = x[e] @ wd[:, e * N:(e + 1) * N]
+        np.testing.assert_allclose(
+            np.asarray(y[e]), np.asarray(ref, np.float32), rtol=2e-2, atol=3e-1
+        )
