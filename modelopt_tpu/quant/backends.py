@@ -20,7 +20,7 @@ from .qtensor import block_of, compressible_format, dequantize_qtensor
 PALLAS_MAX_M = 256
 
 
-def _pallas_ok(fmt: str, x, kn) -> bool:
+def _pallas_ok(fmt: str, x, kn, block: int = 128) -> bool:
     if jax.default_backend() != "tpu":
         return False
     K, N = kn
@@ -30,7 +30,10 @@ def _pallas_ok(fmt: str, x, kn) -> bool:
         return False  # per-call overhead beats the BW win on small GEMMs
     if fmt in ("int4", "nvfp4"):
         K2 = K // 2
-        if K % 2 != 0 or K2 % 128 != 0:
+        # the split-half kernels need whole scale blocks per half (K2 %
+        # block) and 8-sublane-aligned row slices — a block-64 preset
+        # serves K=1408 (DeepSeek-lite) where block-128 can't
+        if K % 2 != 0 or K2 % block != 0 or block % 8 != 0:
             return False
         if fmt == "nvfp4" and K2 % 256 != 0 and K2 != 128:
             return False  # chunked-dequant kernel layout
@@ -66,7 +69,7 @@ def qgemm(x2d, qt: dict, spec: QuantizerSpec, kn, out_dtype=None,
         raise ValueError(f"no compressed format for spec {spec}")
     if fmt == "int8" and act_int8 and x2d.shape[0] > 256:
         return int8_dynamic_gemm(x2d, qt["data"], qt["scale"], out_dtype)
-    if _pallas_ok(fmt, x2d, kn):
+    if _pallas_ok(fmt, x2d, kn, block_of(spec, 16 if fmt == "nvfp4" else 128)):
         from ..kernels import quant_gemm as kq
 
         if fmt == "int4" and act_int8:
@@ -107,10 +110,13 @@ def grouped_qgemm(x3, qt: dict, spec: QuantizerSpec, efn, out_dtype=None):
     out_dtype = out_dtype or x3.dtype
     fmt = compressible_format(spec, (K, E * N))
     K2 = K // 2
+    blk = block_of(spec, 16 if fmt == "nvfp4" else 128)
     grouped_ok = (
         jax.default_backend() == "tpu"
         and M <= PALLAS_MAX_M
-        and K % 256 == 0  # K2 % 128 for the split-half packed rows
+        and K % 2 == 0
+        and K2 % blk == 0  # whole scale blocks per split-half
+        and blk % 8 == 0   # 8-sublane-aligned packed-row slices
         and N % 128 == 0
         and E * K * N >= 2**22  # amortized across the whole expert set
     )

@@ -117,3 +117,22 @@ def test_flash_attention_on_hw(rng):
         / jnp.linalg.norm(ref.astype(jnp.float32))
     )
     assert rel < 2e-2, rel
+
+
+def test_grouped_w4a16_on_hw(rng):
+    """Mosaic compile + parity of the grouped per-expert kernel on the
+    folded [K, E*N] layout."""
+    from modelopt_tpu.kernels import quant_gemm as kq
+    from modelopt_tpu.quant import qtensor as qt
+
+    E, K, N, M = 4, 512, 256, 16
+    w = jnp.asarray(rng.standard_normal((K, E * N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((E, M, K)), jnp.bfloat16)
+    packed = qt.quantize_int4(w, block=128)
+    y = kq.grouped_w4a16_gemm(x, packed["data"], packed["scale"], N,
+                              block=128, out_dtype=jnp.float32)
+    wd = qt.dequantize_int4(packed, 128).astype(jnp.bfloat16)
+    ref = jnp.einsum("emk,ken->emn", x, wd.reshape(K, E, N))
+    rel = float(jnp.linalg.norm(y - ref.astype(jnp.float32))
+                / jnp.linalg.norm(ref.astype(jnp.float32)))
+    assert rel < 5e-3, rel
