@@ -50,6 +50,15 @@ def _pad_m(x, mult=8):
 _CHUNK = 256  # K-rows dequantized per MXU dot: deep enough to hide VPU work
 
 
+def _nvfp4_chunk(K2: int, block: int = 16):
+    """Largest chunk <= _CHUNK that tiles the packed rows in whole scale
+    blocks (K2=704 -> 176 at block 16); None if no clean chunking exists."""
+    for c in range(min(_CHUNK, K2), 0, -1):
+        if c % block == 0 and K2 % c == 0:
+            return c
+    return None
+
+
 def _expand_matrix(ch: int, nblk: int):
     """0/1 matrix [ch, nblk] mapping scale rows to weight rows; scale
     broadcast becomes one small MXU matmul (Mosaic has no cheap sublane
@@ -59,34 +68,64 @@ def _expand_matrix(ch: int, nblk: int):
     return (row // (ch // nblk) == col).astype(jnp.float32)
 
 
-def _w4a16_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
-    """Per 128-row block: unpack both nibbles, dot each against its x slice,
-    apply per-(block, out) scales on the f32 accumulator. Keeping the scale
-    OUT of the weight tile (applied post-dot) means the dequant path is just
-    mask/shift/convert — measured 1.7x faster than the XLA bf16 matmul at
-    M=16, K=N=8192 on v5e (0.107 ms vs 0.180 ms; 332 GB/s effective).
-    A chunked dequant-then-deep-dot variant measured slower (0.154 ms)."""
-    K2 = p_ref.shape[0]
-    nb = K2 // block  # blocks per half
-    M = x_ref.shape[0]
-    TN = p_ref.shape[1]
+def _w4a16_body(xs, p_ref, s_ref, M, TN, block: int):
+    """Shared w4a16 accumulation: ``xs(col, size)`` returns the [M, size]
+    bf16 activation slice at ORIGINAL-k column ``col`` (packed lo-nibble
+    row p holds orig k=p, hi-nibble row p holds k=K2+p). Per scale block:
+    unpack the nibble, dot against its x slice, apply the per-(block, out)
+    scale on the f32 accumulator — keeping the scale OUT of the weight tile
+    means the dequant path is just mask/shift/convert (measured 1.7x faster
+    than the XLA bf16 matmul at M=16, K=N=8192 on v5e; 332 GB/s effective).
 
-    def body(b, acc):
+    Handles K2 % block != 0 (e.g. K=1408 DeepSeek / 2880 gpt-oss at the
+    default block 128): the single scale block straddling the half
+    boundary is accumulated from a lo-nibble tail + hi-nibble head, both
+    under the same scale row. rem must be 8-sublane aligned."""
+    K2 = p_ref.shape[0]
+    nfull = K2 // block  # full blocks per half
+    rem = K2 % block
+
+    def unpack_lo(pb):
+        return ((pb & 0xF) - 8).astype(jnp.bfloat16)
+
+    def unpack_hi(pb):
+        return (((pb >> 4) ^ 8) - 8).astype(jnp.bfloat16)  # two's-compl.
+
+    def body_lo(b, acc):
         off = b * block
         pb = p_ref[pl.ds(off, block), :].astype(jnp.int32)
-        lo = ((pb & 0xF) - 8).astype(jnp.bfloat16)
-        hi = (((pb >> 4) ^ 8) - 8).astype(jnp.bfloat16)  # two's-compl. nibble
-        xlo = x_ref[:, pl.ds(off, block)].astype(jnp.bfloat16)
-        xhi = x_ref[:, pl.ds(K2 + off, block)].astype(jnp.bfloat16)
-        plo = jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
-        phi = jnp.dot(xhi, hi, preferred_element_type=jnp.float32)
-        s_lo = s_ref[pl.ds(b, 1), :]
-        s_hi = s_ref[pl.ds(nb + b, 1), :]
-        return acc + plo * s_lo + phi * s_hi
+        d = jnp.dot(xs(off, block), unpack_lo(pb),
+                    preferred_element_type=jnp.float32)
+        return acc + d * s_ref[pl.ds(b, 1), :]
 
-    acc = jax.lax.fori_loop(
-        0, nb, body, jnp.zeros((M, TN), jnp.float32), unroll=False
-    )
+    hi_srow = nfull + (1 if rem else 0)
+
+    def body_hi(b, acc):
+        poff = rem + b * block
+        pb = p_ref[pl.ds(poff, block), :].astype(jnp.int32)
+        d = jnp.dot(xs(K2 + poff, block), unpack_hi(pb),
+                    preferred_element_type=jnp.float32)
+        return acc + d * s_ref[pl.ds(hi_srow + b, 1), :]
+
+    acc = jnp.zeros((M, TN), jnp.float32)
+    acc = jax.lax.fori_loop(0, nfull, body_lo, acc, unroll=False)
+    if rem:
+        pa = p_ref[pl.ds(nfull * block, rem), :].astype(jnp.int32)
+        pb = p_ref[pl.ds(0, rem), :].astype(jnp.int32)
+        d = jnp.dot(xs(nfull * block, rem), unpack_lo(pa),
+                    preferred_element_type=jnp.float32)
+        d = d + jnp.dot(xs(K2, rem), unpack_hi(pb),
+                        preferred_element_type=jnp.float32)
+        acc = acc + d * s_ref[pl.ds(nfull, 1), :]
+    return jax.lax.fori_loop(0, (K2 - rem) // block, body_hi, acc,
+                             unroll=False)
+
+
+def _w4a16_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
+    def xs(col, size):
+        return x_ref[:, pl.ds(col, size)].astype(jnp.bfloat16)
+
+    acc = _w4a16_body(xs, p_ref, s_ref, x_ref.shape[0], p_ref.shape[1], block)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -272,7 +311,7 @@ def _decode_e2m1(code):
 def _nvfp4_kernel(x_ref, p_ref, s_ref, s2_ref, o_ref, *, block: int):
     K2, TN = p_ref.shape
     M = x_ref.shape[0]
-    ch = min(_CHUNK, K2)
+    ch = _nvfp4_chunk(K2, block)
     nch = K2 // ch
     sb = ch // block  # e4m3 scale rows per chunk
     expand = _expand_matrix(ch, sb)
@@ -324,30 +363,13 @@ def nvfp4_gemm(x, packed, scale, scale2, block: int = 16, out_dtype=jnp.bfloat16
 # Grouped W4A16: per-expert int4 GEMMs in ONE kernel (MoE down-projections)
 # ---------------------------------------------------------------------------
 def _grouped_w4a16_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
-    """One (expert, N-tile) grid step of the grouped GEMM: identical dequant
-    + split-half dot structure to _w4a16_kernel, but x/o ride a leading
-    expert dim (sliced to this step's expert by the grid index map)."""
-    K2 = p_ref.shape[0]
-    nb = K2 // block
-    M = x_ref.shape[1]
-    TN = p_ref.shape[1]
+    """One (expert, N-tile) grid step of the grouped GEMM: the shared
+    _w4a16_body over x/o blocks carrying a leading expert dim (sliced to
+    this step's expert by the grid index map)."""
+    def xs(col, size):
+        return x_ref[0, :, pl.ds(col, size)].astype(jnp.bfloat16)
 
-    def body(b, acc):
-        off = b * block
-        pb = p_ref[pl.ds(off, block), :].astype(jnp.int32)
-        lo = ((pb & 0xF) - 8).astype(jnp.bfloat16)
-        hi = (((pb >> 4) ^ 8) - 8).astype(jnp.bfloat16)
-        xlo = x_ref[0, :, pl.ds(off, block)].astype(jnp.bfloat16)
-        xhi = x_ref[0, :, pl.ds(K2 + off, block)].astype(jnp.bfloat16)
-        plo = jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
-        phi = jnp.dot(xhi, hi, preferred_element_type=jnp.float32)
-        s_lo = s_ref[pl.ds(b, 1), :]
-        s_hi = s_ref[pl.ds(nb + b, 1), :]
-        return acc + plo * s_lo + phi * s_hi
-
-    acc = jax.lax.fori_loop(
-        0, nb, body, jnp.zeros((M, TN), jnp.float32), unroll=False
-    )
+    acc = _w4a16_body(xs, p_ref, s_ref, x_ref.shape[1], p_ref.shape[1], block)
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
@@ -401,7 +423,7 @@ def _grouped_nvfp4_kernel(x_ref, p_ref, s_ref, s2_ref, o_ref, *, block: int):
     x/o carry a leading expert dim."""
     K2, TN = p_ref.shape
     M = x_ref.shape[1]
-    ch = min(_CHUNK, K2)
+    ch = _nvfp4_chunk(K2, block)
     nch = K2 // ch
     sb = ch // block
     expand = _expand_matrix(ch, sb)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..kernels.quant_gemm import _nvfp4_chunk
 from .qspec import QuantizerSpec
 from .qtensor import block_of, compressible_format, dequantize_qtensor
 
@@ -30,13 +31,13 @@ def _pallas_ok(fmt: str, x, kn, block: int = 128) -> bool:
         return False  # per-call overhead beats the BW win on small GEMMs
     if fmt in ("int4", "nvfp4"):
         K2 = K // 2
-        # the split-half kernels need whole scale blocks per half (K2 %
-        # block) and 8-sublane-aligned row slices — a block-64 preset
-        # serves K=1408 (DeepSeek-lite) where block-128 can't
-        if K % 2 != 0 or K2 % block != 0 or block % 8 != 0:
+        # the w4a16 body handles a scale block straddling the split-half
+        # boundary; all row slices must stay 8-sublane aligned
+        if (K % 2 != 0 or K % block != 0 or block % 8 != 0
+                or (K2 % block) % 8 != 0):
             return False
-        if fmt == "nvfp4" and K2 % 256 != 0 and K2 != 128:
-            return False  # chunked-dequant kernel layout
+        if fmt == "nvfp4" and (K2 % block != 0 or _nvfp4_chunk(K2, block) is None):
+            return False  # chunked-dequant kernel needs a clean chunking
     if K % 128 != 0:
         return False
     return True
@@ -72,10 +73,12 @@ def qgemm(x2d, qt: dict, spec: QuantizerSpec, kn, out_dtype=None,
     if _pallas_ok(fmt, x2d, kn, block_of(spec, 16 if fmt == "nvfp4" else 128)):
         from ..kernels import quant_gemm as kq
 
-        if fmt == "int4" and act_int8:
+        if fmt == "int4" and act_int8 and (kn[0] // 2) % block_of(spec) == 0:
             # W4A8: per-token dynamic int8 activations ride the int8 MXU
             # (x arrives already fake-quantized to the int8 grid by the
-            # input quantizer, so this re-quantization is ~lossless)
+            # input quantizer, so this re-quantization is ~lossless).
+            # Straddle-block shapes (K2 % block != 0) fall to the bf16
+            # w4a16 kernel below — the int8 kernel isn't generalized.
             xf = x2d.astype(jnp.float32)
             xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
                              1e-12) / 127.0
@@ -115,8 +118,9 @@ def grouped_qgemm(x3, qt: dict, spec: QuantizerSpec, efn, out_dtype=None):
         jax.default_backend() == "tpu"
         and M <= PALLAS_MAX_M
         and K % 2 == 0
-        and K2 % blk == 0  # whole scale blocks per split-half
+        and K % blk == 0   # whole scale blocks
         and blk % 8 == 0   # 8-sublane-aligned packed-row slices
+        and (K2 % blk) % 8 == 0  # straddle block stays sublane-aligned
         and N % 128 == 0
         and E * K * N >= 2**22  # amortized across the whole expert set
     )
@@ -127,7 +131,8 @@ def grouped_qgemm(x3, qt: dict, spec: QuantizerSpec, efn, out_dtype=None):
         y = kq.grouped_w4a16_gemm(xe, qt["data"], qt["scale"], N,
                                   block=block_of(spec), out_dtype=out_dtype)
         return y.transpose(1, 0, 2)
-    if fmt == "nvfp4" and grouped_ok and (K2 % 256 == 0 or K2 == 128):
+    if (fmt == "nvfp4" and grouped_ok and K2 % blk == 0
+            and _nvfp4_chunk(K2, blk) is not None):
         from ..kernels import quant_gemm as kq
 
         xe = x3.astype(out_dtype).transpose(1, 0, 2)

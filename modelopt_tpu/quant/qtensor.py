@@ -62,7 +62,9 @@ def quantize_int4(w: jnp.ndarray, block: int = 128):
     Per-(input-block, out-channel) scales; symmetric [-7, 7] grid so the
     packed code -8 is never produced by quantization (headroom for GPTQ)."""
     K, N = w.shape
-    assert K % 2 == 0 and (K // 2) % block == 0, (K, block)
+    # whole scale blocks + even rows for the split-half pack; blocks may
+    # straddle the half boundary (the GEMM kernels handle the straddle)
+    assert K % 2 == 0 and K % block == 0, (K, block)
     wf = w.astype(jnp.float32)
     wb = wf.reshape(K // block, block, N)
     amax = jnp.max(jnp.abs(wb), axis=1, keepdims=True)
@@ -341,7 +343,10 @@ def compressible_format(spec: QuantizerSpec, shape) -> str | None:
     if spec.num_bits == 8 and spec.axis is not None:
         return "int8"
     if spec.num_bits == 4 and spec.block is not None:
-        return "int4" if blk_ok() else None
+        # int4 storage only needs even rows + whole scale blocks; blocks
+        # straddling the split-half boundary are handled by the kernels
+        b = blk_ok(need_half=False)
+        return "int4" if b and K % 2 == 0 else None
     return None
 
 

@@ -136,3 +136,21 @@ def test_grouped_w4a16_on_hw(rng):
     rel = float(jnp.linalg.norm(y - ref.astype(jnp.float32))
                 / jnp.linalg.norm(ref.astype(jnp.float32)))
     assert rel < 5e-3, rel
+
+
+def test_w4a16_straddle_on_hw(rng):
+    """Mosaic lowering of the straddle-block path (K2 % block != 0, the
+    K=1408 DeepSeek shape at the default block 128)."""
+    from modelopt_tpu.kernels import quant_gemm as kq
+    from modelopt_tpu.quant import qtensor as qt
+
+    K, N, M = 1408, 256, 16
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    packed = qt.quantize_int4(w, block=128)
+    y = kq.w4a16_gemm(x, packed["data"], packed["scale"], block=128,
+                      out_dtype=jnp.float32)
+    ref = x @ qt.dequantize_int4(packed, 128).astype(jnp.bfloat16)
+    rel = float(jnp.linalg.norm(y - ref.astype(jnp.float32))
+                / jnp.linalg.norm(ref.astype(jnp.float32)))
+    assert rel < 5e-3, rel

@@ -126,3 +126,50 @@ def test_grouped_nvfp4_parity(rng, interp):
         np.testing.assert_allclose(
             np.asarray(y[e]), np.asarray(ref, np.float32), rtol=2e-2, atol=3e-1
         )
+
+
+def test_w4a16_straddle_block_parity(rng, interp):
+    """K2 % block != 0 (K=1408-class shapes at the default block 128): the
+    scale block straddling the split-half boundary accumulates from a
+    lo-nibble tail + hi-nibble head."""
+    K, N, M = 704, 128, 8  # K2=352, block 128 -> rem 96
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    packed = qt.quantize_int4(w, block=64)
+    # block 64: K2=352 -> rem 32 (straddle), still 8-aligned
+    y = kq.w4a16_gemm(x, packed["data"], packed["scale"], block=64,
+                      out_dtype=jnp.float32)
+    ref = x @ qt.dequantize_int4(packed, 64).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-1)
+
+
+def test_grouped_w4a16_straddle_parity(rng, interp):
+    E, K, N, M = 2, 704, 128, 8
+    w = jnp.asarray(rng.standard_normal((K, E * N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((E, M, K)), jnp.bfloat16)
+    packed = qt.quantize_int4(w, block=64)
+    y = kq.grouped_w4a16_gemm(x, packed["data"], packed["scale"], N,
+                              block=64, out_dtype=jnp.float32)
+    wd = qt.dequantize_int4(packed, 64).astype(jnp.bfloat16)
+    for e in range(E):
+        ref = x[e] @ wd[:, e * N:(e + 1) * N]
+        np.testing.assert_allclose(np.asarray(y[e]), np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-1)
+
+
+def test_nvfp4_adaptive_chunk_parity(rng, interp):
+    """K2 not a multiple of 256 (e.g. K=1408 -> K2=704): the kernel picks
+    the largest clean chunk (176) instead of refusing."""
+    from modelopt_tpu.kernels.quant_gemm import _nvfp4_chunk
+
+    assert _nvfp4_chunk(704, 16) == 176
+    K, N, M = 1408, 128, 8
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    packed = qt.quantize_nvfp4(w, block=16)
+    y = kq.nvfp4_gemm(x, packed["data"], packed["scale"], packed["scale2"],
+                      block=16, out_dtype=jnp.float32)
+    ref = x @ qt.dequantize_nvfp4(packed, 16).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=3e-1)
