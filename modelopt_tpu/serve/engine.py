@@ -65,6 +65,12 @@ class Request:
     # top_k=0 and top_p=1.0 disable them
     top_k: int = 0
     top_p: float = 1.0
+    # vLLM-convention penalties: repetition applies to prompt+generated
+    # tokens (HF/vLLM divide-positive/multiply-negative form), presence/
+    # frequency to generated tokens only. 1.0 / 0.0 / 0.0 disable them.
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     eos_id: Optional[int] = None
     # token-id stop sequences (vLLM-style): generation ends when the output
     # tail matches one; the matched tail is trimmed from out_tokens
@@ -153,6 +159,17 @@ class ServingEngine:
         self._temps = jnp.zeros((max_batch,), jnp.float32)
         self._topk = jnp.zeros((max_batch,), jnp.int32)   # 0 = no top-k
         self._topp = jnp.ones((max_batch,), jnp.float32)  # 1 = no top-p
+        self._rep = jnp.ones((max_batch,), jnp.float32)   # 1 = no repetition
+        self._pres = jnp.zeros((max_batch,), jnp.float32)
+        self._freq = jnp.zeros((max_batch,), jnp.float32)
+        # per-slot token histograms for the penalties: prompt+generated
+        # (repetition) and generated-only (presence/frequency). [B, V] int32
+        # is small next to the KV cache (~33 MB at bs64 / 128k vocab); a
+        # batch-level cond skips both the scatter reads and the penalty math
+        # when no active slot uses penalties.
+        V = self.cfg.vocab_size
+        self._all_counts = jnp.zeros((max_batch, V), jnp.int32)
+        self._out_counts = jnp.zeros((max_batch, V), jnp.int32)
         # tokens_emitted counts DECODE-phase emissions only (plain or
         # speculative ticks); the token sampled at the end of a prefill is
         # prefill_tokens. decode_slot_steps counts (tick × active slot)
@@ -182,8 +199,8 @@ class ServingEngine:
             self._spec_decode = jax.jit(self._make_spec_decode(),
                                         donate_argnums=(1, 3))
 
-        def _prefill_core(variables, cache, ids, slot, start, true_len, temp,
-                          tk, tp, key):
+        def _prefill_core(variables, cache, counts, ids, slot, start,
+                          true_len, temp, tk, tp, key):
             """Ingest one bucket-size chunk for ``slot`` beginning at prompt
             position ``start``; returns (cache, last_token, chunk_hidden).
             The token/hidden are only meaningful on the final chunk."""
@@ -219,6 +236,10 @@ class ServingEngine:
                 cache = {**cache, "k": k, "v": v}
             lengths = cache["lengths"].at[slot].set(start + true_len)
             cache = {**cache, "lengths": lengths}
+            # prompt tokens join the slot's repetition histogram (padding
+            # beyond true_len masked out)
+            valid = (jnp.arange(ids.shape[1]) < true_len).astype(jnp.int32)
+            counts = counts.at[slot, ids[0]].add(valid)
             last = logits[0, true_len - 1]
             filt = jax.lax.cond(
                 (tk > 0) | (tp < 1.0),
@@ -227,46 +248,63 @@ class ServingEngine:
                 last,
             )
             tok, lp = _sample_lp(last, temp, key, filt)
-            return cache, tok, hidden, lp
+            return cache, counts, tok, hidden, lp
 
-        def prefill_fn(variables, cache, ids, slot, start, true_len, temp,
-                       tk, tp, key):
-            cache, tok, hidden, lp = _prefill_core(
-                variables, cache, ids, slot, start, true_len, temp, tk, tp, key
+        def prefill_fn(variables, cache, counts, ids, slot, start, true_len,
+                       temp, tk, tp, key):
+            cache, counts, tok, hidden, lp = _prefill_core(
+                variables, cache, counts, ids, slot, start, true_len, temp,
+                tk, tp, key
             )
-            return cache, tok, hidden[0, true_len - 1], lp
+            return cache, counts, tok, hidden[0, true_len - 1], lp
 
-        def prefill_dflash_fn(variables, cache, features, ids, slot, start,
-                              true_len, temp, tk, tp, key):
+        def prefill_dflash_fn(variables, cache, features, counts, ids, slot,
+                              start, true_len, temp, tk, tp, key):
             """dflash prefill also records the chunk's tapped features at
             rows [start, start+bucket) of the slot's feature cache (padding
             rows are overwritten by the next chunk / first spec ticks)."""
-            cache, tok, hidden, lp = _prefill_core(
-                variables, cache, ids, slot, start, true_len, temp, tk, tp, key
+            cache, counts, tok, hidden, lp = _prefill_core(
+                variables, cache, counts, ids, slot, start, true_len, temp,
+                tk, tp, key
             )
             features = jax.lax.dynamic_update_slice(
                 features, hidden.astype(features.dtype), (slot, start, 0)
             )
-            return cache, features, tok, lp
+            return cache, features, counts, tok, lp
 
-        def decode_fn(variables, cache, tokens, temps, topk, topp, active, key):
+        def decode_fn(variables, cache, tokens, temps, topk, topp, rep, pres,
+                      freq, all_counts, out_counts, active, key):
             """One decode tick over all slots. ``active`` [B] gates length
             advancement so idle/prefilling slots are untouched (their KV
             write lands on a position that is overwritten before it is ever
-            attended). Returns (cache, next_tokens [B])."""
+            attended). Returns (cache, counts', next_tokens [B])."""
             old_lengths = cache["lengths"]
+            # the fed-back token (last emitted) joins both histograms for
+            # active slots — exactly the tokens the host actually kept
+            rows = jnp.arange(tokens.shape[0])
+            act = active.astype(jnp.int32)
+            all_counts = all_counts.at[rows, tokens[:, 0]].add(act)
+            out_counts = out_counts.at[rows, tokens[:, 0]].add(act)
             logits, cache = self._apply(variables, tokens, cache)
             cache = {**cache, "lengths": old_lengths + active.astype(jnp.int32)}
             keys = jax.random.split(key, logits.shape[0])
-            filt = _filter_batch(logits[:, -1], topk, topp)
-            toks, lps = jax.vmap(_sample_lp)(logits[:, -1], temps, keys, filt)
-            return cache, toks, lps
+            last = logits[:, -1]
+            need_pen = jnp.any((rep != 1.0) | (pres != 0.0) | (freq != 0.0))
+            penalized = jax.lax.cond(
+                need_pen,
+                lambda op: _apply_penalties(*op),
+                lambda op: op[0].astype(jnp.float32),
+                (last, all_counts, out_counts, rep, pres, freq),
+            )
+            filt = _filter_batch(penalized, topk, topp)
+            toks, lps = jax.vmap(_sample_lp)(last, temps, keys, filt)
+            return cache, all_counts, out_counts, toks, lps
 
         if self._is_dflash:
-            self._prefill = jax.jit(prefill_dflash_fn, donate_argnums=(1, 2))
+            self._prefill = jax.jit(prefill_dflash_fn, donate_argnums=(1, 2, 3))
         else:
-            self._prefill = jax.jit(prefill_fn, donate_argnums=(1,))
-        self._decode = jax.jit(decode_fn, donate_argnums=(1,))
+            self._prefill = jax.jit(prefill_fn, donate_argnums=(1, 2))
+        self._decode = jax.jit(decode_fn, donate_argnums=(1, 9, 10))
 
     # -- speculative drafting ------------------------------------------------
     def _hidden_width(self) -> int:
@@ -390,13 +428,23 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def submit(self, prompt_tokens, max_new_tokens=64, temperature=0.0,
-               top_k=0, top_p=1.0, eos_id=None, stop_sequences=None) -> Request:
-        if self.spec_k and (temperature > 0 or top_k > 0 or top_p < 1.0):
-            raise ValueError("speculative engine decode is greedy-only")
+               top_k=0, top_p=1.0, repetition_penalty=1.0,
+               presence_penalty=0.0, frequency_penalty=0.0,
+               eos_id=None, stop_sequences=None) -> Request:
+        sampling = (temperature > 0 or top_k > 0 or top_p < 1.0
+                    or repetition_penalty != 1.0 or presence_penalty != 0.0
+                    or frequency_penalty != 0.0)
+        if self.spec_k and sampling:
+            raise ValueError(
+                "speculative engine decode is greedy-only (penalties would "
+                "break the draft-verify consistency)"
+            )
         if not 0.0 < top_p <= 1.0:
             raise ValueError("top_p must be in (0, 1]")
         if top_k < 0:
             raise ValueError("top_k must be >= 0 (0 disables)")
+        if repetition_penalty <= 0.0:
+            raise ValueError("repetition_penalty must be > 0 (1 disables)")
         prompt = list(map(int, prompt_tokens))
         if len(prompt) >= self.max_seq_len:
             raise ValueError("prompt exceeds max_seq_len")
@@ -404,6 +452,9 @@ class ServingEngine:
             id=next(self._ids), prompt=prompt,
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_k=int(top_k), top_p=float(top_p),
+            repetition_penalty=float(repetition_penalty),
+            presence_penalty=float(presence_penalty),
+            frequency_penalty=float(frequency_penalty),
             eos_id=eos_id,
             stop_sequences=tuple(
                 tuple(map(int, ss)) for ss in (stop_sequences or ())
@@ -438,6 +489,9 @@ class ServingEngine:
         req.slot = slot
         self._slots[slot] = req
         self._prefilling.add(slot)
+        # fresh penalty histograms for the slot's new occupant
+        self._all_counts = self._all_counts.at[slot].set(0)
+        self._out_counts = self._out_counts.at[slot].set(0)
         if self.paged:
             n = pages_needed(len(req.prompt) + 1, self.pcfg.page_size)
             pages = self.allocator.alloc(slot, n)
@@ -461,16 +515,18 @@ class ServingEngine:
         final = start + len(chunk) >= len(req.prompt)
         self.stats["prefill_chunks"] += 1
         if self._is_dflash:
-            self.cache, self._features, tok, lp = self._prefill(
-                self._vars, self.cache, self._features, jnp.asarray(ids),
-                slot, start, len(chunk), jnp.float32(req.temperature),
-                jnp.int32(req.top_k), jnp.float32(req.top_p),
-                self._next_key(),
-            )
+            self.cache, self._features, self._all_counts, tok, lp = \
+                self._prefill(
+                    self._vars, self.cache, self._features, self._all_counts,
+                    jnp.asarray(ids), slot, start, len(chunk),
+                    jnp.float32(req.temperature),
+                    jnp.int32(req.top_k), jnp.float32(req.top_p),
+                    self._next_key(),
+                )
         else:
-            self.cache, tok, hid, lp = self._prefill(
-                self._vars, self.cache, jnp.asarray(ids), slot, start,
-                len(chunk), jnp.float32(req.temperature),
+            self.cache, self._all_counts, tok, hid, lp = self._prefill(
+                self._vars, self.cache, self._all_counts, jnp.asarray(ids),
+                slot, start, len(chunk), jnp.float32(req.temperature),
                 jnp.int32(req.top_k), jnp.float32(req.top_p),
                 self._next_key(),
             )
@@ -484,6 +540,9 @@ class ServingEngine:
         self._temps = self._temps.at[slot].set(req.temperature)
         self._topk = self._topk.at[slot].set(req.top_k)
         self._topp = self._topp.at[slot].set(req.top_p)
+        self._rep = self._rep.at[slot].set(req.repetition_penalty)
+        self._pres = self._pres.at[slot].set(req.presence_penalty)
+        self._freq = self._freq.at[slot].set(req.frequency_penalty)
         req.out_tokens.append(int(tok))
         req.out_logprobs.append(float(lp))
         self.stats["prefill_tokens"] += 1
@@ -542,10 +601,12 @@ class ServingEngine:
         if self.spec_k:
             return produced + self._step_speculative()
         active = self._active_mask()
-        self.cache, toks, lps = self._decode(
-            self._vars, self.cache, self._tokens, self._temps,
-            self._topk, self._topp, active, self._next_key(),
-        )
+        self.cache, self._all_counts, self._out_counts, toks, lps = \
+            self._decode(
+                self._vars, self.cache, self._tokens, self._temps,
+                self._topk, self._topp, self._rep, self._pres, self._freq,
+                self._all_counts, self._out_counts, active, self._next_key(),
+            )
         self.stats["decode_forwards"] += 1
         self._tokens = toks[:, None]
         toks_host = np.asarray(toks)
@@ -684,6 +745,19 @@ def _filter_batch(logits, top_k, top_p):
         lambda lg: lg.astype(jnp.float32),
         logits,
     )
+
+
+def _apply_penalties(last, all_counts, out_counts, rep, pres, freq):
+    """vLLM-convention penalties on [B, V] logits: repetition (divide
+    positive / multiply negative, over prompt+generated tokens),
+    presence (flat, generated-only) and frequency (per-count,
+    generated-only)."""
+    f = last.astype(jnp.float32)
+    seen = all_counts > 0
+    r = rep[:, None]
+    f = jnp.where(seen, jnp.where(f > 0, f / r, f * r), f)
+    oc = out_counts.astype(jnp.float32)
+    return f - pres[:, None] * (oc > 0) - freq[:, None] * oc
 
 
 def _sample_lp(logits, temperature, key, filtered=None):

@@ -495,3 +495,70 @@ class TestTopKTopP:
             eng.submit([1, 2], top_p=0.0)
         with _pytest.raises(ValueError, match="top_k"):
             eng.submit([1, 2], top_k=-1)
+
+
+class TestPenalties:
+    def test_repetition_penalty_blocks_seen_tokens(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        prompt = [5, 9, 2, 7, 11, 13]
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,))
+        req = eng.submit(prompt, max_new_tokens=10,
+                         repetition_penalty=1e9)
+        eng.run()
+        out = req.out_tokens
+        # huge repetition penalty: no emitted token repeats the prompt or
+        # an earlier emission (greedy over crushed logits)
+        assert len(set(out)) == len(out)
+        assert not (set(out) & set(prompt))
+
+    def test_presence_penalty_blocks_generated_only(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        prompt = [5, 9, 2, 7]
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,))
+        req = eng.submit(prompt, max_new_tokens=10, presence_penalty=1e9)
+        eng.run()
+        out = req.out_tokens
+        assert len(set(out)) == len(out)  # generated tokens never repeat
+
+    def test_no_penalty_matches_plain_greedy(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        prompt = [5, 9, 2, 7]
+        a = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                          prefill_buckets=(16,))
+        ra = a.submit(prompt, max_new_tokens=8)
+        a.run()
+        b = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                          prefill_buckets=(16,))
+        rb = b.submit(prompt, max_new_tokens=8, repetition_penalty=1.0,
+                      presence_penalty=0.0, frequency_penalty=0.0)
+        b.run()
+        assert ra.out_tokens == rb.out_tokens
+
+    def test_slot_reuse_resets_histograms(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        eng = ServingEngine(bundle, max_batch=1, max_seq_len=64,
+                            prefill_buckets=(16,))
+        r1 = eng.submit([3, 4, 5], max_new_tokens=6,
+                        repetition_penalty=1e9)
+        eng.run()
+        # second request on the SAME slot: must not inherit r1's histogram
+        r2 = eng.submit([3, 4, 5], max_new_tokens=6,
+                        repetition_penalty=1e9)
+        eng.run()
+        assert r1.out_tokens == r2.out_tokens
+
+    def test_validation(self, bundle):
+        import pytest as _pytest
+
+        from modelopt_tpu.serve import ServingEngine
+
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,))
+        with _pytest.raises(ValueError, match="repetition"):
+            eng.submit([1, 2], repetition_penalty=0.0)
