@@ -65,6 +65,7 @@ class Request:
     # top_k=0 and top_p=1.0 disable them
     top_k: int = 0
     top_p: float = 1.0
+    min_p: float = 0.0
     # vLLM-convention penalties: repetition applies to prompt+generated
     # tokens (HF/vLLM divide-positive/multiply-negative form), presence/
     # frequency to generated tokens only. 1.0 / 0.0 / 0.0 disable them.
@@ -159,6 +160,7 @@ class ServingEngine:
         self._temps = jnp.zeros((max_batch,), jnp.float32)
         self._topk = jnp.zeros((max_batch,), jnp.int32)   # 0 = no top-k
         self._topp = jnp.ones((max_batch,), jnp.float32)  # 1 = no top-p
+        self._minp = jnp.zeros((max_batch,), jnp.float32)  # 0 = no min-p
         self._rep = jnp.ones((max_batch,), jnp.float32)   # 1 = no repetition
         self._pres = jnp.zeros((max_batch,), jnp.float32)
         self._freq = jnp.zeros((max_batch,), jnp.float32)
@@ -200,7 +202,7 @@ class ServingEngine:
                                         donate_argnums=(1, 3))
 
         def _prefill_core(variables, cache, counts, ids, slot, start,
-                          true_len, temp, tk, tp, key):
+                          true_len, temp, tk, tp, mp, key):
             """Ingest one bucket-size chunk for ``slot`` beginning at prompt
             position ``start``; returns (cache, last_token, chunk_hidden).
             The token/hidden are only meaningful on the final chunk."""
@@ -242,8 +244,8 @@ class ServingEngine:
             counts = counts.at[slot, ids[0]].add(valid)
             last = logits[0, true_len - 1]
             filt = jax.lax.cond(
-                (tk > 0) | (tp < 1.0),
-                lambda l: _filter_logits(l, tk, tp),
+                (tk > 0) | (tp < 1.0) | (mp > 0.0),
+                lambda l: _filter_logits(l, tk, tp, mp, temp),
                 lambda l: l.astype(jnp.float32),
                 last,
             )
@@ -251,29 +253,29 @@ class ServingEngine:
             return cache, counts, tok, hidden, lp
 
         def prefill_fn(variables, cache, counts, ids, slot, start, true_len,
-                       temp, tk, tp, key):
+                       temp, tk, tp, mp, key):
             cache, counts, tok, hidden, lp = _prefill_core(
                 variables, cache, counts, ids, slot, start, true_len, temp,
-                tk, tp, key
+                tk, tp, mp, key
             )
             return cache, counts, tok, hidden[0, true_len - 1], lp
 
         def prefill_dflash_fn(variables, cache, features, counts, ids, slot,
-                              start, true_len, temp, tk, tp, key):
+                              start, true_len, temp, tk, tp, mp, key):
             """dflash prefill also records the chunk's tapped features at
             rows [start, start+bucket) of the slot's feature cache (padding
             rows are overwritten by the next chunk / first spec ticks)."""
             cache, counts, tok, hidden, lp = _prefill_core(
                 variables, cache, counts, ids, slot, start, true_len, temp,
-                tk, tp, key
+                tk, tp, mp, key
             )
             features = jax.lax.dynamic_update_slice(
                 features, hidden.astype(features.dtype), (slot, start, 0)
             )
             return cache, features, counts, tok, lp
 
-        def decode_fn(variables, cache, tokens, temps, topk, topp, rep, pres,
-                      freq, all_counts, out_counts, active, key):
+        def decode_fn(variables, cache, tokens, temps, topk, topp, minp,
+                      rep, pres, freq, all_counts, out_counts, active, key):
             """One decode tick over all slots. ``active`` [B] gates length
             advancement so idle/prefilling slots are untouched (their KV
             write lands on a position that is overwritten before it is ever
@@ -296,7 +298,7 @@ class ServingEngine:
                 lambda op: op[0].astype(jnp.float32),
                 (last, all_counts, out_counts, rep, pres, freq),
             )
-            filt = _filter_batch(penalized, topk, topp)
+            filt = _filter_batch(penalized, topk, topp, minp, temps)
             toks, lps = jax.vmap(_sample_lp)(last, temps, keys, filt)
             return cache, all_counts, out_counts, toks, lps
 
@@ -304,7 +306,7 @@ class ServingEngine:
             self._prefill = jax.jit(prefill_dflash_fn, donate_argnums=(1, 2, 3))
         else:
             self._prefill = jax.jit(prefill_fn, donate_argnums=(1, 2))
-        self._decode = jax.jit(decode_fn, donate_argnums=(1, 9, 10))
+        self._decode = jax.jit(decode_fn, donate_argnums=(1, 10, 11))
 
     # -- speculative drafting ------------------------------------------------
     def _hidden_width(self) -> int:
@@ -428,10 +430,10 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def submit(self, prompt_tokens, max_new_tokens=64, temperature=0.0,
-               top_k=0, top_p=1.0, repetition_penalty=1.0,
+               top_k=0, top_p=1.0, min_p=0.0, repetition_penalty=1.0,
                presence_penalty=0.0, frequency_penalty=0.0,
                eos_id=None, stop_sequences=None) -> Request:
-        sampling = (temperature > 0 or top_k > 0 or top_p < 1.0
+        sampling = (temperature > 0 or top_k > 0 or top_p < 1.0 or min_p > 0
                     or repetition_penalty != 1.0 or presence_penalty != 0.0
                     or frequency_penalty != 0.0)
         if self.spec_k and sampling:
@@ -443,6 +445,8 @@ class ServingEngine:
             raise ValueError("top_p must be in (0, 1]")
         if top_k < 0:
             raise ValueError("top_k must be >= 0 (0 disables)")
+        if not 0.0 <= min_p < 1.0:
+            raise ValueError("min_p must be in [0, 1)")
         if repetition_penalty <= 0.0:
             raise ValueError("repetition_penalty must be > 0 (1 disables)")
         prompt = list(map(int, prompt_tokens))
@@ -451,7 +455,7 @@ class ServingEngine:
         req = Request(
             id=next(self._ids), prompt=prompt,
             max_new_tokens=max_new_tokens, temperature=temperature,
-            top_k=int(top_k), top_p=float(top_p),
+            top_k=int(top_k), top_p=float(top_p), min_p=float(min_p),
             repetition_penalty=float(repetition_penalty),
             presence_penalty=float(presence_penalty),
             frequency_penalty=float(frequency_penalty),
@@ -521,14 +525,14 @@ class ServingEngine:
                     jnp.asarray(ids), slot, start, len(chunk),
                     jnp.float32(req.temperature),
                     jnp.int32(req.top_k), jnp.float32(req.top_p),
-                    self._next_key(),
+                    jnp.float32(req.min_p), self._next_key(),
                 )
         else:
             self.cache, self._all_counts, tok, hid, lp = self._prefill(
                 self._vars, self.cache, self._all_counts, jnp.asarray(ids),
                 slot, start, len(chunk), jnp.float32(req.temperature),
                 jnp.int32(req.top_k), jnp.float32(req.top_p),
-                self._next_key(),
+                jnp.float32(req.min_p), self._next_key(),
             )
         req.prefill_pos = start + len(chunk)
         if not final:
@@ -540,6 +544,7 @@ class ServingEngine:
         self._temps = self._temps.at[slot].set(req.temperature)
         self._topk = self._topk.at[slot].set(req.top_k)
         self._topp = self._topp.at[slot].set(req.top_p)
+        self._minp = self._minp.at[slot].set(req.min_p)
         self._rep = self._rep.at[slot].set(req.repetition_penalty)
         self._pres = self._pres.at[slot].set(req.presence_penalty)
         self._freq = self._freq.at[slot].set(req.frequency_penalty)
@@ -604,8 +609,9 @@ class ServingEngine:
         self.cache, self._all_counts, self._out_counts, toks, lps = \
             self._decode(
                 self._vars, self.cache, self._tokens, self._temps,
-                self._topk, self._topp, self._rep, self._pres, self._freq,
-                self._all_counts, self._out_counts, active, self._next_key(),
+                self._topk, self._topp, self._minp, self._rep, self._pres,
+                self._freq, self._all_counts, self._out_counts, active,
+                self._next_key(),
             )
         self.stats["decode_forwards"] += 1
         self._tokens = toks[:, None]
@@ -714,11 +720,13 @@ def _sample(logits, temperature, key):
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
-def _filter_logits(logits, top_k, top_p):
-    """Mask a [V] logit vector to its top-k / nucleus-p support (-inf
-    elsewhere). top_k=0 / top_p=1.0 are identities; ties at the threshold
-    are kept (standard). The exact full-vocab formulation (like vLLM's):
-    one descending sort feeds both filters."""
+def _filter_logits(logits, top_k, top_p, min_p, temp):
+    """Mask a [V] logit vector to its top-k / nucleus-p / min-p support
+    (-inf elsewhere). top_k=0 / top_p=1.0 / min_p=0.0 are identities; ties
+    at the threshold are kept (standard). The exact full-vocab formulation
+    (like vLLM's): one descending sort feeds all filters. min-p applies to
+    the TEMPERED distribution (vLLM order), i.e. keep logit >= max +
+    T*ln(min_p)."""
     V = logits.shape[-1]
     f32 = logits.astype(jnp.float32)
     srt = jnp.sort(f32)[::-1]
@@ -730,18 +738,24 @@ def _filter_logits(logits, top_k, top_p):
     # always kept: its preceding mass is 0)
     keep = (cum - probs) < top_p
     pth = jnp.min(jnp.where(keep, srt, jnp.inf))
-    thr = jnp.maximum(kth, pth)
+    mth = jnp.where(
+        min_p > 0,
+        srt[0] + jnp.maximum(temp, 1e-6)
+        * jnp.log(jnp.maximum(min_p, 1e-30)),
+        -jnp.inf,
+    )
+    thr = jnp.maximum(jnp.maximum(kth, pth), mth)
     return jnp.where(f32 < thr, -jnp.inf, f32)
 
 
-def _filter_batch(logits, top_k, top_p):
+def _filter_batch(logits, top_k, top_p, min_p, temps):
     """[B, V] batch filter; skips the per-slot sorts entirely (lax.cond)
     when no slot has a filter active — the greedy/temperature-only path
     pays nothing."""
-    need = jnp.any((top_k > 0) | (top_p < 1.0))
+    need = jnp.any((top_k > 0) | (top_p < 1.0) | (min_p > 0.0))
     return jax.lax.cond(
         need,
-        lambda lg: jax.vmap(_filter_logits)(lg, top_k, top_p),
+        lambda lg: jax.vmap(_filter_logits)(lg, top_k, top_p, min_p, temps),
         lambda lg: lg.astype(jnp.float32),
         logits,
     )

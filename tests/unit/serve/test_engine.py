@@ -440,19 +440,25 @@ class TestTopKTopP:
         from modelopt_tpu.serve.engine import _filter_logits
 
         lg = jnp.asarray([2.0, 1.0, 0.0, -1.0, -2.0])
+        args = lambda k, p, m=0.0, t=1.0: (  # noqa: E731
+            lg, jnp.int32(k), jnp.float32(p), jnp.float32(m), jnp.float32(t))
         # top_k=2 keeps exactly the two largest
-        f = np.asarray(_filter_logits(lg, jnp.int32(2), jnp.float32(1.0)))
+        f = np.asarray(_filter_logits(*args(2, 1.0)))
         assert np.isfinite(f[:2]).all() and np.isneginf(f[2:]).all()
         # top_p just above the top-1 mass keeps the top-2 (first token kept
         # unconditionally, second starts below the p threshold)
         p1 = float(jax.nn.softmax(lg)[0])
-        f = np.asarray(_filter_logits(lg, jnp.int32(0), jnp.float32(p1 + 0.01)))
+        f = np.asarray(_filter_logits(*args(0, p1 + 0.01)))
         assert np.isfinite(f[:2]).all() and np.isneginf(f[2:]).all()
         # tiny top_p keeps only the argmax
-        f = np.asarray(_filter_logits(lg, jnp.int32(0), jnp.float32(1e-6)))
+        f = np.asarray(_filter_logits(*args(0, 1e-6)))
         assert np.isfinite(f[0]) and np.isneginf(f[1:]).all()
+        # min_p at T=1: keep p_i >= m * p_max -> m just under p2/p1 keeps 2
+        ratio = float(jax.nn.softmax(lg)[1] / jax.nn.softmax(lg)[0])
+        f = np.asarray(_filter_logits(*args(0, 1.0, ratio - 1e-4)))
+        assert np.isfinite(f[:2]).all() and np.isneginf(f[2:]).all()
         # identities
-        f = np.asarray(_filter_logits(lg, jnp.int32(0), jnp.float32(1.0)))
+        f = np.asarray(_filter_logits(*args(0, 1.0)))
         np.testing.assert_allclose(f, np.asarray(lg))
 
     def test_top_k1_equals_greedy(self, bundle):
@@ -562,3 +568,30 @@ class TestPenalties:
                             prefill_buckets=(16,))
         with _pytest.raises(ValueError, match="repetition"):
             eng.submit([1, 2], repetition_penalty=0.0)
+
+
+class TestMinP:
+    def test_high_min_p_equals_greedy(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        prompt = [5, 9, 2, 7]
+        a = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                          prefill_buckets=(16,))
+        ra = a.submit(prompt, max_new_tokens=8)
+        a.run()
+        b = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                          prefill_buckets=(16,), seed=11)
+        # min_p ~1 keeps only tokens with p >= ~p_max -> argmax only
+        rb = b.submit(prompt, max_new_tokens=8, temperature=4.0, min_p=0.999)
+        b.run()
+        assert ra.out_tokens == rb.out_tokens
+
+    def test_validation(self, bundle):
+        import pytest as _pytest
+
+        from modelopt_tpu.serve import ServingEngine
+
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,))
+        with _pytest.raises(ValueError, match="min_p"):
+            eng.submit([1, 2], min_p=1.0)
