@@ -595,3 +595,17 @@ class TestMinP:
                             prefill_buckets=(16,))
         with _pytest.raises(ValueError, match="min_p"):
             eng.submit([1, 2], min_p=1.0)
+
+    def test_chunked_prompt_histogram(self, bundle):
+        """A prompt longer than the bucket accumulates its repetition
+        histogram across prefill chunks: none of its tokens may be emitted
+        under a huge repetition penalty."""
+        from modelopt_tpu.serve import ServingEngine
+
+        prompt = list(range(2, 38))  # 36 tokens, bucket 16 -> 3 chunks
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,))
+        req = eng.submit(prompt, max_new_tokens=8, repetition_penalty=1e9)
+        eng.run()
+        assert not (set(req.out_tokens) & set(prompt))
+        assert len(set(req.out_tokens)) == len(req.out_tokens)
