@@ -209,7 +209,8 @@ def cmd_serve(args):
     if args.preset:
         bundle = _quantize(bundle, args)
     eng = ServingEngine(bundle, max_batch=args.max_batch,
-                        max_seq_len=args.max_seq_len)
+                        max_seq_len=args.max_seq_len,
+                        multi_step=args.multi_step)
     rng = np.random.default_rng(0)
     V = bundle.module.cfg.vocab_size
     reqs = [eng.submit(list(rng.integers(0, V, 8)), max_new_tokens=16,
@@ -267,6 +268,8 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--top-k", type=int, default=0)
     p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--multi-step", type=int, default=1,
+                   help="decode ticks per host dispatch (burst decode)")
     p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

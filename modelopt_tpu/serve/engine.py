@@ -36,6 +36,7 @@ a temperature vector — again data, not shape.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 from collections import deque
 from typing import Optional
@@ -100,6 +101,7 @@ class ServingEngine:
         page_size: int = 64,
         kv_pages: Optional[int] = None,
         max_admit: int = 2,
+        multi_step: int = 1,
     ):
         """``speculative=k`` enables batched draft-verify decode for medusa-,
         eagle-, or dflash-converted bundles: every tick verifies k drafted tokens per
@@ -113,6 +115,13 @@ class ServingEngine:
         self.max_batch = max_batch
         self.max_seq_len = max_seq_len
         self.max_admit = max_admit
+        # multi_step=n runs n decode ticks per host dispatch when no
+        # admissions/prefills are pending (vLLM-style multi-step
+        # scheduling); eos/length stopping is on-device, stop-sequence
+        # overshoot is trimmed by the host.
+        if multi_step < 1:
+            raise ValueError("multi_step must be >= 1")
+        self.multi_step = int(multi_step)
         # clamp buckets to the cache: an unclamped default (64, 256) on a
         # small max_seq_len would prefill past the cache bound (silently
         # dropped by TPU scatter, a hard error on CPU)
@@ -161,6 +170,7 @@ class ServingEngine:
         self._topk = jnp.zeros((max_batch,), jnp.int32)   # 0 = no top-k
         self._topp = jnp.ones((max_batch,), jnp.float32)  # 1 = no top-p
         self._minp = jnp.zeros((max_batch,), jnp.float32)  # 0 = no min-p
+        self._eos = jnp.full((max_batch,), -1, jnp.int32)  # -1 = no eos
         self._rep = jnp.ones((max_batch,), jnp.float32)   # 1 = no repetition
         self._pres = jnp.zeros((max_batch,), jnp.float32)
         self._freq = jnp.zeros((max_batch,), jnp.float32)
@@ -302,11 +312,64 @@ class ServingEngine:
             toks, lps = jax.vmap(_sample_lp)(last, temps, keys, filt)
             return cache, all_counts, out_counts, toks, lps
 
+        def burst_fn(variables, cache, tokens, temps, topk, topp, minp,
+                     rep, pres, freq, all_counts, out_counts, active, eos,
+                     remaining, key, *, n: int):
+            """``n`` decode ticks in one on-device scan (multi-step
+            scheduling): host dispatch/sync happens once per BURST instead
+            of once per token. Per-slot eos / max_new_tokens / cache-cap
+            stopping is data inside the scan; stop-sequence matching stays
+            on the host, which discards any overshoot tokens."""
+            B = tokens.shape[0]
+            rows = jnp.arange(B)
+            S = self.max_seq_len
+
+            def tick(carry, _):
+                cache, all_c, out_c, tokens, active, remaining, key = carry
+                key, sub = jax.random.split(key)
+                act = active.astype(jnp.int32)
+                all_c = all_c.at[rows, tokens[:, 0]].add(act)
+                out_c = out_c.at[rows, tokens[:, 0]].add(act)
+                old_lengths = cache["lengths"]
+                logits, cache = self._apply(variables, tokens, cache)
+                cache = {**cache, "lengths": old_lengths + act}
+                last = logits[:, -1]
+                need_pen = jnp.any((rep != 1.0) | (pres != 0.0)
+                                   | (freq != 0.0))
+                penalized = jax.lax.cond(
+                    need_pen,
+                    lambda op: _apply_penalties(*op),
+                    lambda op: op[0].astype(jnp.float32),
+                    (last, all_c, out_c, rep, pres, freq),
+                )
+                filt = _filter_batch(penalized, topk, topp, minp, temps)
+                keys = jax.random.split(sub, B)
+                toks, lps = jax.vmap(_sample_lp)(last, temps, keys, filt)
+                emit = active
+                remaining = remaining - act
+                new_len = cache["lengths"]
+                active = (active & (toks != eos) & (remaining > 0)
+                          & (new_len < S))
+                return ((cache, all_c, out_c, toks[:, None], active,
+                         remaining, key),
+                        (toks, lps, emit))
+
+            carry = (cache, all_counts, out_counts, tokens, active,
+                     remaining, key)
+            carry, (toks, lps, emits) = jax.lax.scan(tick, carry, None,
+                                                     length=n)
+            cache, all_counts, out_counts, tokens, active, _, _ = carry
+            return cache, all_counts, out_counts, tokens, toks, lps, emits
+
         if self._is_dflash:
             self._prefill = jax.jit(prefill_dflash_fn, donate_argnums=(1, 2, 3))
         else:
             self._prefill = jax.jit(prefill_fn, donate_argnums=(1, 2))
         self._decode = jax.jit(decode_fn, donate_argnums=(1, 10, 11))
+        self._burst = jax.jit(
+            functools.partial(burst_fn, n=self.multi_step),
+            donate_argnums=(1, 10, 11),
+        ) if self.multi_step > 1 else None
 
     # -- speculative drafting ------------------------------------------------
     def _hidden_width(self) -> int:
@@ -545,6 +608,8 @@ class ServingEngine:
         self._topk = self._topk.at[slot].set(req.top_k)
         self._topp = self._topp.at[slot].set(req.top_p)
         self._minp = self._minp.at[slot].set(req.min_p)
+        self._eos = self._eos.at[slot].set(
+            -1 if req.eos_id is None else int(req.eos_id))
         self._rep = self._rep.at[slot].set(req.repetition_penalty)
         self._pres = self._pres.at[slot].set(req.presence_penalty)
         self._freq = self._freq.at[slot].set(req.frequency_penalty)
@@ -559,13 +624,18 @@ class ServingEngine:
             [1.0 if (r is not None and i not in self._prefilling) else 0.0
              for i, r in enumerate(self._slots)], jnp.float32)
 
-    def _grow_pages(self) -> None:
-        """Ensure each decoding slot has a page for its next token."""
+    def _grow_pages(self, lookahead: int = 1) -> None:
+        """Ensure each decoding slot has pages for its next ``lookahead``
+        tokens (a burst writes up to that many before the host regains
+        control)."""
         for slot, req in enumerate(self._slots):
             if req is None or slot in self._prefilling:
                 continue
             cur_len = len(req.prompt) + len(req.out_tokens)
-            need = pages_needed(cur_len + 1 + self.spec_k, self.pcfg.page_size)
+            # the device deactivates a slot at the cache cap, so never ask
+            # the allocator for pages past max_seq_len
+            tgt = min(cur_len + lookahead + self.spec_k, self.max_seq_len)
+            need = pages_needed(tgt, self.pcfg.page_size)
             have = len(self.allocator.owned.get(slot, []))
             if need > have:
                 new = self.allocator.alloc(slot, need - have)
@@ -601,11 +671,45 @@ class ServingEngine:
         # 3) decode every tick for fully-prefilled slots
         if self.num_decoding == 0:
             return produced
-        if self.paged:
-            self._grow_pages()
         if self.spec_k:
+            if self.paged:
+                self._grow_pages()
             return produced + self._step_speculative()
+        # burst (multi-step) decode when the scheduler has nothing else to
+        # interleave: n ticks per host dispatch
+        n = self.multi_step if (self._burst is not None and not self._queue
+                                and not self._prefilling) else 1
+        if self.paged:
+            self._grow_pages(lookahead=n)
         active = self._active_mask()
+        if n > 1:
+            remaining = jnp.asarray(
+                [0 if (r is None or r.done) else
+                 max(0, r.max_new_tokens - len(r.out_tokens))
+                 for r in self._slots], jnp.int32)
+            (self.cache, self._all_counts, self._out_counts, self._tokens,
+             toks, lps, emits) = self._burst(
+                self._vars, self.cache, self._tokens, self._temps,
+                self._topk, self._topp, self._minp, self._rep, self._pres,
+                self._freq, self._all_counts, self._out_counts,
+                active > 0, self._eos, remaining, self._next_key(),
+            )
+            self.stats["decode_forwards"] += n
+            toks_host = np.asarray(toks)        # [n, B]
+            lps_host = np.asarray(lps)
+            emits_host = np.asarray(emits)
+            decoded = 0
+            for i in range(n):
+                for slot, req in enumerate(self._slots):
+                    if req is None or req.done or not emits_host[i, slot]:
+                        continue
+                    req.out_tokens.append(int(toks_host[i, slot]))
+                    req.out_logprobs.append(float(lps_host[i, slot]))
+                    decoded += 1
+                    self._finish_if_done(req)
+            self.stats["tokens_emitted"] += decoded
+            self.stats["decode_slot_steps"] += decoded
+            return produced + decoded
         self.cache, self._all_counts, self._out_counts, toks, lps = \
             self._decode(
                 self._vars, self.cache, self._tokens, self._temps,

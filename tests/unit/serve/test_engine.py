@@ -609,3 +609,72 @@ class TestMinP:
         eng.run()
         assert not (set(req.out_tokens) & set(prompt))
         assert len(set(req.out_tokens)) == len(req.out_tokens)
+
+
+class TestMultiStep:
+    def _run(self, bundle, **kw):
+        from modelopt_tpu.serve import ServingEngine
+
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,), **kw)
+        r1 = eng.submit([5, 9, 2, 7], max_new_tokens=11)
+        r2 = eng.submit([4, 4, 8], max_new_tokens=5)
+        eng.run()
+        return r1, r2, eng
+
+    def test_burst_matches_single_step_greedy(self, bundle):
+        a1, a2, _ = self._run(bundle)
+        b1, b2, eng = self._run(bundle, multi_step=4)
+        assert a1.out_tokens == b1.out_tokens
+        assert a2.out_tokens == b2.out_tokens
+        assert a1.out_logprobs == b1.out_logprobs
+        # bursts actually happened (fewer host dispatches than tokens)
+        assert eng.stats["decode_forwards"] > eng.stats["tokens_emitted"] / 2
+
+    def test_burst_eos_on_device(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        # find greedy token stream first, then use its 3rd token as eos
+        a = ServingEngine(bundle, max_batch=1, max_seq_len=64,
+                          prefill_buckets=(16,))
+        ra = a.submit([5, 9, 2, 7], max_new_tokens=10)
+        a.run()
+        eos = ra.out_tokens[3]
+        b = ServingEngine(bundle, max_batch=1, max_seq_len=64,
+                          prefill_buckets=(16,), multi_step=4)
+        rb = b.submit([5, 9, 2, 7], max_new_tokens=10, eos_id=eos)
+        b.run()
+        assert rb.stop_reason == "eos"
+        assert rb.out_tokens == ra.out_tokens[:4]
+
+    def test_burst_stop_sequence_trims_overshoot(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        a = ServingEngine(bundle, max_batch=1, max_seq_len=64,
+                          prefill_buckets=(16,))
+        ra = a.submit([5, 9, 2, 7], max_new_tokens=10)
+        a.run()
+        ss = tuple(ra.out_tokens[2:4])
+        b = ServingEngine(bundle, max_batch=1, max_seq_len=64,
+                          prefill_buckets=(16,), multi_step=4)
+        rb = b.submit([5, 9, 2, 7], max_new_tokens=10, stop_sequences=[ss])
+        b.run()
+        assert rb.stop_reason == "stop"
+        assert rb.out_tokens == ra.out_tokens[:2]
+
+    def test_burst_paged(self, bundle):
+        a1, a2, _ = self._run(bundle)
+        b1, b2, _ = self._run(bundle, multi_step=4, paged=True, page_size=16)
+        assert a1.out_tokens == b1.out_tokens
+        assert a2.out_tokens == b2.out_tokens
+
+    def test_burst_with_penalties(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        prompt = [5, 9, 2, 7, 11]
+        eng = ServingEngine(bundle, max_batch=1, max_seq_len=64,
+                            prefill_buckets=(16,), multi_step=4)
+        req = eng.submit(prompt, max_new_tokens=9, repetition_penalty=1e9)
+        eng.run()
+        assert len(set(req.out_tokens)) == len(req.out_tokens)
+        assert not (set(req.out_tokens) & set(prompt))
