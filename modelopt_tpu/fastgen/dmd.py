@@ -16,13 +16,25 @@ score-nets' x0 predictions; the distribution-matching gradient is
 
     L = || x0_s - sg(x0_s - w * (fake_x0 - teacher_x0)) ||^2
 
-so dL/dx0_s equals the DMD gradient exactly. Alternation, EMA tracking,
-and both losses live under jit; the caller drives the loop (same division
-of labor as the reference pipeline).
+so dL/dx0_s equals the DMD gradient exactly.
 
-JAX shape: no module cloning or hooks — the three networks are one DiT
-module applied with three parameter pytrees, and "frozen" means
-stop_gradient/no-optimizer, not requires_grad flags.
+Beyond the core DMD loop this carries the reference's fastgen extras:
+  * multi-step students — ``step_schedule`` re-noises stochastically
+    between schedule points (gradient flows through the final step only,
+    DMD2's backward-simulation convention);
+  * rectified-flow teachers — ``parameterization="rf"`` switches the
+    affine noising to x_t = (1-sigma) x0 + sigma eps with v-prediction and
+    logit-normal timestep sampling (reference: fastgen/flow_matching.py);
+  * a DMD2 GAN term — a token-MLP discriminator head over the FAKE score
+    net's selected block features (reference: fastgen/discriminators.py
+    Discriminator_ImageDiT; token heads are the DiT-native analogue of its
+    conv heads), trained on real data when ``gan_weight > 0``;
+  * EMA of the student folded into the jitted student step (reference:
+    fastgen/ema.py).
+
+JAX shape: no module cloning or hooks — the networks are one DiT module
+applied with distinct parameter pytrees; features come from flax
+capture_intermediates, and "frozen" means stop_gradient/no-optimizer.
 """
 
 from __future__ import annotations
@@ -30,6 +42,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -38,16 +51,28 @@ from ..core.bundle import ModelBundle
 
 @dataclasses.dataclass
 class DMDConfig:
-    """Reference counterpart: fastgen DMDConfig (dmd.py)."""
+    """Reference counterpart: fastgen DMDConfig (config.py)."""
 
     num_timesteps: int = 1000
     # t sampling range for the matching losses (avoid the degenerate ends)
     t_min: int = 20
     t_max: int = 979
-    # generator input timestep (max noise -> one-step generation)
-    student_t: int = 999
+    # student generation timesteps, descending; one entry = one-step DMD,
+    # several = DMD2 multi-step student (stochastic re-noise between)
+    step_schedule: tuple = (999,)
     vsd_weight: float = 1.0
     ema_decay: float = 0.999
+    # "eps" = DDPM epsilon-prediction; "rf" = rectified-flow v-prediction
+    parameterization: str = "eps"
+    # logit-normal timestep density for rf matching losses (reference:
+    # flow_matching._truncated_lognormal)
+    rf_t_mean: float = 0.0
+    rf_t_std: float = 1.0
+    # DMD2 GAN: weight of the non-saturating generator term; 0 disables.
+    # The discriminator reads the fake net's block features at these
+    # indices (None = last block).
+    gan_weight: float = 0.0
+    disc_features: Optional[tuple] = None
 
 
 def _alphas(n: int):
@@ -56,17 +81,36 @@ def _alphas(n: int):
     return jnp.linspace(0.999, 0.01, n)
 
 
+class FeatureDiscriminator(nn.Module):
+    """Per-feature token-MLP heads, summed: [B, P, H] -> logits [B]
+    (reference: fastgen/discriminators.py Discriminator_ImageDiT, adapted
+    from conv heads to the token space DiT features live in)."""
+
+    n_features: int
+
+    @nn.compact
+    def __call__(self, feats):
+        logit = 0.0
+        for i, f in enumerate(feats):
+            h = nn.LayerNorm(name=f"norm_{i}")(f.astype(jnp.float32))
+            h = nn.gelu(nn.Dense(f.shape[-1], name=f"mix_{i}")(h))
+            logit = logit + jnp.mean(nn.Dense(1, name=f"head_{i}")(h),
+                                     axis=(1, 2))
+        return logit  # [B]
+
+
 class DMDPipeline:
-    """Holds the three parameter sets + jitted losses/steps.
+    """Holds the parameter sets + jitted losses/steps.
 
     Usage::
 
         pipe = DMDPipeline(teacher_bundle, DMDConfig())
         state = pipe.init_state(tx_g, tx_f)
+        fake_step, student_step = pipe.make_steps(tx_g, tx_f)
         for step in range(n):
-            state, f_loss = pipe.fake_step(state, rng1, y)
+            state, f_loss = fake_step(state, rng1, y)          # (+ x_real)
             if step % 2:   # e.g. 1:1 alternation
-                state, s_loss = pipe.student_step(state, rng2, y)
+                state, s_loss = student_step(state, rng2, y)
         samples = pipe.generate(state.student_params, rng3, y)
     """
 
@@ -77,9 +121,36 @@ class DMDPipeline:
         self.dit_cfg = teacher.module.cfg
         self.teacher_params = teacher.variables["params"]
         self.alphas = _alphas(self.cfg.num_timesteps)
+        if self.cfg.parameterization not in ("eps", "rf"):
+            raise ValueError("parameterization must be 'eps' or 'rf'")
+        self._disc = FeatureDiscriminator(
+            n_features=len(self.cfg.disc_features or (0,))
+        )
+
+    # -- parameterization ----------------------------------------------------
+    def _coeffs(self, t):
+        """(alpha, sigma) of the affine noising x_t = alpha x0 + sigma eps."""
+        if self.cfg.parameterization == "rf":
+            s = (t.astype(jnp.float32)
+                 / (self.cfg.num_timesteps - 1))[:, None, None, None]
+            return 1.0 - s, s
+        a = jnp.take(self.alphas, t)[:, None, None, None]
+        return jnp.sqrt(a), jnp.sqrt(1.0 - a)
+
+    def _sample_t(self, rng, B):
+        """Matching-loss timesteps: uniform ints (eps) or logit-normal on
+        the same integer grid (rf — concentrates density mid-trajectory)."""
+        if self.cfg.parameterization == "rf":
+            z = (self.cfg.rf_t_mean
+                 + self.cfg.rf_t_std * jax.random.normal(rng, (B,)))
+            s = jax.nn.sigmoid(z)
+            t = (s * (self.cfg.num_timesteps - 1)).astype(jnp.int32)
+            return jnp.clip(t, self.cfg.t_min, self.cfg.t_max)
+        return jax.random.randint(rng, (B,), self.cfg.t_min,
+                                  self.cfg.t_max + 1)
 
     # -- model wrappers -----------------------------------------------------
-    def _eps(self, params, x, t, y):
+    def _pred(self, params, x, t, y):
         variables = {**self.bundle.variables, "params": params}
         with self.bundle.contexts():
             return self.module.apply(
@@ -87,21 +158,57 @@ class DMDPipeline:
             ).astype(jnp.float32)
 
     def _x0(self, params, x_t, t, y):
-        a = jnp.take(self.alphas, t)[:, None, None, None]
-        eps = self._eps(params, x_t, t, y)
-        return (x_t - jnp.sqrt(1.0 - a) * eps) / jnp.sqrt(a)
+        alpha, sigma = self._coeffs(t)
+        pred = self._pred(params, x_t, t, y)
+        if self.cfg.parameterization == "rf":
+            return x_t - sigma * pred  # v-pred: x0 = x_t - sigma * v
+        return (x_t - sigma * pred) / alpha
+
+    def _pred_target(self, x0, noise):
+        """What the score net regresses to under DSM."""
+        if self.cfg.parameterization == "rf":
+            return noise - x0  # velocity
+        return noise
+
+    def _features(self, params, x_t, t, y):
+        """Selected DiT block outputs of the fake net (the DMD2
+        discriminator backbone) via capture_intermediates."""
+        variables = {**self.bundle.variables, "params": params}
+        idx = self.cfg.disc_features or (self.dit_cfg.num_layers - 1,)
+        names = {f"blocks_{i}" for i in idx}
+        with self.bundle.contexts():
+            _, state = self.module.apply(
+                variables, x_t.astype(self.dit_cfg.dtype), t, y,
+                capture_intermediates=lambda mdl, _: mdl.name in names,
+                mutable=["intermediates"],
+            )
+        inter = state["intermediates"]
+        return [inter[f"blocks_{i}"]["__call__"][0] for i in sorted(idx)]
 
     def generate(self, student_params, rng, y):
-        """One-step generation: student's x0 prediction from pure noise at
-        the max-noise timestep."""
+        """Few-step generation along ``step_schedule``: each step predicts
+        x0, then re-noises stochastically to the next schedule point.
+        Gradient flows through the FINAL step only (DMD2 backward
+        simulation)."""
         cfg = self.dit_cfg
         B = y.shape[0]
-        z = jax.random.normal(
-            rng, (B, cfg.image_size, cfg.image_size, cfg.in_channels),
+        rng, r = jax.random.split(rng)
+        x = jax.random.normal(
+            r, (B, cfg.image_size, cfg.image_size, cfg.in_channels),
             jnp.float32,
         )
-        t = jnp.full((B,), self.cfg.student_t, jnp.int32)
-        return self._x0(student_params, z, t, y)
+        sched = self.cfg.step_schedule
+        for i, ti in enumerate(sched):
+            t = jnp.full((B,), ti, jnp.int32)
+            x0 = self._x0(student_params, x, t, y)
+            if i + 1 < len(sched):
+                x0 = jax.lax.stop_gradient(x0)
+                rng, r = jax.random.split(rng)
+                tn = jnp.full((B,), sched[i + 1], jnp.int32)
+                alpha, sigma = self._coeffs(tn)
+                x = alpha * x0 + sigma * jax.random.normal(r, x0.shape,
+                                                           jnp.float32)
+        return x0
 
     # -- losses ---------------------------------------------------------------
     def fake_score_loss(self, fake_params, student_params, rng, y):
@@ -109,24 +216,42 @@ class DMDPipeline:
         compute_fake_score_loss — grads w.r.t. fake_params only)."""
         r1, r2, r3 = jax.random.split(rng, 3)
         x0 = jax.lax.stop_gradient(self.generate(student_params, r1, y))
-        B = y.shape[0]
-        t = jax.random.randint(r2, (B,), self.cfg.t_min, self.cfg.t_max + 1)
-        a = jnp.take(self.alphas, t)[:, None, None, None]
+        t = self._sample_t(r2, y.shape[0])
+        alpha, sigma = self._coeffs(t)
         noise = jax.random.normal(r3, x0.shape, jnp.float32)
-        x_t = jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
-        eps_pred = self._eps(fake_params, x_t, t, y)
-        return jnp.mean(jnp.square(eps_pred - noise))
+        x_t = alpha * x0 + sigma * noise
+        pred = self._pred(fake_params, x_t, t, y)
+        return jnp.mean(jnp.square(pred - self._pred_target(x0, noise)))
 
-    def student_loss(self, student_params, fake_params, rng, y):
-        """VSD / distribution-matching loss (reference:
-        compute_student_loss :458, vsd_loss)."""
+    def disc_loss(self, fake_params, disc_params, student_params, rng, y,
+                  x_real):
+        """DMD2 discriminator update: separate noised REAL data from noised
+        student samples, reading the fake net's features (both the head and
+        the backbone take this gradient, as in the reference)."""
+        r1, r2, r3 = jax.random.split(rng, 3)
+        x_fake = jax.lax.stop_gradient(self.generate(student_params, r1, y))
+        t = self._sample_t(r2, y.shape[0])
+        alpha, sigma = self._coeffs(t)
+        noise = jax.random.normal(r3, x_real.shape, jnp.float32)
+        xt_real = alpha * x_real + sigma * noise
+        xt_fake = alpha * x_fake + sigma * noise
+        lr = self._disc.apply(disc_params,
+                              self._features(fake_params, xt_real, t, y))
+        lf = self._disc.apply(disc_params,
+                              self._features(fake_params, xt_fake, t, y))
+        # non-saturating: real -> +inf, fake -> -inf
+        return jnp.mean(jax.nn.softplus(-lr) + jax.nn.softplus(lf))
+
+    def student_loss(self, student_params, fake_params, rng, y,
+                     disc_params=None):
+        """VSD / distribution-matching loss (+ optional DMD2 GAN term)
+        (reference: compute_student_loss :458, vsd_loss)."""
         r1, r2, r3 = jax.random.split(rng, 3)
         x0_s = self.generate(student_params, r1, y)
-        B = y.shape[0]
-        t = jax.random.randint(r2, (B,), self.cfg.t_min, self.cfg.t_max + 1)
-        a = jnp.take(self.alphas, t)[:, None, None, None]
+        t = self._sample_t(r2, y.shape[0])
+        alpha, sigma = self._coeffs(t)
         noise = jax.random.normal(r3, x0_s.shape, jnp.float32)
-        x_t = jnp.sqrt(a) * x0_s + jnp.sqrt(1.0 - a) * noise
+        x_t = alpha * x0_s + sigma * noise
         teacher_x0 = jax.lax.stop_gradient(
             self._x0(self.teacher_params, x_t, t, y)
         )
@@ -136,42 +261,87 @@ class DMDPipeline:
         norm = jnp.mean(jnp.abs(x0_s - teacher_x0), axis=(1, 2, 3),
                         keepdims=True) + 1e-6
         target = jax.lax.stop_gradient(x0_s - self.cfg.vsd_weight * grad / norm)
-        return 0.5 * jnp.mean(jnp.square(x0_s - target))
+        loss = 0.5 * jnp.mean(jnp.square(x0_s - target))
+        if self.cfg.gan_weight > 0 and disc_params is not None:
+            lf = self._disc.apply(
+                jax.lax.stop_gradient(disc_params),
+                self._features(jax.lax.stop_gradient(fake_params), x_t, t, y),
+            )
+            loss = loss + self.cfg.gan_weight * jnp.mean(jax.nn.softplus(-lf))
+        return loss
 
     # -- training loop pieces -------------------------------------------------
-    def init_state(self, tx_g, tx_f):
+    def init_state(self, tx_g, tx_f, rng=None, tx_d=None):
         student = jax.tree.map(jnp.copy, self.teacher_params)
         fake = jax.tree.map(jnp.copy, self.teacher_params)
-        return {
+        state = {
             "student_params": student,
             "fake_params": fake,
             "ema_params": jax.tree.map(jnp.copy, student),
             "g_opt": tx_g.init(student),
             "f_opt": tx_f.init(fake),
+            "disc_params": None,
+            "d_opt": None,
         }
+        if self.cfg.gan_weight > 0:
+            cfg = self.dit_cfg
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            x = jnp.zeros((1, cfg.image_size, cfg.image_size,
+                           cfg.in_channels), jnp.float32)
+            t = jnp.zeros((1,), jnp.int32)
+            y = jnp.zeros((1,), jnp.int32)
+            feats = jax.eval_shape(
+                lambda p: self._features(p, x, t, y), fake
+            )
+            feats = [jnp.zeros(f.shape, jnp.float32) for f in feats]
+            disc = self._disc.init(rng, feats)
+            state["disc_params"] = disc
+            state["d_opt"] = (tx_d or tx_f).init(disc)
+        return state
 
-    def make_steps(self, tx_g, tx_f):
+    def make_steps(self, tx_g, tx_f, tx_d=None):
         """(fake_step, student_step) — both jitted, optimizers closed over;
-        EMA folds into the student step (reference: the pipeline's
-        ExponentialMovingAverage tracker)."""
+        EMA folds into the student step (reference: fastgen/ema.py). With
+        ``gan_weight > 0`` pass the real batch: fake_step(state, rng, y,
+        x_real) also updates the discriminator (head + fake-net backbone,
+        DMD2's joint update)."""
         import optax
 
         decay = self.cfg.ema_decay
+        gan = self.cfg.gan_weight > 0
+        tx_d = tx_d or tx_f
 
         @jax.jit
-        def fake_step(state, rng, y):
+        def fake_step(state, rng, y, x_real=None):
             loss, grads = jax.value_and_grad(self.fake_score_loss)(
                 state["fake_params"], state["student_params"], rng, y
             )
             updates, f_opt = tx_f.update(grads, state["f_opt"],
                                          state["fake_params"])
             fake = optax.apply_updates(state["fake_params"], updates)
-            return {**state, "fake_params": fake, "f_opt": f_opt}, loss
+            state = {**state, "fake_params": fake, "f_opt": f_opt}
+            if gan and x_real is not None:
+                (dl, (gf, gd)) = jax.value_and_grad(
+                    lambda fp, dp: self.disc_loss(
+                        fp, dp, state["student_params"], rng, y, x_real),
+                    argnums=(0, 1), has_aux=False,
+                )(state["fake_params"], state["disc_params"])
+                du, d_opt = tx_d.update(gd, state["d_opt"],
+                                        state["disc_params"])
+                disc = optax.apply_updates(state["disc_params"], du)
+                fu, f_opt = tx_f.update(gf, state["f_opt"],
+                                        state["fake_params"])
+                fake = optax.apply_updates(state["fake_params"], fu)
+                loss = loss + dl
+                state = {**state, "fake_params": fake, "f_opt": f_opt,
+                         "disc_params": disc, "d_opt": d_opt}
+            return state, loss
 
         @jax.jit
         def student_step(state, rng, y):
             loss, grads = jax.value_and_grad(self.student_loss)(
-                state["student_params"], state["fake_params"], rng, y
+                state["student_params"], state["fake_params"], rng, y,
+                disc_params=state["disc_params"],
             )
             updates, g_opt = tx_g.update(grads, state["g_opt"],
                                          state["student_params"])
