@@ -102,6 +102,7 @@ class ServingEngine:
         kv_pages: Optional[int] = None,
         max_admit: int = 2,
         multi_step: int = 1,
+        spec_sampling: bool = False,
     ):
         """``speculative=k`` enables batched draft-verify decode for medusa-,
         eagle-, or dflash-converted bundles: every tick verifies k drafted tokens per
@@ -122,6 +123,11 @@ class ServingEngine:
         if multi_step < 1:
             raise ValueError("multi_step must be >= 1")
         self.multi_step = int(multi_step)
+        # spec_sampling=True verifies drafts with the speculative-sampling
+        # rejection rule instead of greedy match — temperature>0 spec
+        # decode whose outputs are distributed exactly as ancestral
+        # sampling from the target (speculative/sampling.py)
+        self.spec_sampling = bool(spec_sampling)
         # clamp buckets to the cache: an unclamped default (64, 256) on a
         # small max_seq_len would prefill past the cache bound (silently
         # dropped by TPU scatter, a hard error on CPU)
@@ -406,7 +412,21 @@ class ServingEngine:
                     )
                 return jnp.argmax(blog[:, :K], -1).astype(jnp.int32)
 
-            return draft_dflash
+            def draft_dflash_sampled(variables, tokens, features,
+                                     anchor_positions, temps, key):
+                from ..speculative.sampling import tempered_probs
+
+                with self.bundle.contexts():
+                    blog = module.apply(
+                        variables, tokens, features, anchor_positions,
+                        method=DFlashModel.draft_block,
+                    )
+                q = tempered_probs(blog[:, :K], temps[:, None, None])
+                toks = jax.random.categorical(
+                    key, jnp.log(jnp.maximum(q, 1e-30))).astype(jnp.int32)
+                return toks, q
+
+            return draft_dflash_sampled if self.spec_sampling else draft_dflash
 
         if isinstance(module, MedusaModel):
             self.spec_k = K = min(K, module.medusa_cfg.medusa_num_heads)
@@ -419,9 +439,52 @@ class ServingEngine:
                     [jnp.argmax(h[:, -1:], -1).astype(jnp.int32)
                      for h in heads[:K]], axis=1)
 
-            return draft_medusa
+            def draft_medusa_sampled(variables, tokens, hidden, temps, key):
+                from ..speculative.sampling import tempered_probs
+
+                with self.bundle.contexts():
+                    heads = module.apply(variables, hidden[:, None, :],
+                                         method=MedusaModel.medusa_logits)
+                toks, qs = [], []
+                for i, h in enumerate(heads[:K]):
+                    q = tempered_probs(h[:, -1], temps[:, None])
+                    k = jax.random.fold_in(key, i)
+                    toks.append(jax.random.categorical(
+                        k, jnp.log(jnp.maximum(q, 1e-30)))[:, None]
+                        .astype(jnp.int32))
+                    qs.append(q[:, None])
+                return (jnp.concatenate(toks, axis=1),
+                        jnp.concatenate(qs, axis=1))
+
+            return draft_medusa_sampled if self.spec_sampling else draft_medusa
 
         if isinstance(module, EagleModel):
+            if self.spec_sampling:
+                def draft_eagle_sampled(variables, tokens, hidden, temps, key):
+                    from ..speculative.sampling import tempered_probs
+
+                    with self.bundle.contexts():
+                        g = module.apply(variables, hidden[:, None, :],
+                                         method=EagleModel.fuse_features)
+                    ids, gs = tokens, g
+                    toks, qs = [], []
+                    for i in range(K):
+                        with self.bundle.contexts():
+                            dl, dh = module.apply(variables, ids, gs,
+                                                  method=EagleModel.draft_fused)
+                        q = tempered_probs(dl[:, -1], temps[:, None])
+                        k = jax.random.fold_in(key, i)
+                        nxt = jax.random.categorical(
+                            k, jnp.log(jnp.maximum(q, 1e-30)))[:, None]                             .astype(jnp.int32)
+                        toks.append(nxt)
+                        qs.append(q[:, None])
+                        ids = jnp.concatenate([ids, nxt], axis=1)
+                        gs = jnp.concatenate([gs, dh[:, -1:]], axis=1)
+                    return (jnp.concatenate(toks, axis=1),
+                            jnp.concatenate(qs, axis=1))
+
+                return draft_eagle_sampled
+
             def draft_eagle(variables, tokens, hidden):
                 """EAGLE autoregression: fuse base features once, then the
                 draft head re-runs over the growing [token; state] sequence,
@@ -453,6 +516,44 @@ class ServingEngine:
         K = self.spec_k
         draft_fn = self._draft_fn
         is_dflash = self._is_dflash
+
+        if self.spec_sampling:
+            from ..speculative.sampling import rejection_sample, tempered_probs
+
+            def spec_decode_sampled(variables, cache, tokens, hidden, active,
+                                    temps, key):
+                """Stochastic draft-verify: drafts sampled from q, accepted
+                by the rejection rule — outputs distributed exactly as
+                ancestral sampling from the target. Same return contract as
+                the greedy path (emitted, n_emit-1)."""
+                old_lengths = cache["lengths"]
+                kd, kr = jax.random.split(key)
+                if is_dflash:
+                    draft, q = draft_fn(variables, tokens, hidden,
+                                        old_lengths, temps, kd)
+                else:
+                    draft, q = draft_fn(variables, tokens, hidden, temps, kd)
+                ids = jnp.concatenate([tokens, draft], axis=1)  # [B, K+1]
+                logits, cache2, hseq = self._apply(variables, ids, cache,
+                                                   output_hidden=True)
+                p = tempered_probs(logits, temps[:, None, None])  # [B,K+1,V]
+                keys = jax.random.split(kr, p.shape[0])
+                emitted, n_emit = jax.vmap(rejection_sample)(p, q, draft,
+                                                             keys)
+                adv = n_emit * active.astype(jnp.int32)
+                cache2 = {**cache2, "lengths": old_lengths + adv}
+                bidx = jnp.arange(p.shape[0])
+                last_pos = jnp.minimum(n_emit - 1, K)
+                if is_dflash:
+                    hidden_next = jax.vmap(
+                        lambda f, h, s: jax.lax.dynamic_update_slice(
+                            f, h, (s, 0))
+                    )(hidden, hseq.astype(hidden.dtype), old_lengths)
+                else:
+                    hidden_next = hseq[bidx, last_pos]
+                return cache2, emitted, n_emit - 1, hidden_next
+
+            return spec_decode_sampled
 
         def spec_decode(variables, cache, tokens, hidden, active):
             """tokens [B,1] last emitted; hidden [B,F] at those tokens (for
@@ -500,10 +601,16 @@ class ServingEngine:
                     or repetition_penalty != 1.0 or presence_penalty != 0.0
                     or frequency_penalty != 0.0)
         if self.spec_k and sampling:
-            raise ValueError(
-                "speculative engine decode is greedy-only (penalties would "
-                "break the draft-verify consistency)"
-            )
+            only_temp = (top_k == 0 and top_p == 1.0 and min_p == 0.0
+                         and repetition_penalty == 1.0
+                         and presence_penalty == 0.0
+                         and frequency_penalty == 0.0)
+            if not (self.spec_sampling and only_temp):
+                raise ValueError(
+                    "speculative decode supports temperature only, and only "
+                    "with spec_sampling=True (rejection sampling); filters/"
+                    "penalties would change the verified distribution"
+                )
         if not 0.0 < top_p <= 1.0:
             raise ValueError("top_p must be in (0, 1]")
         if top_k < 0:
@@ -737,9 +844,15 @@ class ServingEngine:
         """One batched draft-verify tick: up to spec_k+1 tokens per slot."""
         active = self._active_mask()
         hidden_in = self._features if self._is_dflash else self._hidden
-        self.cache, preds, n_acc, hidden = self._spec_decode(
-            self._vars, self.cache, self._tokens, hidden_in, active
-        )
+        if self.spec_sampling:
+            self.cache, preds, n_acc, hidden = self._spec_decode(
+                self._vars, self.cache, self._tokens, hidden_in, active,
+                self._temps, self._next_key(),
+            )
+        else:
+            self.cache, preds, n_acc, hidden = self._spec_decode(
+                self._vars, self.cache, self._tokens, hidden_in, active
+            )
         if self._is_dflash:
             self._features = hidden
         else:

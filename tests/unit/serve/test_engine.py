@@ -678,3 +678,84 @@ class TestMultiStep:
         eng.run()
         assert len(set(req.out_tokens)) == len(req.out_tokens)
         assert not (set(req.out_tokens) & set(prompt))
+
+
+class TestSpecSampling:
+    def test_temp0_matches_greedy_spec(self, bundle):
+        """spec_sampling at temperature 0 degenerates to the greedy
+        rejection-free path: outputs equal the greedy spec engine's."""
+        import modelopt_tpu.speculative as mtsp
+
+        m = mtsp.convert(bundle, [("medusa", {"medusa_num_heads": 3})])
+        prompts = [[5, 17, 42, 7], [9, 1, 30]]
+        a = ServingEngine(m, max_batch=2, max_seq_len=64,
+                          prefill_buckets=(16,), speculative=3)
+        ra = [a.submit(p, max_new_tokens=7) for p in prompts]
+        a.run()
+        b = ServingEngine(m, max_batch=2, max_seq_len=64,
+                          prefill_buckets=(16,), speculative=3,
+                          spec_sampling=True)
+        rb = [b.submit(p, max_new_tokens=7) for p in prompts]
+        b.run()
+        for x, y in zip(ra, rb):
+            assert x.out_tokens == y.out_tokens
+
+    def test_eagle_temp0_matches_greedy_spec(self, bundle):
+        import modelopt_tpu.speculative as mtsp
+
+        m = mtsp.convert(bundle, [("eagle", {"num_draft_layers": 1})])
+        a = ServingEngine(m, max_batch=1, max_seq_len=64,
+                          prefill_buckets=(16,), speculative=2)
+        ra = a.submit([5, 17, 42, 7], max_new_tokens=7)
+        a.run()
+        b = ServingEngine(m, max_batch=1, max_seq_len=64,
+                          prefill_buckets=(16,), speculative=2,
+                          spec_sampling=True)
+        rb = b.submit([5, 17, 42, 7], max_new_tokens=7)
+        b.run()
+        assert ra.out_tokens == rb.out_tokens
+
+    def test_temperature_spec_sampling_runs(self, bundle):
+        import modelopt_tpu.speculative as mtsp
+
+        m = mtsp.convert(bundle, [("medusa", {"medusa_num_heads": 3})])
+        eng = ServingEngine(m, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,), speculative=3,
+                            spec_sampling=True)
+        reqs = [eng.submit([5, 17, 42, 7], max_new_tokens=9,
+                           temperature=1.0) for _ in range(2)]
+        eng.run()
+        V = m.module.cfg.vocab_size
+        for r in reqs:
+            assert r.done and len(r.out_tokens) == 9
+            assert all(0 <= t < V for t in r.out_tokens)
+        # acceptance bookkeeping stays sane
+        assert eng.stats["draft_accepted"] <= eng.stats["draft_proposed"]
+
+    def test_filters_still_rejected(self, bundle):
+        import modelopt_tpu.speculative as mtsp
+        import pytest as _pt
+
+        m = mtsp.convert(bundle, [("medusa", {"medusa_num_heads": 2})])
+        eng = ServingEngine(m, max_batch=1, max_seq_len=64,
+                            prefill_buckets=(16,), speculative=2,
+                            spec_sampling=True)
+        with _pt.raises(ValueError):
+            eng.submit([1, 2], temperature=0.5, top_k=10)
+
+    def test_dflash_temp0_matches_greedy_spec(self, bundle):
+        import modelopt_tpu.speculative as mtsp
+
+        m = mtsp.convert(
+            bundle, [("dflash", {"num_draft_layers": 1, "block_size": 3})]
+        )
+        a = ServingEngine(m, max_batch=1, max_seq_len=64,
+                          prefill_buckets=(16,), speculative=3)
+        ra = a.submit([5, 17, 42, 7], max_new_tokens=7)
+        a.run()
+        b = ServingEngine(m, max_batch=1, max_seq_len=64,
+                          prefill_buckets=(16,), speculative=3,
+                          spec_sampling=True)
+        rb = b.submit([5, 17, 42, 7], max_new_tokens=7)
+        b.run()
+        assert ra.out_tokens == rb.out_tokens
