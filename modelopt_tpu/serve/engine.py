@@ -521,10 +521,12 @@ class ServingEngine:
             from ..speculative.sampling import rejection_sample, tempered_probs
 
             def spec_decode_sampled(variables, cache, tokens, hidden, active,
-                                    temps, key):
+                                    temps, topk, topp, minp, key):
                 """Stochastic draft-verify: drafts sampled from q, accepted
                 by the rejection rule — outputs distributed exactly as
-                ancestral sampling from the target. Same return contract as
+                ancestral sampling from the target (optionally top-k/p/min-p
+                FILTERED target: filtering p is exact, the unfiltered draft
+                proposal only affects acceptance). Same return contract as
                 the greedy path (emitted, n_emit-1)."""
                 old_lengths = cache["lengths"]
                 kd, kr = jax.random.split(key)
@@ -536,6 +538,17 @@ class ServingEngine:
                 ids = jnp.concatenate([tokens, draft], axis=1)  # [B, K+1]
                 logits, cache2, hseq = self._apply(variables, ids, cache,
                                                    output_hidden=True)
+                need = jnp.any((topk > 0) | (topp < 1.0) | (minp > 0.0))
+                logits = jax.lax.cond(
+                    need,
+                    lambda lg: jax.vmap(           # over slots
+                        lambda row, tk, tp, mp, t: jax.vmap(
+                            lambda r: _filter_logits(r, tk, tp, mp, t)
+                        )(row)
+                    )(lg, topk, topp, minp, temps),
+                    lambda lg: lg.astype(jnp.float32),
+                    logits,
+                )
                 p = tempered_probs(logits, temps[:, None, None])  # [B,K+1,V]
                 keys = jax.random.split(kr, p.shape[0])
                 emitted, n_emit = jax.vmap(rejection_sample)(p, q, draft,
@@ -601,15 +614,13 @@ class ServingEngine:
                     or repetition_penalty != 1.0 or presence_penalty != 0.0
                     or frequency_penalty != 0.0)
         if self.spec_k and sampling:
-            only_temp = (top_k == 0 and top_p == 1.0 and min_p == 0.0
-                         and repetition_penalty == 1.0
-                         and presence_penalty == 0.0
-                         and frequency_penalty == 0.0)
-            if not (self.spec_sampling and only_temp):
+            no_pen = (repetition_penalty == 1.0 and presence_penalty == 0.0
+                      and frequency_penalty == 0.0)
+            if not (self.spec_sampling and no_pen):
                 raise ValueError(
-                    "speculative decode supports temperature only, and only "
-                    "with spec_sampling=True (rejection sampling); filters/"
-                    "penalties would change the verified distribution"
+                    "speculative decode supports temperature/top-k/top-p/"
+                    "min-p only with spec_sampling=True (rejection "
+                    "sampling); penalties are not supported in spec mode"
                 )
         if not 0.0 < top_p <= 1.0:
             raise ValueError("top_p must be in (0, 1]")
@@ -847,7 +858,8 @@ class ServingEngine:
         if self.spec_sampling:
             self.cache, preds, n_acc, hidden = self._spec_decode(
                 self._vars, self.cache, self._tokens, hidden_in, active,
-                self._temps, self._next_key(),
+                self._temps, self._topk, self._topp, self._minp,
+                self._next_key(),
             )
         else:
             self.cache, preds, n_acc, hidden = self._spec_decode(

@@ -732,7 +732,7 @@ class TestSpecSampling:
         # acceptance bookkeeping stays sane
         assert eng.stats["draft_accepted"] <= eng.stats["draft_proposed"]
 
-    def test_filters_still_rejected(self, bundle):
+    def test_penalties_still_rejected(self, bundle):
         import modelopt_tpu.speculative as mtsp
         import pytest as _pt
 
@@ -740,8 +740,10 @@ class TestSpecSampling:
         eng = ServingEngine(m, max_batch=1, max_seq_len=64,
                             prefill_buckets=(16,), speculative=2,
                             spec_sampling=True)
+        # filters are fine (p gets filtered exactly); penalties are not
+        eng.submit([1, 2], temperature=0.5, top_k=10)
         with _pt.raises(ValueError):
-            eng.submit([1, 2], temperature=0.5, top_k=10)
+            eng.submit([1, 2], temperature=0.5, repetition_penalty=2.0)
 
     def test_dflash_temp0_matches_greedy_spec(self, bundle):
         import modelopt_tpu.speculative as mtsp
@@ -757,5 +759,23 @@ class TestSpecSampling:
                           prefill_buckets=(16,), speculative=3,
                           spec_sampling=True)
         rb = b.submit([5, 17, 42, 7], max_new_tokens=7)
+        b.run()
+        assert ra.out_tokens == rb.out_tokens
+
+    def test_spec_sampling_topk1_equals_greedy(self, bundle):
+        """top_k=1 restricts the filtered target to the argmax: outputs
+        equal the greedy spec engine's even at high temperature."""
+        import modelopt_tpu.speculative as mtsp
+
+        m = mtsp.convert(bundle, [("medusa", {"medusa_num_heads": 3})])
+        a = ServingEngine(m, max_batch=1, max_seq_len=64,
+                          prefill_buckets=(16,), speculative=3)
+        ra = a.submit([5, 17, 42, 7], max_new_tokens=7)
+        a.run()
+        b = ServingEngine(m, max_batch=1, max_seq_len=64,
+                          prefill_buckets=(16,), speculative=3,
+                          spec_sampling=True, seed=5)
+        rb = b.submit([5, 17, 42, 7], max_new_tokens=7, temperature=4.0,
+                      top_k=1)
         b.run()
         assert ra.out_tokens == rb.out_tokens
