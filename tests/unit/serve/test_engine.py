@@ -779,3 +779,20 @@ class TestSpecSampling:
                       top_k=1)
         b.run()
         assert ra.out_tokens == rb.out_tokens
+
+
+def test_generate_tokens_wrapper(bundle):
+    """deploy/llm-style one-call API over the engine."""
+    from modelopt_tpu.serve import ServingEngine, generate_tokens
+
+    prompts = [[5, 9, 2, 7], [4, 4, 8]]
+    outs = generate_tokens(bundle, prompts, max_new_tokens=6)
+    assert len(outs) == 2 and all(len(o) == 6 for o in outs)
+    # matches per-request engine outputs
+    eng = ServingEngine(bundle, max_batch=2, max_seq_len=256)
+    reqs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    eng.run()
+    assert outs == [r.out_tokens for r in reqs]
+    # warm-engine reuse
+    outs2 = generate_tokens(bundle, prompts, max_new_tokens=6, engine=eng)
+    assert outs2 == outs
