@@ -4,6 +4,8 @@ from .layers import (
     QuantConv,
     QuantDense,
     QuantEinsum,
+    QuantLSTM,
+    QuantPool,
     QuantEmbed,
     RMSNorm,
 )
@@ -18,6 +20,8 @@ __all__ = [
     "QuantConv",
     "QuantDense",
     "QuantEinsum",
+    "QuantLSTM",
+    "QuantPool",
     "QuantEmbed",
     "RMSNorm",
     "TensorQuantizer",

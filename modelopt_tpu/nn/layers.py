@@ -341,3 +341,110 @@ class RMSNorm(nn.Module):
         return (y * (self.scale_offset + scale.astype(jnp.float32))).astype(
             self.dtype or x.dtype
         )
+
+
+class QuantLSTM(nn.Module):
+    """Unidirectional LSTM with quantization points, scanned with lax.scan
+    (reference: nn/modules/quant_rnn.py QuantLSTM — a VF rewrite of cuDNN
+    LSTM with per-layer quantizers).
+
+    The input projection is a full QuantDense over the whole sequence (one
+    big GEMM: input + weight quantizers, every calibration algorithm,
+    compress()). The recurrent kernel is quantized ONCE outside the scan —
+    weight quantizers are input-independent, and quantizer state cannot
+    mutate inside a scan body — then the scan consumes the materialized
+    (fake-quant or dequantized-packed) value. The recurrent input h is
+    tanh-bounded, so it carries no data-dependent quantizer.
+
+    __call__(x [B, T, F]) -> (outputs [B, T, H], (h [B, H], c [B, H])).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, init_state=None):
+        H = self.features
+        B = x.shape[0]
+        dtype = self.dtype or x.dtype
+        # fused input projection, all four gates at once (i f g o)
+        ih = QuantDense(4 * H, use_bias=self.use_bias, dtype=dtype,
+                        param_dtype=self.param_dtype, name="ih_proj")
+        gates_x = ih(x)  # [B, T, 4H] — batched over time in ONE GEMM
+        # recurrent kernel, quantized/unpacked outside the scan
+        if self.has_variable("quant", "qweight"):
+            from ..nn.quantizer import active_quant_config
+            from ..quant.qtensor import dequantize_qtensor
+
+            cfg = active_quant_config()
+            specs = (cfg.resolve("/".join(self.path) + "/weight_quantizer")
+                     if cfg else None)
+            if not specs:
+                raise ValueError(
+                    f"{'/'.join(self.path)}: qweight present but no active "
+                    "weight-quantizer spec to interpret it"
+                )
+            qt = self.get_variable("quant", "qweight")
+            w_hh = dequantize_qtensor(qt, specs[0], (H, 4 * H)).astype(dtype)
+        else:
+            kernel = self.param("kernel", default_kernel_init, (H, 4 * H),
+                                self.param_dtype)
+            w_hh = TensorQuantizer(name="weight_quantizer")(kernel)
+            w_hh = w_hh.astype(dtype)
+        if init_state is None:
+            h0 = jnp.zeros((B, H), dtype)
+            c0 = jnp.zeros((B, H), dtype)
+        else:
+            h0, c0 = init_state
+
+        def step(carry, gx):
+            h, c = carry
+            g = gx + jnp.dot(h, w_hh)
+            i, f, gg, o = jnp.split(g, 4, axis=-1)
+            c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(gg)
+            h = nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        (h, c), ys = jax.lax.scan(step, (h0, c0),
+                                  gates_x.transpose(1, 0, 2))
+        return ys.transpose(1, 0, 2), (h, c)
+
+
+class QuantPool(nn.Module):
+    """Max/avg N-D pooling with input/output quantization points
+    (reference: nn/modules/quant_pooling.py QuantMaxPool/QuantAvgPool/
+    QuantAdaptiveAvgPool — pooling has no weights; the registry entries
+    exist so activation quantizers can sit on pooling layers). Feature-last
+    layout; ``window`` lengths set the dimensionality; ``window=None``
+    pools globally (adaptive output size 1)."""
+
+    window: Optional[Sequence[int]] = None
+    strides: Optional[Sequence[int]] = None
+    kind: str = "avg"  # "avg" | "max"
+    padding: str = "VALID"
+
+    @nn.compact
+    def __call__(self, x):
+        x = TensorQuantizer(name="input_quantizer")(x)
+        if self.window is None:  # adaptive/global
+            axes = tuple(range(1, x.ndim - 1))
+            y = (jnp.max(x, axes, keepdims=True) if self.kind == "max"
+                 else jnp.mean(x, axes, keepdims=True))
+        else:
+            ndim = len(self.window)
+            win = (1, *self.window, 1)
+            strides = (1, *(self.strides or self.window), 1)
+            assert x.ndim == ndim + 2, (x.shape, self.window)
+            if self.kind == "max":
+                y = lax.reduce_window(x, -jnp.inf, lax.max, win, strides,
+                                      self.padding)
+            else:
+                y = lax.reduce_window(x, 0.0, lax.add, win, strides,
+                                      self.padding)
+                n = 1
+                for w in self.window:
+                    n *= int(w)
+                y = y / n
+        return TensorQuantizer(name="output_quantizer")(y)
