@@ -204,9 +204,14 @@ def _kv_write_kernel(start_ref, v_ref, cache_ref, o_ref, sem):
     b = pl.program_id(0)
     T = v_ref.shape[1]
     s = start_ref[b]
+    # 4-D [.., T/S, KHD//128, 128] views: every sliced dim (batch, row) is
+    # LEADING, and the tiled last-two dims (sublane, lane) stay full — a
+    # 3-D [B, S, KHD] memref puts rows on the sublane dim, where Mosaic
+    # refuses T=1 slices of padded tiles ("slice shape along dimension 1
+    # must be aligned to tiling"), in VMEM and HBM alike.
     copy = pltpu.make_async_copy(
-        v_ref.at[0],                 # [T, KH*D] staged in VMEM
-        o_ref.at[b, pl.ds(s, T)],    # routed slice of the HBM cache
+        v_ref.at[b],                 # [T, KHD//128, 128] rows in HBM
+        o_ref.at[b, pl.ds(s, T)],    # routed row slice of the HBM cache
         sem,
     )
     copy.start()
@@ -241,19 +246,26 @@ def dense_kv_write(cache, vals, start):
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, T, KHD), lambda b, start: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # vals: DMA source pinned to HBM — ANY lets Mosaic stage small
+            # arrays in VMEM, where a T=1 row is an illegal sub-tile slice
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pl.ANY),  # cache: aliased, not read
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
-    return pl.pallas_call(
+    S = cache.shape[1]
+    nsub = KHD // 128
+    # 4-D bitcast views (free): rows become leading-dim slices
+    out = pl.pallas_call(
         _kv_write_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, S, nsub, 128), cache.dtype),
         input_output_aliases={2: 0},  # cache (3rd input incl. prefetch) -> out
-    )(start.astype(jnp.int32), vals.astype(cache.dtype), cache)
+    )(start.astype(jnp.int32),
+      vals.astype(cache.dtype).reshape(B, T, nsub, 128),
+      cache.reshape(B, S, nsub, 128))
+    return out.reshape(B, S, KHD)
 
 
 def decode_attention_ok(q_shape, S: int, cache_dtype=None) -> bool:
@@ -278,7 +290,8 @@ def decode_attention_ok(q_shape, S: int, cache_dtype=None) -> bool:
 # Fused decode step: KV-cache write + attention in ONE kernel
 # ---------------------------------------------------------------------------
 def _fused_decode_kernel(pos_ref, scales_ref, q_ref, sinks_ref, knew_ref,
-                         vnew_ref, k_ref, v_ref, o_ref, kout_ref, vout_ref,
+                         vnew_ref, knew_hbm, vnew_hbm, k_ref, v_ref, o_ref,
+                         kout_ref, vout_ref,
                          acc_ref, m_ref, l_ref, sem_k, sem_v, *, chunk: int,
                          softcap, use_sinks):
     b = pl.program_id(0)
@@ -291,10 +304,14 @@ def _fused_decode_kernel(pos_ref, scales_ref, q_ref, sinks_ref, knew_ref,
     KH, G, D = q_ref.shape[1:]
 
     def _copies():
+        # HBM->HBM row DMAs: a VMEM source would be a 1-sublane slice of a
+        # padded tile, which Mosaic refuses to lower on the lane-merged
+        # layout (see _kv_write_kernel). The VMEM knew/vnew copies feed the
+        # inline self-attention only.
         ck = pltpu.make_async_copy(
-            knew_ref.at[0], kout_ref.at[b, pl.ds(L, 1)], sem_k)
+            knew_hbm.at[b], kout_ref.at[b, pl.ds(L, 1)], sem_k)
         cv = pltpu.make_async_copy(
-            vnew_ref.at[0], vout_ref.at[b, pl.ds(L, 1)], sem_v)
+            vnew_hbm.at[b], vout_ref.at[b, pl.ds(L, 1)], sem_v)
         return ck, cv
 
     # Start this slot's cache-write DMAs immediately; wait for the PREVIOUS
@@ -329,27 +346,24 @@ def _fused_decode_kernel(pos_ref, scales_ref, q_ref, sinks_ref, knew_ref,
 
     @pl.when(c == nc - 1)
     def _finalize():
-        # the new token attends to itself from VMEM (never from HBM)
+        # the new token attends to itself from VMEM (never from HBM).
+        # These are [G,1]/[G,D] VPU-sized ops: explicit f32 elementwise
+        # multiply+reduce — tiny dot_generals (N=1 / outer product) trip a
+        # Mosaic bf16->f32 vector.broadcast verification error on v5e.
         inv_sqrt_d = k_scale / jnp.sqrt(jnp.float32(D))
         for h in range(KH):
-            qh = q_ref[0, h].astype(jnp.bfloat16)                # [G, D]
-            kn = knew_ref[0][:, h * D:(h + 1) * D].astype(jnp.bfloat16)
-            vn = vnew_ref[0][:, h * D:(h + 1) * D].astype(jnp.bfloat16)
-            s_n = jax.lax.dot_general(
-                qh, kn, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * inv_sqrt_d                                       # [G, 1]
+            qh = q_ref[0, h].astype(jnp.float32)                 # [G, D]
+            kn = knew_ref[0][:, h * D:(h + 1) * D].astype(jnp.float32)
+            vn = vnew_ref[0][:, h * D:(h + 1) * D].astype(jnp.float32)
+            s_n = jnp.sum(qh * kn, axis=1, keepdims=True) * inv_sqrt_d
             if softcap is not None:
                 s_n = jnp.tanh(s_n / softcap) * softcap
             m_prev = m_ref[h][:, :1]
             m_fin = jnp.maximum(m_prev, s_n)
             alpha = jnp.exp(m_prev - m_fin)
-            e_n = jnp.exp(s_n - m_fin)
+            e_n = jnp.exp(s_n - m_fin)                           # [G, 1]
             l_fin = l_ref[h][:, :1] * alpha + e_n
-            acc = acc_ref[h] * alpha + jax.lax.dot_general(
-                e_n.astype(jnp.bfloat16), vn, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            acc = acc_ref[h] * alpha + e_n * vn                  # [G, D]
             if use_sinks:
                 # learned sink: extra softmax slot whose mass is dropped
                 sink = sinks_ref[0, h][:, :1]
@@ -406,6 +420,8 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, KHD), lambda b, c, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # knew DMA src
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # vnew DMA src
             pl.BlockSpec((1, chunk, KHD), lambda b, c, *_: (b, c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, KHD), lambda b, c, *_: (b, c, 0),
@@ -424,6 +440,8 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
     )
     kernel = functools.partial(_fused_decode_kernel, chunk=chunk,
                                softcap=softcap, use_sinks=use_sinks)
+    kn = k_new.astype(k_cache.dtype)
+    vn = v_new.astype(v_cache.dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -433,16 +451,15 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
         # inputs incl. prefetch: 0=pos 1=scales 2=q 3=sinks 4=knew 5=vnew
-        # 6=k 7=v
-        input_output_aliases={6: 1, 7: 2},
+        # 6=knew_hbm 7=vnew_hbm 8=k 9=v
+        input_output_aliases={8: 1, 9: 2},
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * KH * G * S * D,
             bytes_accessed=2 * B * KH * S * D * k_cache.dtype.itemsize,
             transcendentals=B * KH * G * S,
         ),
     )(pos.astype(jnp.int32), _scales_arr(k_scale, v_scale), q, sinks_arr,
-      k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
-      k_cache, v_cache)
+      kn, vn, kn, vn, k_cache, v_cache)
 
 
 def fused_decode_ok(q_shape, S: int, cache_dtype=None) -> bool:

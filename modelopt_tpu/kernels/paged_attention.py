@@ -110,8 +110,11 @@ def _kv_write_kernel(pid_ref, off_ref, v_ref, pool_ref, o_ref, sem):
     t = pl.program_id(1)
     pid = pid_ref[b, t]
     off = off_ref[b, t]
+    # 4-D [.., KHD//128, 128] views: the routed dims (b, t, pid, off) are
+    # all LEADING, the tiled last-two dims stay full (see
+    # attention._kv_write_kernel for why 3-D row slices fail to lower)
     copy = pltpu.make_async_copy(
-        v_ref.at[0],                         # [1, KH*D] staged in VMEM
+        v_ref.at[b, pl.ds(t, 1)],            # [1, KHD//128, 128] in HBM
         o_ref.at[pid, pl.ds(off, 1)],        # page-table-routed HBM slice
         sem,
     )
@@ -137,20 +140,26 @@ def paged_kv_write(pool, vals, pids, offs):
         num_scalar_prefetch=2,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, KHD), lambda b, t, pids, offs: (b, t, 0),
-                         memory_space=pltpu.VMEM),
+            # vals: HBM->HBM DMA source. A VMEM-staged (1, 1, KHD) block is
+            # an illegal 1-sublane slice of a padded tile on the
+            # lane-merged layout (see attention.dense_kv_write).
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pl.ANY),  # pool: aliased, not read
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
-    return pl.pallas_call(
+    P, ps, _ = pool.shape
+    nsub = KHD // 128
+    out = pl.pallas_call(
         _kv_write_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+        out_shape=jax.ShapeDtypeStruct((P, ps, nsub, 128), pool.dtype),
         input_output_aliases={3: 0},  # pool (4th input incl. prefetch) -> out
     )(pids.astype(jnp.int32), offs.astype(jnp.int32),
-      vals.astype(pool.dtype), pool)
+      vals.astype(pool.dtype).reshape(B, T, nsub, 128),
+      pool.reshape(P, ps, nsub, 128))
+    return out.reshape(P, ps, KHD)
 
 
 def paged_gather_dense(pages, page_table):

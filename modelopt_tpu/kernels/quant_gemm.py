@@ -167,33 +167,62 @@ def _w4a8_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
     ``>> 4`` on the i32 accumulator finishes it). Measured 0.144 ms /
     408 GB/s at K=4096, N=28672, M=64 on v5e vs 0.191 ms for the bf16-path
     w4a16 kernel (Mosaic legalizes no shifts/subs on int8 vectors, so the
-    conventional unpack-to-i8 route is impossible; this needs none)."""
+    conventional unpack-to-i8 route is impossible; this needs none).
+
+    Handles K2 % block != 0 (straddle shapes, same scale-row layout as
+    _w4a16_body: nfull lo rows, one straddle row, hi rows shifted by rem):
+    when aligned (rem == 0) lo/hi share one packed-row read per block; the
+    straddle layout splits them into offset loops."""
     K2 = p_ref.shape[0]
-    nb = K2 // block
+    nfull = K2 // block
+    rem = K2 % block
+    M, TN = x_ref.shape[0], p_ref.shape[1]
 
-    def body(b, acc):
-        off = b * block
-        pb = p_ref[pl.ds(off, block), :]
+    def dot_lo(xlo, pb):
         lo = jax.lax.bitcast_convert_type(pb & 0xF, jnp.int8)
-        hi = jax.lax.bitcast_convert_type(pb & 0xF0, jnp.int8)
-        xlo = x_ref[:, pl.ds(off, block)]
-        xhi = x_ref[:, pl.ds(K2 + off, block)]
-        dlo = jax.lax.dot_general(xlo, lo, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        dhi = jax.lax.dot_general(xhi, hi, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        rs_lo = jnp.sum(xlo.astype(jnp.int32), axis=1, keepdims=True)
-        qlo = dlo - 8 * rs_lo
-        qhi = jax.lax.shift_right_arithmetic(dhi, 4)
-        s_lo = s_ref[pl.ds(b, 1), :]
-        s_hi = s_ref[pl.ds(nb + b, 1), :]
-        return acc + qlo.astype(jnp.float32) * s_lo + qhi.astype(jnp.float32) * s_hi
+        d = jax.lax.dot_general(xlo, lo, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return d - 8 * jnp.sum(xlo.astype(jnp.int32), axis=1, keepdims=True)
 
-    acc = jax.lax.fori_loop(
-        0, nb, body, jnp.zeros((x_ref.shape[0], p_ref.shape[1]), jnp.float32),
-        unroll=False,
-    )
-    o_ref[:] = acc
+    def dot_hi(xhi, pb):
+        hi = jax.lax.bitcast_convert_type(pb & 0xF0, jnp.int8)
+        d = jax.lax.dot_general(xhi, hi, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return jax.lax.shift_right_arithmetic(d, 4)
+
+    if rem == 0:
+        def body(b, acc):
+            off = b * block
+            pb = p_ref[pl.ds(off, block), :]
+            qlo = dot_lo(x_ref[:, pl.ds(off, block)], pb)
+            qhi = dot_hi(x_ref[:, pl.ds(K2 + off, block)], pb)
+            return (acc + qlo.astype(jnp.float32) * s_ref[pl.ds(b, 1), :]
+                    + qhi.astype(jnp.float32) * s_ref[pl.ds(nfull + b, 1), :])
+
+        o_ref[:] = jax.lax.fori_loop(
+            0, nfull, body, jnp.zeros((M, TN), jnp.float32), unroll=False)
+        return
+
+    def body_lo(b, acc):
+        off = b * block
+        q = dot_lo(x_ref[:, pl.ds(off, block)], p_ref[pl.ds(off, block), :])
+        return acc + q.astype(jnp.float32) * s_ref[pl.ds(b, 1), :]
+
+    def body_hi(b, acc):
+        poff = rem + b * block
+        q = dot_hi(x_ref[:, pl.ds(K2 + poff, block)],
+                   p_ref[pl.ds(poff, block), :])
+        return acc + q.astype(jnp.float32) * s_ref[pl.ds(nfull + 1 + b, 1), :]
+
+    acc = jax.lax.fori_loop(0, nfull, body_lo,
+                            jnp.zeros((M, TN), jnp.float32), unroll=False)
+    # straddle block: lo-nibble tail + hi-nibble head, one shared scale row
+    q = dot_lo(x_ref[:, pl.ds(nfull * block, rem)],
+               p_ref[pl.ds(nfull * block, rem), :])
+    q = q + dot_hi(x_ref[:, pl.ds(K2, rem)], p_ref[pl.ds(0, rem), :])
+    acc = acc + q.astype(jnp.float32) * s_ref[pl.ds(nfull, 1), :]
+    o_ref[:] = jax.lax.fori_loop(0, (K2 - rem) // block, body_hi, acc,
+                                 unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))

@@ -73,12 +73,13 @@ def qgemm(x2d, qt: dict, spec: QuantizerSpec, kn, out_dtype=None,
     if _pallas_ok(fmt, x2d, kn, block_of(spec, 16 if fmt == "nvfp4" else 128)):
         from ..kernels import quant_gemm as kq
 
-        if fmt == "int4" and act_int8 and (kn[0] // 2) % block_of(spec) == 0:
+        if fmt == "int4" and act_int8:
             # W4A8: per-token dynamic int8 activations ride the int8 MXU
             # (x arrives already fake-quantized to the int8 grid by the
             # input quantizer, so this re-quantization is ~lossless).
-            # Straddle-block shapes (K2 % block != 0) fall to the bf16
-            # w4a16 kernel below — the int8 kernel isn't generalized.
+            # Straddle-block shapes (K2 % block != 0, e.g. K=1408/2880)
+            # are handled inside the kernel (_pallas_ok already pins the
+            # 8-sublane alignment of the straddle remainder).
             xf = x2d.astype(jnp.float32)
             xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
                              1e-12) / 127.0

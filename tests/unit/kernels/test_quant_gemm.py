@@ -55,6 +55,21 @@ def test_w4a8_parity(rng, interp):
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-2)
 
 
+def test_w4a8_straddle_parity(rng, interp):
+    """Int8-MXU W4A8 on straddle shapes (K2 % block = block/2): the scale
+    block spanning the split-half boundary accumulates a lo-nibble tail and
+    hi-nibble head under one scale row, all in int8-MXU math."""
+    K, N, M = 704, 128, 8  # block 64: K2=352 -> rem 32 (straddle)
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    xq = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    packed = qt.quantize_int4(w, block=64)
+    y = kq.w4a8_gemm(xq, packed["data"], packed["scale"], block=64)
+    q = qt.unpack_int4(packed["data"]).astype(jnp.float32)
+    scale = jnp.repeat(packed["scale"], 64, axis=0)
+    ref = xq.astype(jnp.float32) @ (q * scale)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-2)
+
+
 def test_w8a16_parity(rng, interp):
     K, N, M = 256, 128, 8
     w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
