@@ -289,10 +289,16 @@ def decode_attention_ok(q_shape, S: int, cache_dtype=None) -> bool:
 # ---------------------------------------------------------------------------
 # Fused decode step: KV-cache write + attention in ONE kernel
 # ---------------------------------------------------------------------------
+_SLAB = 8  # HBM sublane tile: memref_slice on the token dim must move
+# whole 8-row tiles (Mosaic refuses smaller/unaligned slices for every
+# cache dtype; verified on v5e for bf16/fp8/int8).
+
+
 def _fused_decode_kernel(pos_ref, scales_ref, q_ref, sinks_ref, knew_ref,
-                         vnew_ref, knew_hbm, vnew_hbm, k_ref, v_ref, o_ref,
+                         vnew_ref, k_ref, v_ref, o_ref,
                          kout_ref, vout_ref,
-                         acc_ref, m_ref, l_ref, sem_k, sem_v, *, chunk: int,
+                         acc_ref, m_ref, l_ref, slab_k, slab_v,
+                         sem_rk, sem_rv, sem_wk, sem_wv, *, chunk: int,
                          softcap, use_sinks):
     b = pl.program_id(0)
     c = pl.program_id(1)
@@ -302,33 +308,55 @@ def _fused_decode_kernel(pos_ref, scales_ref, q_ref, sinks_ref, knew_ref,
     k_scale = scales_ref[0]
     v_scale = scales_ref[1]
     KH, G, D = q_ref.shape[1:]
+    P = _SLAB
+    Ld = (L // P) * P  # tile-aligned slab start containing row L
+    par = jax.lax.rem(b, 2)  # double-buffered slab scratch
 
-    def _copies():
-        # HBM->HBM row DMAs: a VMEM source would be a 1-sublane slice of a
-        # padded tile, which Mosaic refuses to lower on the lane-merged
-        # layout (see _kv_write_kernel). The VMEM knew/vnew copies feed the
-        # inline self-attention only.
-        ck = pltpu.make_async_copy(
-            knew_hbm.at[b], kout_ref.at[b, pl.ds(L, 1)], sem_k)
-        cv = pltpu.make_async_copy(
-            vnew_hbm.at[b], vout_ref.at[b, pl.ds(L, 1)], sem_v)
-        return ck, cv
+    # Cache write = pipelined read-modify-write of the 8-row HBM tile
+    # around row L: Mosaic only DMAs whole (8, 128) tiles on the token dim,
+    # so read the slab, splice the new row in VMEM, write it back. Rows
+    # != L are rewritten byte-identical (races with this kernel's own
+    # chunk prefetches are benign) and row L is masked out of the attention
+    # (the new token joins from VMEM in _finalize). The slab read issues at
+    # c==0 and lands by c==nc-1, hiding its latency behind the chunk loop;
+    # the write-back hides behind the NEXT slot's chunks (double-buffered
+    # scratch, waited two slots later).
+    def _rd(dst, src_hbm, sem):
+        return pltpu.make_async_copy(src_hbm.at[b, pl.ds(Ld, P)], dst, sem)
 
-    # Start this slot's cache-write DMAs immediately; wait for the PREVIOUS
-    # slot's (equal-sized transfers on the same semaphores) so exactly one
-    # slot's writes are in flight behind the attention compute — the
-    # start();wait() serial pattern costs ~3 us/slot of pure DMA latency.
     @pl.when(c == 0)
-    def _start_write():
-        ck, cv = _copies()
-        ck.start()
-        cv.start()
+    def _slab_read():
+        @pl.when(b >= 2)
+        def _drain_prev():
+            # equal-sized transfer: any same-shape descriptor can wait it
+            _rd(slab_k.at[par], kout_ref, sem_wk).wait()
+            _rd(slab_v.at[par], vout_ref, sem_wv).wait()
+        _rd(slab_k.at[par], kout_ref, sem_rk).start()
+        _rd(slab_v.at[par], vout_ref, sem_rv).start()
 
-    @pl.when((c == 0) & (b > 0))
-    def _wait_prev():
-        ck, cv = _copies()
-        ck.wait()
-        cv.wait()
+    @pl.when(c == nc - 1)
+    def _slab_write():
+        _rd(slab_k.at[par], kout_ref, sem_rk).wait()
+        _rd(slab_v.at[par], vout_ref, sem_rv).wait()
+        row = jax.lax.broadcasted_iota(jnp.int32, (P, KH * D), 0)
+        is_new = row == (L - Ld)
+        kold = slab_k[par].astype(jnp.bfloat16)
+        vold = slab_v[par].astype(jnp.bfloat16)
+        knew = jnp.broadcast_to(knew_ref[0].astype(jnp.bfloat16), (P, KH * D))
+        vnew = jnp.broadcast_to(vnew_ref[0].astype(jnp.bfloat16), (P, KH * D))
+        # bf16 round-trips every cache dtype exactly (e4m3 / int8 / bf16)
+        slab_k[par] = jnp.where(is_new, knew, kold).astype(slab_k.dtype)
+        slab_v[par] = jnp.where(is_new, vnew, vold).astype(slab_v.dtype)
+        pltpu.make_async_copy(
+            slab_k.at[par], kout_ref.at[b, pl.ds(Ld, P)], sem_wk).start()
+        pltpu.make_async_copy(
+            slab_v.at[par], vout_ref.at[b, pl.ds(Ld, P)], sem_wv).start()
+
+    @pl.when((b == B - 1) & (c == nc - 1))
+    def _drain_last():
+        for _ in range(2 if B >= 2 else 1):
+            _rd(slab_k.at[par], kout_ref, sem_wk).wait()
+            _rd(slab_v.at[par], vout_ref, sem_wv).wait()
 
     @pl.when(c == 0)
     def _init():
@@ -374,12 +402,6 @@ def _fused_decode_kernel(pos_ref, scales_ref, q_ref, sinks_ref, knew_ref,
             out = acc * (v_scale / jnp.maximum(l_fin, 1e-30))
             o_ref[0, h] = out.astype(o_ref.dtype)
 
-    @pl.when((b == B - 1) & (c == nc - 1))
-    def _wait_last():
-        ck, cv = _copies()
-        ck.wait()
-        cv.wait()
-
 
 @functools.partial(jax.jit,
                    static_argnames=("out_dtype", "chunk", "softcap"))
@@ -420,8 +442,6 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, KHD), lambda b, c, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # knew DMA src
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # vnew DMA src
             pl.BlockSpec((1, chunk, KHD), lambda b, c, *_: (b, c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, KHD), lambda b, c, *_: (b, c, 0),
@@ -434,6 +454,10 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=_SCRATCH(KH, G, D) + [
+            pltpu.VMEM((2, _SLAB, KHD), k_cache.dtype),
+            pltpu.VMEM((2, _SLAB, KHD), v_cache.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -451,15 +475,15 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
         # inputs incl. prefetch: 0=pos 1=scales 2=q 3=sinks 4=knew 5=vnew
-        # 6=knew_hbm 7=vnew_hbm 8=k 9=v
-        input_output_aliases={8: 1, 9: 2},
+        # 6=k 7=v
+        input_output_aliases={6: 1, 7: 2},
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * KH * G * S * D,
             bytes_accessed=2 * B * KH * S * D * k_cache.dtype.itemsize,
             transcendentals=B * KH * G * S,
         ),
     )(pos.astype(jnp.int32), _scales_arr(k_scale, v_scale), q, sinks_arr,
-      kn, vn, kn, vn, k_cache, v_cache)
+      kn, vn, k_cache, v_cache)
 
 
 def fused_decode_ok(q_shape, S: int, cache_dtype=None) -> bool:
@@ -469,4 +493,4 @@ def fused_decode_ok(q_shape, S: int, cache_dtype=None) -> bool:
     B, KH, G, D = q_shape
     if jax.default_backend() != "tpu" or _pallas_attn_disabled():
         return False
-    return S <= 8192 and D % 128 == 0
+    return S <= 8192 and D % 128 == 0 and S % _SLAB == 0
