@@ -175,9 +175,19 @@ def decode_attention(q, k_cache, v_cache, lengths, k_scale=None, v_scale=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + sh + (128,), lambda b, c, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, KH * D), lambda b, c, *_: (b, c, 0),
+            # length-clamped fetch (see fused_decode_attention): chunks past
+            # the live length repeat a block index and are never DMA'd
+            pl.BlockSpec((1, chunk, KH * D),
+                         lambda b, c, lens, *_: (
+                             b,
+                             jnp.minimum(c, jnp.maximum(lens[b] - 1, 0) // chunk),
+                             0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, KH * D), lambda b, c, *_: (b, c, 0),
+            pl.BlockSpec((1, chunk, KH * D),
+                         lambda b, c, lens, *_: (
+                             b,
+                             jnp.minimum(c, jnp.maximum(lens[b] - 1, 0) // chunk),
+                             0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, KH, G, D), lambda b, c, *_: (b, 0, 0, 0),
@@ -292,6 +302,8 @@ def decode_attention_ok(q_shape, S: int, cache_dtype=None) -> bool:
 _SLAB = 8  # HBM sublane tile: memref_slice on the token dim must move
 # whole 8-row tiles (Mosaic refuses smaller/unaligned slices for every
 # cache dtype; verified on v5e for bf16/fp8/int8).
+_SLAB_BUFS = 4  # slab scratch ring: read issued one slot ahead, write
+# drained NB-1 slots behind — hides the RMW DMA latency even at nc == 1
 
 
 def _fused_decode_kernel(pos_ref, scales_ref, q_ref, sinks_ref, knew_ref,
@@ -309,54 +321,88 @@ def _fused_decode_kernel(pos_ref, scales_ref, q_ref, sinks_ref, knew_ref,
     v_scale = scales_ref[1]
     KH, G, D = q_ref.shape[1:]
     P = _SLAB
-    Ld = (L // P) * P  # tile-aligned slab start containing row L
-    par = jax.lax.rem(b, 2)  # double-buffered slab scratch
+    NB = _SLAB_BUFS
 
     # Cache write = pipelined read-modify-write of the 8-row HBM tile
     # around row L: Mosaic only DMAs whole (8, 128) tiles on the token dim,
     # so read the slab, splice the new row in VMEM, write it back. Rows
     # != L are rewritten byte-identical (races with this kernel's own
     # chunk prefetches are benign) and row L is masked out of the attention
-    # (the new token joins from VMEM in _finalize). The slab read issues at
-    # c==0 and lands by c==nc-1, hiding its latency behind the chunk loop;
-    # the write-back hides behind the NEXT slot's chunks (double-buffered
-    # scratch, waited two slots later).
-    def _rd(dst, src_hbm, sem):
-        return pltpu.make_async_copy(src_hbm.at[b, pl.ds(Ld, P)], dst, sem)
+    # (the new token joins from VMEM in _finalize). Latency hiding must
+    # survive nc == 1 (decode over short caches visits each slot for ONE
+    # grid step), so the slab read for slot b+1 is issued a full slot ahead
+    # and the write-back drains NB-1 slots later — 4 slab buffers, FIFO
+    # semaphore discipline (all transfers are byte-identical in size, so
+    # any same-shape descriptor can wait a semaphore).
+    def _slab_copy(slot, dst_k, dst_v, src=True,
+                   sems=(sem_rk, sem_rv)):
+        Ls = pos_ref[slot]
+        Lds = (Ls // P) * P
+        if src:
+            return (pltpu.make_async_copy(
+                        kout_ref.at[slot, pl.ds(Lds, P)], dst_k, sems[0]),
+                    pltpu.make_async_copy(
+                        vout_ref.at[slot, pl.ds(Lds, P)], dst_v, sems[1]))
+        return (pltpu.make_async_copy(
+                    dst_k, kout_ref.at[slot, pl.ds(Lds, P)], sems[0]),
+                pltpu.make_async_copy(
+                    dst_v, vout_ref.at[slot, pl.ds(Lds, P)], sems[1]))
+
+    def _issue_rd(slot):
+        buf = jax.lax.rem(slot, NB)
+        ck, cv = _slab_copy(slot, slab_k.at[buf], slab_v.at[buf])
+        ck.start()
+        cv.start()
 
     @pl.when(c == 0)
     def _slab_read():
-        @pl.when(b >= 2)
-        def _drain_prev():
-            # equal-sized transfer: any same-shape descriptor can wait it
-            _rd(slab_k.at[par], kout_ref, sem_wk).wait()
-            _rd(slab_v.at[par], vout_ref, sem_wv).wait()
-        _rd(slab_k.at[par], kout_ref, sem_rk).start()
-        _rd(slab_v.at[par], vout_ref, sem_rv).start()
+        @pl.when(b == 0)
+        def _prologue():
+            _issue_rd(b)
+
+        @pl.when(b >= NB - 1)
+        def _drain_wr():
+            # buffer (b+1) % NB is about to be re-filled; its last writer
+            # was slot b+1-NB — wait its write-back (FIFO on sem_w*)
+            buf = jax.lax.rem(b, NB)
+            ck, cv = _slab_copy(b, slab_k.at[buf], slab_v.at[buf],
+                                src=False, sems=(sem_wk, sem_wv))
+            ck.wait()
+            cv.wait()
+
+        @pl.when(b + 1 < B)
+        def _lookahead():
+            _issue_rd(b + 1)
 
     @pl.when(c == nc - 1)
     def _slab_write():
-        _rd(slab_k.at[par], kout_ref, sem_rk).wait()
-        _rd(slab_v.at[par], vout_ref, sem_rv).wait()
+        buf = jax.lax.rem(b, NB)
+        Ld = (L // P) * P
+        ck, cv = _slab_copy(b, slab_k.at[buf], slab_v.at[buf])
+        ck.wait()
+        cv.wait()
         row = jax.lax.broadcasted_iota(jnp.int32, (P, KH * D), 0)
         is_new = row == (L - Ld)
-        kold = slab_k[par].astype(jnp.bfloat16)
-        vold = slab_v[par].astype(jnp.bfloat16)
+        kold = slab_k[buf].astype(jnp.bfloat16)
+        vold = slab_v[buf].astype(jnp.bfloat16)
         knew = jnp.broadcast_to(knew_ref[0].astype(jnp.bfloat16), (P, KH * D))
         vnew = jnp.broadcast_to(vnew_ref[0].astype(jnp.bfloat16), (P, KH * D))
         # bf16 round-trips every cache dtype exactly (e4m3 / int8 / bf16)
-        slab_k[par] = jnp.where(is_new, knew, kold).astype(slab_k.dtype)
-        slab_v[par] = jnp.where(is_new, vnew, vold).astype(slab_v.dtype)
-        pltpu.make_async_copy(
-            slab_k.at[par], kout_ref.at[b, pl.ds(Ld, P)], sem_wk).start()
-        pltpu.make_async_copy(
-            slab_v.at[par], vout_ref.at[b, pl.ds(Ld, P)], sem_wv).start()
+        slab_k[buf] = jnp.where(is_new, knew, kold).astype(slab_k.dtype)
+        slab_v[buf] = jnp.where(is_new, vnew, vold).astype(slab_v.dtype)
+        wk, wv = _slab_copy(b, slab_k.at[buf], slab_v.at[buf],
+                            src=False, sems=(sem_wk, sem_wv))
+        wk.start()
+        wv.start()
 
     @pl.when((b == B - 1) & (c == nc - 1))
     def _drain_last():
-        for _ in range(2 if B >= 2 else 1):
-            _rd(slab_k.at[par], kout_ref, sem_wk).wait()
-            _rd(slab_v.at[par], vout_ref, sem_wv).wait()
+        for _ in range(min(NB - 1, B)):
+            buf = jax.lax.rem(b, NB)
+            ck, cv = _slab_copy(b, slab_k.at[buf], slab_v.at[buf],
+                                src=False, sems=(sem_wk, sem_wv))
+            ck.wait()
+            cv.wait()
 
     @pl.when(c == 0)
     def _init():
@@ -442,9 +488,15 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, KHD), lambda b, c, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, KHD), lambda b, c, *_: (b, c, 0),
+            # length-clamped chunk fetch: chunks past a slot's live length
+            # repeat the clamp chunk's block index, so Pallas never DMAs
+            # them (compute there is skipped by the in-kernel pl.when) —
+            # decode attention reads scale with ACTUAL context, not S
+            pl.BlockSpec((1, chunk, KHD),
+                         lambda b, c, pos, *_: (b, jnp.minimum(c, pos[b] // chunk), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, KHD), lambda b, c, *_: (b, c, 0),
+            pl.BlockSpec((1, chunk, KHD),
+                         lambda b, c, pos, *_: (b, jnp.minimum(c, pos[b] // chunk), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -454,8 +506,8 @@ def fused_decode_attention(q, k_new, v_new, k_cache, v_cache, pos,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=_SCRATCH(KH, G, D) + [
-            pltpu.VMEM((2, _SLAB, KHD), k_cache.dtype),
-            pltpu.VMEM((2, _SLAB, KHD), v_cache.dtype),
+            pltpu.VMEM((_SLAB_BUFS, _SLAB, KHD), k_cache.dtype),
+            pltpu.VMEM((_SLAB_BUFS, _SLAB, KHD), v_cache.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -36,6 +36,27 @@ def _pick_tn(N: int, K: int = 4096, bytes_per_k: float = 3.0) -> int:
     raise ValueError(f"N={N} not a multiple of 128")
 
 
+def _pick_tiles(N: int, K2: int, block: int, budget: float = 2e6):
+    """(TN, TK2) for the K-tiled int4 kernels: keep the N-tile WIDE (narrow
+    column slices of the packed rows make strided, low-density HBM reads —
+    the down-projection K=14336 shape measured 213 GB/s with TN=256 vs ~430
+    for wide tiles) and bound the packed block bytes by tiling K instead.
+    TK2 is a multiple of ``block`` dividing K2 so every tile holds whole
+    scale blocks."""
+    TN = next((t for t in (1024, 512, 256, 128) if N % t == 0), None)
+    if TN is None:
+        raise ValueError(f"N={N} not a multiple of 128")
+    nblocks = K2 // block
+    best = None
+    for d in range(nblocks, 0, -1):
+        if nblocks % d == 0 and d * block * TN <= budget:
+            best = d
+            break
+    if best is None:
+        best = 1
+    return TN, best * block
+
+
 def _pad_m(x, mult=8):
     M = x.shape[0]
     pad = (-M) % mult
@@ -134,9 +155,34 @@ def w4a16_gemm(x, packed, scale, block: int = 128, out_dtype=jnp.bfloat16):
     """x [M, K] @ int4-packed W -> [M, N]. packed uint8 [K/2, N],
     scale f32 [K/block, N]."""
     K2, N = packed.shape
-    TN = _pick_tn(N, K2, 1.5)
     x, M = _pad_m(x)
     Mp = x.shape[0]
+    cost = pl.CostEstimate(
+        flops=2 * Mp * 2 * K2 * N,
+        bytes_accessed=K2 * N + (2 * K2 // block) * N * 4 + Mp * 2 * K2 * 2,
+        transcendentals=0,
+    )
+    if K2 % block == 0:
+        TN, TK2 = _pick_tiles(N, K2, block)
+        out = pl.pallas_call(
+            functools.partial(_w4a16_kt_kernel, block=block, K2=K2, TK2=TK2),
+            grid=(N // TN, K2 // TK2),
+            in_specs=[
+                pl.BlockSpec((Mp, 2 * K2), lambda n, k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TK2, TN), lambda n, k: (k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * K2 // block, TN), lambda n, k: (0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((Mp, TN), lambda n, k: (0, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            scratch_shapes=[pltpu.VMEM((Mp, TN), jnp.float32)],
+            cost_estimate=cost,
+        )(x, packed, scale)
+        return out[:M]
+    TN = _pick_tn(N, K2, 1.5)
     out = pl.pallas_call(
         functools.partial(_w4a16_kernel, block=block),
         grid=(N // TN,),
@@ -147,18 +193,98 @@ def w4a16_gemm(x, packed, scale, block: int = 128, out_dtype=jnp.bfloat16):
         ],
         out_specs=pl.BlockSpec((Mp, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * 2 * K2 * N,
-            bytes_accessed=K2 * N + (2 * K2 // block) * N * 4 + Mp * 2 * K2 * 2,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
     )(x, packed, scale)
     return out[:M]
+
+
+def _w4a16_kt_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, block: int,
+                     K2: int, TK2: int):
+    """K-tiled w4a16: grid (N-tiles, K-tiles) with k INNERMOST, f32 VMEM
+    accumulator persisting across the k steps (the revisited output block is
+    written once, at the last k). x and the scale matrix stay whole in VMEM
+    (small); only the packed weight streams in (TK2, TN) blocks, keeping TN
+    wide for dense HBM reads at any K (see _pick_tiles)."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+    nblk = TK2 // block
+    M, TN = x_ref.shape[0], p_ref.shape[1]
+    nsrow_half = K2 // block
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def unpack_lo(pb):
+        return ((pb & 0xF) - 8).astype(jnp.bfloat16)
+
+    def unpack_hi(pb):
+        return (((pb >> 4) ^ 8) - 8).astype(jnp.bfloat16)
+
+    def body(b, acc):
+        off = b * block
+        col = k * TK2 + off
+        pb = p_ref[pl.ds(off, block), :].astype(jnp.int32)
+        srow = k * nblk + b
+        d = jnp.dot(x_ref[:, pl.ds(col, block)].astype(jnp.bfloat16),
+                    unpack_lo(pb), preferred_element_type=jnp.float32)
+        acc = acc + d * s_ref[pl.ds(srow, 1), :]
+        d = jnp.dot(x_ref[:, pl.ds(K2 + col, block)].astype(jnp.bfloat16),
+                    unpack_hi(pb), preferred_element_type=jnp.float32)
+        return acc + d * s_ref[pl.ds(nsrow_half + srow, 1), :]
+
+    acc_ref[:] += jax.lax.fori_loop(
+        0, nblk, body, jnp.zeros((M, TN), jnp.float32), unroll=False)
+
+    @pl.when(k == nk - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
 # W4A8: int4 weights + int8 activations on the int8 MXU (394 TOPS on v5e)
 # ---------------------------------------------------------------------------
+def _w4a8_dot_lo(xlo, pb):
+    lo = jax.lax.bitcast_convert_type(pb & 0xF, jnp.int8)
+    d = jax.lax.dot_general(xlo, lo, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return d - 8 * jnp.sum(xlo.astype(jnp.int32), axis=1, keepdims=True)
+
+
+def _w4a8_dot_hi(xhi, pb):
+    hi = jax.lax.bitcast_convert_type(pb & 0xF0, jnp.int8)
+    d = jax.lax.dot_general(xhi, hi, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return jax.lax.shift_right_arithmetic(d, 4)
+
+
+def _w4a8_kt_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int, K2: int,
+                    TK2: int):
+    """K-tiled w4a8 (see _w4a16_kt_kernel for the grid/accumulation scheme;
+    _w4a8_kernel for the zero-convert int8 nibble trick)."""
+    k = pl.program_id(1)
+    nblk = TK2 // block
+    M, TN = x_ref.shape[0], p_ref.shape[1]
+    nsrow_half = K2 // block
+
+    @pl.when(k == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    def body(b, acc):
+        off = b * block
+        col = k * TK2 + off
+        pb = p_ref[pl.ds(off, block), :]
+        srow = k * nblk + b
+        qlo = _w4a8_dot_lo(x_ref[:, pl.ds(col, block)], pb)
+        qhi = _w4a8_dot_hi(x_ref[:, pl.ds(K2 + col, block)], pb)
+        return (acc + qlo.astype(jnp.float32) * s_ref[pl.ds(srow, 1), :]
+                + qhi.astype(jnp.float32) * s_ref[pl.ds(nsrow_half + srow, 1), :])
+
+    o_ref[:] += jax.lax.fori_loop(
+        0, nblk, body, jnp.zeros((M, TN), jnp.float32), unroll=False)
+
+
 def _w4a8_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
     """Unpack is TWO bitwise ANDs per byte — zero VPU converts: the MXU's
     mixed int8 dot consumes ``bitcast(pb & 0xF, i8)`` (= q_lo + 8, corrected
@@ -177,18 +303,8 @@ def _w4a8_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
     nfull = K2 // block
     rem = K2 % block
     M, TN = x_ref.shape[0], p_ref.shape[1]
-
-    def dot_lo(xlo, pb):
-        lo = jax.lax.bitcast_convert_type(pb & 0xF, jnp.int8)
-        d = jax.lax.dot_general(xlo, lo, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-        return d - 8 * jnp.sum(xlo.astype(jnp.int32), axis=1, keepdims=True)
-
-    def dot_hi(xhi, pb):
-        hi = jax.lax.bitcast_convert_type(pb & 0xF0, jnp.int8)
-        d = jax.lax.dot_general(xhi, hi, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-        return jax.lax.shift_right_arithmetic(d, 4)
+    dot_lo = _w4a8_dot_lo
+    dot_hi = _w4a8_dot_hi
 
     if rem == 0:
         def body(b, acc):
@@ -231,9 +347,33 @@ def w4a8_gemm(xq, packed, scale, block: int = 128):
     scales applied by the caller). packed uint8 [K/2, N] hybrid nibbles,
     scale f32 [K/block, N]."""
     K2, N = packed.shape
-    TN = _pick_tn(N, K2, 1.5)
     xq, M = _pad_m(xq)
     Mp = xq.shape[0]
+    cost = pl.CostEstimate(
+        flops=2 * 2 * Mp * 2 * K2 * N,
+        bytes_accessed=K2 * N + (2 * K2 // block) * N * 4 + Mp * 2 * K2,
+        transcendentals=0,
+    )
+    if K2 % block == 0:
+        TN, TK2 = _pick_tiles(N, K2, block)
+        out = pl.pallas_call(
+            functools.partial(_w4a8_kt_kernel, block=block, K2=K2, TK2=TK2),
+            grid=(N // TN, K2 // TK2),
+            in_specs=[
+                pl.BlockSpec((Mp, 2 * K2), lambda n, k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TK2, TN), lambda n, k: (k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * K2 // block, TN), lambda n, k: (0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((Mp, TN), lambda n, k: (0, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            cost_estimate=cost,
+        )(xq, packed, scale)
+        return out[:M]
+    TN = _pick_tn(N, K2, 1.5)
     out = pl.pallas_call(
         functools.partial(_w4a8_kernel, block=block),
         grid=(N // TN,),
@@ -245,11 +385,7 @@ def w4a8_gemm(xq, packed, scale, block: int = 128):
         ],
         out_specs=pl.BlockSpec((Mp, TN), lambda n: (0, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * Mp * 2 * K2 * N,
-            bytes_accessed=K2 * N + (2 * K2 // block) * N * 4 + Mp * 2 * K2,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
     )(xq, packed, scale)
     return out[:M]
 

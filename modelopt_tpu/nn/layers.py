@@ -50,9 +50,26 @@ class QuantDense(nn.Module):
     def __call__(self, x):
         in_features = x.shape[-1]
         x_in = x
-        x = TensorQuantizer(name="input_quantizer")(x)
+        compressed = self.has_variable("quant", "qweight")
+        act_int8 = skip_fake = False
+        if compressed:
+            from ..nn.quantizer import active_quant_config
+            from ..quant.backends import act_backend_quantizes
+
+            cfg = active_quant_config()
+            aspecs = (cfg.resolve("/".join(self.path) + "/input_quantizer")
+                      if cfg else None)
+            act_int8 = bool(
+                aspecs and aspecs[0].enable and not aspecs[0].is_fp
+                and aspecs[0].num_bits == 8
+            )
+            # per-token dynamic int8: the fused backend quantizes once on
+            # device; the layer-level fake-quant would round twice and cost
+            # an extra elementwise sweep per GEMM
+            skip_fake = act_backend_quantizes(aspecs)
+        x = TensorQuantizer(name="input_quantizer")(x, skip_fake=skip_fake)
         dtype = self.dtype or x.dtype
-        if self.has_variable("quant", "qweight"):
+        if compressed:
             # compressed (real-quant) path: packed weight + fused dequant-GEMM
             # (reference: compressed-inference GEMMs, backends/gemm_registry.py)
             from ..nn.quantizer import active_quant_config
@@ -70,13 +87,9 @@ class QuantDense(nn.Module):
             # int8 activations ride the int8 MXU: W8A8 on compute-bound
             # (prefill-sized) calls, the fused W4A8 kernel at decode —
             # size dispatch happens in backends.qgemm
-            aspecs = cfg.resolve("/".join(self.path) + "/input_quantizer")
-            act_int8 = bool(
-                aspecs and aspecs[0].enable and not aspecs[0].is_fp
-                and aspecs[0].num_bits == 8
-            )
             y2d = qgemm(x2d, qt, specs[0], (in_features, self.features),
-                        out_dtype=dtype, act_int8=act_int8)
+                        out_dtype=dtype, act_int8=act_int8,
+                        act_raw=skip_fake)
             y = y2d.reshape(*x.shape[:-1], self.features)
         else:
             kernel = self.param(
@@ -136,9 +149,23 @@ class QuantEinsum(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = TensorQuantizer(name="input_quantizer")(x)
+        compressed = self.has_variable("quant", "qweight")
+        act_int8 = skip_fake = False
+        if compressed and self.einsum_str == "btd,edf->btef":
+            from ..nn.quantizer import active_quant_config
+            from ..quant.backends import act_backend_quantizes
+
+            cfg = active_quant_config()
+            aspecs = (cfg.resolve("/".join(self.path) + "/input_quantizer")
+                      if cfg else None)
+            act_int8 = bool(
+                aspecs and aspecs[0].enable and not aspecs[0].is_fp
+                and aspecs[0].num_bits == 8
+            )
+            skip_fake = act_backend_quantizes(aspecs)
+        x = TensorQuantizer(name="input_quantizer")(x, skip_fake=skip_fake)
         dtype = self.dtype or x.dtype
-        if self.has_variable("quant", "qweight"):
+        if compressed:
             # compressed MoE experts: the packed tensor holds the FOLDED
             # [in, E*out] view (see quant/compress.py) — per-expert scales
             # fall out of the distinct columns. Known expert einsums
@@ -160,15 +187,10 @@ class QuantEinsum(nn.Module):
             if self.einsum_str == "btd,edf->btef":
                 # gate/up experts: the folded view IS a plain [fin, E*fout]
                 # GEMM — ride the fused dequant-GEMM backends like QuantDense
-                aspecs = (cfg.resolve("/".join(self.path) + "/input_quantizer")
-                          if cfg else None)
-                act_int8 = bool(
-                    aspecs and aspecs[0].enable and not aspecs[0].is_fp
-                    and aspecs[0].num_bits == 8
-                )
                 x2d = x.astype(dtype).reshape(-1, fin)
                 y2d = qgemm(x2d, qt, specs[0], (fin, E * fout),
-                            out_dtype=dtype, act_int8=act_int8)
+                            out_dtype=dtype, act_int8=act_int8,
+                            act_raw=skip_fake)
                 y = y2d.reshape(*x.shape[:-1], E, fout)
             elif self.einsum_str == "bteo,eod->bted":
                 # per-expert contraction (block-diagonal in the folded

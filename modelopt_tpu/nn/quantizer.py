@@ -138,10 +138,16 @@ class TensorQuantizer(nn.Module):
     fixed_spec: Optional[QuantizerSpec] = None
 
     @nn.compact
-    def __call__(self, x, with_scale: bool = False):
+    def __call__(self, x, with_scale: bool = False, skip_fake: bool = False):
         """with_scale=True: for an fp8 per-tensor static spec in QUANT phase,
         return ``(codes_e4m3, scale)`` so callers can store real quantized
-        data (e.g. the fp8 KV cache); otherwise returns ``(x', None)``."""
+        data (e.g. the fp8 KV cache); otherwise returns ``(x', None)``.
+
+        skip_fake=True: the caller feeds a fused real-quant GEMM whose
+        backend quantizes the activations on-device (per-token dynamic) —
+        apply pre_quant_scale / capture as usual but skip the fake-quant
+        rounding, which would round the same grid twice (callers assert the
+        resolved spec matches the backend's quantization)."""
 
         def ret(y, scale=None):
             return (y, scale) if with_scale else y
@@ -196,6 +202,8 @@ class TensorQuantizer(nn.Module):
             return ret(x)
 
         if not specs:
+            return ret(x)
+        if skip_fake and phase == PHASE_QUANT:
             return ret(x)
 
         # real-codes path for per-tensor static specs (KV cache storage):

@@ -43,6 +43,29 @@ def _pallas_ok(fmt: str, x, kn, block: int = 128) -> bool:
     return True
 
 
+def act_backend_quantizes(aspecs) -> bool:
+    """True when the input-quantizer spec is exactly the per-token dynamic
+    int8 quantization the act_int8 GEMM backends perform on-device — the
+    layer can then skip its fake-quant pass entirely (one rounding instead
+    of two, and no extra elementwise sweep over the activations)."""
+    if not aspecs or len(aspecs) != 1:
+        return False
+    sp = aspecs[0]
+    return bool(
+        sp.enable and not sp.is_fp and sp.num_bits == 8 and not sp.rotate
+        and sp.block is not None and sp.block.dynamic
+        and tuple(sp.block.sizes) == ((-1, 0),)
+    )
+
+
+def _fq_int8_per_token(x2d):
+    """Per-token dynamic int8 fake-quant (the act_int8 contract) for
+    fallback paths that run the GEMM in bf16."""
+    xf = x2d.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-12) / 127.0
+    return (jnp.clip(jnp.round(xf / s), -127, 127) * s).astype(x2d.dtype)
+
+
 def int8_dynamic_gemm(x2d, data, scale, out_dtype):
     """W8A8 with dynamic per-token int8 activations on the int8 MXU:
     quantize x per row, int8 x int8 -> int32 dot, rescale. 2x the bf16 MXU
@@ -60,23 +83,31 @@ def int8_dynamic_gemm(x2d, data, scale, out_dtype):
 
 
 def qgemm(x2d, qt: dict, spec: QuantizerSpec, kn, out_dtype=None,
-          act_int8: bool = False):
+          act_int8: bool = False, act_raw: bool = False):
     """x2d [M, K] @ packed weight -> [M, N]. ``act_int8`` selects the
     int8-MXU paths: dynamic W8A8 for int8 weights (compute-bound shapes),
-    the fused W4A8 kernel for int4 weights at decode shapes."""
+    the fused W4A8 kernel for int4 weights at decode shapes.
+
+    ``act_raw``: the layer skipped its input fake-quant (the backend owns
+    the one-and-only per-token int8 quantization); any path that runs the
+    GEMM in bf16 must fake-quant x first to preserve the A8 semantics."""
     fmt = compressible_format(spec, kn)
     out_dtype = out_dtype or x2d.dtype
     if fmt is None:
         raise ValueError(f"no compressed format for spec {spec}")
     if fmt == "int8" and act_int8 and x2d.shape[0] > 256:
         return int8_dynamic_gemm(x2d, qt["data"], qt["scale"], out_dtype)
+    if act_int8 and act_raw and fmt != "int4":
+        x2d = _fq_int8_per_token(x2d)
+        act_raw = False
     if _pallas_ok(fmt, x2d, kn, block_of(spec, 16 if fmt == "nvfp4" else 128)):
         from ..kernels import quant_gemm as kq
 
         if fmt == "int4" and act_int8:
-            # W4A8: per-token dynamic int8 activations ride the int8 MXU
-            # (x arrives already fake-quantized to the int8 grid by the
-            # input quantizer, so this re-quantization is ~lossless).
+            # W4A8: per-token dynamic int8 activations ride the int8 MXU —
+            # this is THE quantization when the layer passed act_raw
+            # (single rounding), or a ~lossless re-quantization of an
+            # already-fake-quantized x otherwise.
             # Straddle-block shapes (K2 % block != 0, e.g. K=1408/2880)
             # are handled inside the kernel (_pallas_ok already pins the
             # 8-sublane alignment of the straddle remainder).
@@ -97,6 +128,8 @@ def qgemm(x2d, qt: dict, spec: QuantizerSpec, kn, out_dtype=None,
         if fmt == "nvfp4":
             return kq.nvfp4_gemm(x2d, qt["data"], qt["scale"], qt["scale2"],
                                  block=block_of(spec, 16), out_dtype=out_dtype)
+    if act_int8 and act_raw:
+        x2d = _fq_int8_per_token(x2d)  # bf16 fallback still serves A8
     w = dequantize_qtensor(qt, spec, kn).astype(out_dtype)
     return jnp.dot(x2d.astype(out_dtype), w)
 
