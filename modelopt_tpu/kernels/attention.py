@@ -42,71 +42,103 @@ def _pallas_attn_disabled() -> bool:
     return os.environ.get("MODELOPT_TPU_NO_PALLAS_ATTN", "0") not in ("0", "")
 
 
+def _headblock_mask(KHG, KH, G, D):
+    """[KHG, KH*D] bool: True where lane l's head (l // D) == row r's head
+    (r // G). 2-D iotas only — 3-D i1 masks trip a Mosaic relayout error
+    ('non-singleton logical dimension is replicated') on v5e."""
+    rowh = jax.lax.broadcasted_iota(jnp.int32, (KHG, KH * D), 0) // G
+    laneh = jax.lax.broadcasted_iota(jnp.int32, (KHG, KH * D), 1) // D
+    return rowh == laneh
+
+
+def _head_sel(y, KH, G, D):
+    """[KH*G, KH*D] -> [KH*G, D]: keep row r's own head block (r // G),
+    folding the lane groups with KH aligned [*, D] adds (no 3-D reshapes)."""
+    KHG = KH * G
+    z = jnp.where(_headblock_mask(KHG, KH, G, D), y, 0.0)
+    acc = z[:, :D]
+    for h in range(1, KH):
+        acc = acc + z[:, h * D:(h + 1) * D]
+    return acc
+
+
+def _q_blockdiag(q_ref):
+    """q [1, KH, G, D] -> block-diagonal [KH*G, KH*D] bf16: row h*G+g holds
+    q[h, g] in lanes h*D:(h+1)*D, zeros elsewhere. One MXU matmul against
+    the lane-merged cache rows then scores ALL heads at once — decode is
+    HBM-bound and the MXU idles, but the per-head python loop's 16 tiny
+    ops per chunk made the GRID-STEP BODY the bottleneck at short contexts
+    (64-slot grid = ~190 us/layer measured; batched ~= one dot)."""
+    KH, G, D = q_ref.shape[1:]
+    KHG = KH * G
+    q2 = q_ref[0].astype(jnp.bfloat16).reshape(KHG, D)
+    qt = jnp.concatenate([q2] * KH, axis=1)                    # [KHG, KHD]
+    return jnp.where(_headblock_mask(KHG, KH, G, D), qt, jnp.bfloat16(0))
+
+
 def _attend_chunk(q_ref, k_ref, v_ref, base, L, k_scale,
                   acc_ref, m_ref, l_ref, softcap=None):
-    """One online-softmax update over a KV chunk, per head.
+    """One online-softmax update over a KV chunk, ALL heads batched.
 
     q_ref block [1, KH, G, D]; k/v_ref blocks [1, ..., tokens, KH*D] in
-    storage dtype (any leading singleton dims; each head's view is a
-    128-aligned lane slice, loaded + converted per head); ``base`` the
-    chunk's first token position; L valid length.
-    Scratch: acc [KH, G, D] f32, m/l [KH, G, 128] f32.
+    storage dtype (any leading singleton dims); ``base`` the chunk's first
+    token position; L valid length.
+    Scratch: acc [KH*G, D] f32, m/l [KH*G, 128] f32.
     """
     KH, G, D = q_ref.shape[1:]
+    KHG = KH * G
     tokens = k_ref.shape[-2]
     lead = (0,) * (len(k_ref.shape) - 2)
-    col = jax.lax.broadcasted_iota(jnp.int32, (G, tokens), 1)
-    valid = base + col < L
+    qbd = _q_blockdiag(q_ref)                                  # [KHG, KHD]
+    kb = k_ref[lead].astype(jnp.bfloat16)                      # [tokens, KHD]
+    vb = v_ref[lead].astype(jnp.bfloat16)
     inv_sqrt_d = k_scale / jnp.sqrt(jnp.float32(D))
-    for h in range(KH):
-        qh = q_ref[0, h].astype(jnp.bfloat16)                  # [G, D]
-        hs = slice(h * D, (h + 1) * D)
-        kh = k_ref[lead + (slice(None), hs)].astype(jnp.bfloat16)  # [tokens, D]
-        vh = v_ref[lead + (slice(None), hs)].astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv_sqrt_d                                         # [G, tokens]
-        if softcap is not None:  # gemma2-style tanh logit cap (static)
-            s = jnp.tanh(s / softcap) * softcap
-        s = jnp.where(valid, s, -1e30)
-        m_prev = m_ref[h][:, :1]                               # [G, 1]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        e = jnp.exp(s - m_cur)
-        l_ref[h] = jnp.broadcast_to(
-            l_ref[h][:, :1] * alpha + jnp.sum(e, axis=1, keepdims=True),
-            (G, 128),
-        )
-        acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
-            e.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[h] = jnp.broadcast_to(m_cur, (G, 128))
+    s = jax.lax.dot_general(
+        qbd, kb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_sqrt_d                                             # [KHG, tokens]
+    if softcap is not None:  # gemma2-style tanh logit cap (static)
+        s = jnp.tanh(s / softcap) * softcap
+    col = jax.lax.broadcasted_iota(jnp.int32, (KHG, tokens), 1)
+    s = jnp.where(base + col < L, s, -1e30)
+    m_prev = m_ref[:, :1]                                      # [KHG, 1]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    e = jnp.exp(s - m_cur)
+    l_ref[:] = jnp.broadcast_to(
+        l_ref[:, :1] * alpha + jnp.sum(e, axis=1, keepdims=True),
+        (KHG, 128),
+    )
+    y = jax.lax.dot_general(
+        e.astype(jnp.bfloat16), vb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # [KHG, KHD]
+    acc_ref[:] = acc_ref[:] * alpha + _head_sel(y, KH, G, D)
+    m_ref[:] = jnp.broadcast_to(m_cur, (KHG, 128))
 
 
 def _finalize_out(o_ref, acc_ref, l_ref, v_scale, m_ref=None, sinks_ref=None):
     KH, G, D = o_ref.shape[1:]
-    for h in range(KH):
-        acc = acc_ref[h]
-        l_fin = l_ref[h][:, :1]
-        if sinks_ref is not None:
-            # learned attention sink (gpt-oss): one extra logit joins the
-            # softmax; its mass is dropped, so only the denominator moves
-            sink = sinks_ref[0, h][:, :1]                      # [G, 1]
-            m_prev = m_ref[h][:, :1]
-            m_fin = jnp.maximum(m_prev, sink)
-            alpha = jnp.exp(m_prev - m_fin)
-            acc = acc * alpha
-            l_fin = l_fin * alpha + jnp.exp(sink - m_fin)
-        out = acc * (v_scale / jnp.maximum(l_fin, 1e-30))
-        o_ref[0, h] = out.astype(o_ref.dtype)
+    KHG = KH * G
+    acc = acc_ref[:]
+    l_fin = l_ref[:, :1]
+    if sinks_ref is not None:
+        # learned attention sink (gpt-oss): one extra logit joins the
+        # softmax; its mass is dropped, so only the denominator moves
+        sink = sinks_ref[0].reshape(KHG, 128)[:, :1]           # [KHG, 1]
+        m_prev = m_ref[:, :1]
+        m_fin = jnp.maximum(m_prev, sink)
+        alpha = jnp.exp(m_prev - m_fin)
+        acc = acc * alpha
+        l_fin = l_fin * alpha + jnp.exp(sink - m_fin)
+    out = acc * (v_scale / jnp.maximum(l_fin, 1e-30))
+    o_ref[0] = out.reshape(KH, G, D).astype(o_ref.dtype)
 
 
 _SCRATCH = lambda KH, G, D: [  # noqa: E731
-    pltpu.VMEM((KH, G, D), jnp.float32),
-    pltpu.VMEM((KH, G, 128), jnp.float32),
-    pltpu.VMEM((KH, G, 128), jnp.float32),
+    pltpu.VMEM((KH * G, D), jnp.float32),
+    pltpu.VMEM((KH * G, 128), jnp.float32),
+    pltpu.VMEM((KH * G, 128), jnp.float32),
 ]
 
 
@@ -420,33 +452,36 @@ def _fused_decode_kernel(pos_ref, scales_ref, q_ref, sinks_ref, knew_ref,
 
     @pl.when(c == nc - 1)
     def _finalize():
-        # the new token attends to itself from VMEM (never from HBM).
-        # These are [G,1]/[G,D] VPU-sized ops: explicit f32 elementwise
-        # multiply+reduce — tiny dot_generals (N=1 / outer product) trip a
-        # Mosaic bf16->f32 vector.broadcast verification error on v5e.
+        # the new token attends to itself from VMEM (never from HBM),
+        # batched over all heads: block-diagonal q rows dot the lane-merged
+        # new-token row elementwise (tiny N=1 dot_generals trip a Mosaic
+        # bf16->f32 vector.broadcast verification error on v5e, so the
+        # score is an explicit multiply+reduce).
+        KHG = KH * G
         inv_sqrt_d = k_scale / jnp.sqrt(jnp.float32(D))
-        for h in range(KH):
-            qh = q_ref[0, h].astype(jnp.float32)                 # [G, D]
-            kn = knew_ref[0][:, h * D:(h + 1) * D].astype(jnp.float32)
-            vn = vnew_ref[0][:, h * D:(h + 1) * D].astype(jnp.float32)
-            s_n = jnp.sum(qh * kn, axis=1, keepdims=True) * inv_sqrt_d
-            if softcap is not None:
-                s_n = jnp.tanh(s_n / softcap) * softcap
-            m_prev = m_ref[h][:, :1]
-            m_fin = jnp.maximum(m_prev, s_n)
-            alpha = jnp.exp(m_prev - m_fin)
-            e_n = jnp.exp(s_n - m_fin)                           # [G, 1]
-            l_fin = l_ref[h][:, :1] * alpha + e_n
-            acc = acc_ref[h] * alpha + e_n * vn                  # [G, D]
-            if use_sinks:
-                # learned sink: extra softmax slot whose mass is dropped
-                sink = sinks_ref[0, h][:, :1]
-                m2 = jnp.maximum(m_fin, sink)
-                a2 = jnp.exp(m_fin - m2)
-                acc = acc * a2
-                l_fin = l_fin * a2 + jnp.exp(sink - m2)
-            out = acc * (v_scale / jnp.maximum(l_fin, 1e-30))
-            o_ref[0, h] = out.astype(o_ref.dtype)
+        qbd = _q_blockdiag(q_ref).astype(jnp.float32)           # [KHG, KHD]
+        kn = knew_ref[0].astype(jnp.float32)                    # [1, KHD]
+        s_n = jnp.sum(qbd * kn, axis=1, keepdims=True) * inv_sqrt_d
+        if softcap is not None:
+            s_n = jnp.tanh(s_n / softcap) * softcap
+        m_prev = m_ref[:, :1]
+        m_fin = jnp.maximum(m_prev, s_n)
+        alpha = jnp.exp(m_prev - m_fin)
+        e_n = jnp.exp(s_n - m_fin)                              # [KHG, 1]
+        l_fin = l_ref[:, :1] * alpha + e_n
+        vn = jnp.broadcast_to(
+            vnew_ref[0].astype(jnp.float32), (KHG, KH * D))
+        vsel = _head_sel(vn, KH, G, D)                          # [KHG, D]
+        acc = acc_ref[:] * alpha + e_n * vsel
+        if use_sinks:
+            # learned sink: extra softmax slot whose mass is dropped
+            sink = sinks_ref[0].reshape(KHG, 128)[:, :1]
+            m2 = jnp.maximum(m_fin, sink)
+            a2 = jnp.exp(m_fin - m2)
+            acc = acc * a2
+            l_fin = l_fin * a2 + jnp.exp(sink - m2)
+        out = acc * (v_scale / jnp.maximum(l_fin, 1e-30))
+        o_ref[0] = out.reshape(KH, G, D).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
