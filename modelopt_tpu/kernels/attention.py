@@ -42,6 +42,33 @@ def _pallas_attn_disabled() -> bool:
     return os.environ.get("MODELOPT_TPU_NO_PALLAS_ATTN", "0") not in ("0", "")
 
 
+def _e4m3_to_bf16(x):
+    """Exact e4m3 -> bf16 by assembling the f32 bit pattern with integer
+    VPU ops + one 32-bit bitcast (the _decode_e2m1 pattern from
+    quant_gemm). v5e has no hardware fp8 convert: the native e4m3->bf16
+    lowering runs at ~90 Gelem/s (measured on chip), which gated fp8-KV
+    decode reads at ~70 GB/s effective — 10x below the int8 cache path.
+    Normals: f32 exponent field = e + 120, mantissa = m << 20; subnormals
+    (e == 0): m * 2^-9 via the (fast) int->f32 convert. e4m3fn NaN (0x7f)
+    decodes to 480 — no NaN is ever written to a KV cache."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int8).astype(jnp.int32) & 0xFF
+    e = (b >> 3) & 0xF
+    m = b & 0x7
+    norm = ((e + 120) << 23) | (m << 20)
+    sub = jax.lax.bitcast_convert_type(
+        m.astype(jnp.float32) * jnp.float32(2.0 ** -9), jnp.int32)
+    bits = ((b & 0x80) << 24) | jnp.where(e > 0, norm, sub)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32).astype(jnp.bfloat16)
+
+
+def _load_kv_block(ref, lead):
+    """Cache-block load in compute dtype: bf16/int8 ride the hardware
+    convert; e4m3 takes the bit-assembly decode above."""
+    if ref.dtype == jnp.float8_e4m3fn:
+        return _e4m3_to_bf16(ref[lead])
+    return ref[lead].astype(jnp.bfloat16)
+
+
 def _headblock_mask(KHG, KH, G, D):
     """[KHG, KH*D] bool: True where lane l's head (l // D) == row r's head
     (r // G). 2-D iotas only — 3-D i1 masks trip a Mosaic relayout error
@@ -89,14 +116,31 @@ def _attend_chunk(q_ref, k_ref, v_ref, base, L, k_scale,
     KHG = KH * G
     tokens = k_ref.shape[-2]
     lead = (0,) * (len(k_ref.shape) - 2)
-    qbd = _q_blockdiag(q_ref)                                  # [KHG, KHD]
-    kb = k_ref[lead].astype(jnp.bfloat16)                      # [tokens, KHD]
-    vb = v_ref[lead].astype(jnp.bfloat16)
+    int8_mxu = k_ref.dtype == jnp.int8 and v_ref.dtype == jnp.int8
     inv_sqrt_d = k_scale / jnp.sqrt(jnp.float32(D))
-    s = jax.lax.dot_general(
-        qbd, kb, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_sqrt_d                                             # [KHG, tokens]
+    if int8_mxu:
+        # INT8 caches never leave int8: the score dot runs on the int8 MXU
+        # against the raw codes (q requantized per row — per (head, group) —
+        # to int8), so the per-element VPU convert of the whole chunk
+        # disappears. The convert was the decode-read bottleneck: int8->bf16
+        # of a [chunk, KHD] block gated reads at ~340 GB/s vs ~760 for bf16
+        # (measured on v5e at S=2048).
+        qf = _q_blockdiag(q_ref).astype(jnp.float32)           # [KHG, KHD]
+        qmax = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
+                           jnp.float32(1e-30))
+        q8 = jnp.round(qf * (127.0 / qmax)).astype(jnp.int8)
+        s32 = jax.lax.dot_general(
+            q8, k_ref[lead], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = s32.astype(jnp.float32) * (qmax * (inv_sqrt_d / 127.0))
+    else:
+        qbd = _q_blockdiag(q_ref)                              # [KHG, KHD]
+        kb = _load_kv_block(k_ref, lead)                       # [tokens, KHD]
+        s = jax.lax.dot_general(
+            qbd, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_sqrt_d                                         # [KHG, tokens]
     if softcap is not None:  # gemma2-style tanh logit cap (static)
         s = jnp.tanh(s / softcap) * softcap
     col = jax.lax.broadcasted_iota(jnp.int32, (KHG, tokens), 1)
@@ -105,14 +149,27 @@ def _attend_chunk(q_ref, k_ref, v_ref, base, L, k_scale,
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
     alpha = jnp.exp(m_prev - m_cur)
     e = jnp.exp(s - m_cur)
-    l_ref[:] = jnp.broadcast_to(
-        l_ref[:, :1] * alpha + jnp.sum(e, axis=1, keepdims=True),
-        (KHG, 128),
-    )
-    y = jax.lax.dot_general(
-        e.astype(jnp.bfloat16), vb, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                          # [KHG, KHD]
+    if int8_mxu:
+        # P.V rides the int8 MXU too: probabilities requantize to 7 bits
+        # (e in [0, 1] -> round(e * 127)); numerator AND denominator use the
+        # SAME e8 weights, so the output stays a convex combination of
+        # (int8-coded) values — the requantization perturbs weights by
+        # <= 0.5/127 each, comparable to the cache's own storage error.
+        e8 = jnp.round(e * 127.0).astype(jnp.int8)
+        esum = jnp.sum(e8.astype(jnp.float32), axis=1, keepdims=True) \
+            * jnp.float32(1.0 / 127.0)
+        y = jax.lax.dot_general(
+            e8, v_ref[lead], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * jnp.float32(1.0 / 127.0)
+    else:
+        vb = _load_kv_block(v_ref, lead)
+        esum = jnp.sum(e, axis=1, keepdims=True)
+        y = jax.lax.dot_general(
+            e.astype(jnp.bfloat16), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [KHG, KHD]
+    l_ref[:] = jnp.broadcast_to(l_ref[:, :1] * alpha + esum, (KHG, 128))
     acc_ref[:] = acc_ref[:] * alpha + _head_sel(y, KH, G, D)
     m_ref[:] = jnp.broadcast_to(m_cur, (KHG, 128))
 

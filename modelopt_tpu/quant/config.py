@@ -285,6 +285,14 @@ KV_CACHE_INT8 = {
 FP8_KV_CFG = _cfg(_W_FP8, _A_FP8, extra=KV_CACHE_FP8)
 INT8_KV_CFG = _cfg(_W_INT8_PC, _A_INT8_PT, extra=KV_CACHE_INT8,
                    algorithm={"method": "smoothquant"})
+# W4A8 serving with an INT8 KV cache: the TPU-fastest full stack — int4
+# weights + int8 activations on the int8 MXU AND int8 KV codes consumed
+# raw by the int8-MXU decode-attention path (kernels/attention.py; the
+# e4m3 cache needs a per-element VPU decode that gates reads at ~230 GB/s
+# on v5e vs ~500 for raw int8 codes)
+W4A8_INT8KV_CFG = _cfg(_W_INT4_BLOCK, _A_INT8_PER_TOKEN,
+                       extra=KV_CACHE_INT8,
+                       algorithm={"method": "awq_lite"})
 FP8_AFFINE_KV_CFG = _cfg(_W_FP8, _A_FP8, extra=KV_CACHE_FP8_AFFINE)
 NVFP4_KV_CFG = _cfg(_W_NVFP4, _A_NVFP4, extra=KV_CACHE_NVFP4)
 # Hadamard-rotated NVFP4 KV cache: k/v (and q, so scores stay consistent

@@ -66,6 +66,27 @@ def test_fp8_cache_parity(rng, interp):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-2)
 
 
+def test_int8_cache_parity(rng, interp):
+    """INT8 caches take the int8-MXU path (raw-code score dot + requantized
+    probabilities): parity vs the dequantized reference within the 7-bit
+    q/probability requantization noise."""
+    B, S, KH, G, D = 2, 32, 2, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, KH, G, D)), jnp.float32)
+    k = rng.standard_normal((B, S, KH, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, KH, D)).astype(np.float32)
+    k_scale, v_scale = 4.0 / 127, 3.5 / 127
+    k8 = jnp.asarray(np.clip(np.round(k / k_scale), -127, 127), jnp.int8)
+    v8 = jnp.asarray(np.clip(np.round(v / v_scale), -127, 127), jnp.int8)
+    lengths = jnp.asarray([9, 32], jnp.int32)
+    out = decode_attention(q, k8.reshape(B, S, KH * D), v8.reshape(B, S, KH * D),
+                           lengths, k_scale=k_scale, v_scale=v_scale,
+                           out_dtype=jnp.float32)
+    kd = np.asarray(k8, np.float32) * k_scale
+    vd = np.asarray(v8, np.float32) * v_scale
+    ref = ref_attention(q, kd, vd, np.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=4e-2, atol=4e-2)
+
+
 def test_length_one(rng, interp):
     B, S, KH, G, D = 1, 16, 1, 8, 64
     q = jnp.asarray(rng.standard_normal((B, KH, G, D)), jnp.float32)
