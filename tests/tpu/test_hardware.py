@@ -89,6 +89,44 @@ def test_fused_decode_sinks_softcap_on_hw(rng):
                                atol=1e-2)
 
 
+def test_fused_decode_int8_mxu_on_hw(rng):
+    """Mosaic compile + parity of the int8-MXU decode path (raw int8 codes
+    in the score and P.V dots) against the dequantized XLA reference."""
+    from modelopt_tpu.kernels.attention import fused_decode_attention
+
+    B, S, KH, G, D = 4, 128, 2, 4, 128
+    ks = 4.0 / 127
+    q = jnp.asarray(rng.standard_normal((B, KH, G, D)), jnp.bfloat16)
+    k8 = jnp.asarray(np.clip(np.round(
+        rng.standard_normal((B, S, KH * D)) / ks), -127, 127), jnp.int8)
+    v8 = jnp.asarray(np.clip(np.round(
+        rng.standard_normal((B, S, KH * D)) / ks), -127, 127), jnp.int8)
+    kn = jnp.asarray(np.clip(np.round(
+        rng.standard_normal((B, 1, KH * D)) / ks), -127, 127), jnp.int8)
+    vn = jnp.asarray(np.clip(np.round(
+        rng.standard_normal((B, 1, KH * D)) / ks), -127, 127), jnp.int8)
+    pos = jnp.asarray([3, 50, 100, 126], jnp.int32)
+    out, ck, cv = fused_decode_attention(q, kn, vn, k8, v8, pos,
+                                         k_scale=ks, v_scale=ks,
+                                         out_dtype=jnp.float32)
+    # dequantized reference with the new token spliced in
+    kd = np.asarray(ck, np.float32).reshape(B, S, KH, D) * ks
+    vd = np.asarray(cv, np.float32).reshape(B, S, KH, D) * ks
+    qf = np.asarray(q, np.float32)
+    for b in range(B):
+        L = int(pos[b]) + 1
+        for h in range(KH):
+            s = qf[b, h] @ kd[b, :L, h].T / np.sqrt(D)
+            p = np.exp(s - s.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            ref = p @ vd[b, :L, h]
+            np.testing.assert_allclose(np.asarray(out[b, h]), ref,
+                                       rtol=5e-2, atol=5e-2)
+    # the write landed
+    got = np.asarray(ck)[np.arange(B), np.asarray(pos)]
+    np.testing.assert_array_equal(got, np.asarray(kn)[:, 0])
+
+
 def test_mla_latent_decode_on_hw(rng):
     """MLA single-shared-KV-head reformulation on hardware (fp8 latent)."""
     from modelopt_tpu.kernels.attention import decode_attention
