@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--cache-interval", type=int, default=3,
+                    help="cache-diffusion refresh interval (1 = off)")
     args = ap.parse_args()
 
     cfg = dit_config_s(hidden_size=args.hidden, num_layers=args.layers)
@@ -41,6 +43,20 @@ def main():
     rel = float(jnp.linalg.norm(img_q - img_base) / jnp.linalg.norm(img_base))
     print(f"{args.preset}: sampled-image relative deviation {rel:.4f} "
           f"over {args.steps} DDIM steps")
+
+    if args.cache_interval > 1:
+        # cache diffusion (reference: examples/diffusers/cache_diffusion):
+        # deep DiT blocks refresh every N steps, shallow blocks every step
+        from modelopt_tpu.fastgen import cache_ddim_sample
+
+        img_c, stats = cache_ddim_sample(
+            q, jax.random.PRNGKey(1), num_steps=args.steps, batch=2,
+            cache_interval=args.cache_interval)
+        rel_c = float(jnp.linalg.norm(img_c - img_base)
+                      / jnp.linalg.norm(img_base))
+        saved = 1 - stats["blocks_run"] / stats["blocks_total"]
+        print(f"cache-diffusion (interval {args.cache_interval}): "
+              f"{saved:.0%} of block compute skipped, deviation {rel_c:.4f}")
 
 
 if __name__ == "__main__":

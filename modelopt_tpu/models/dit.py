@@ -88,12 +88,20 @@ class DiTBlock(nn.Module):
 
 
 class DiT(nn.Module):
-    """__call__(x [B, Hs, Ws, C], t [B], y [B]) -> predicted noise [B, Hs, Ws, C]."""
+    """__call__(x [B, Hs, Ws, C], t [B], y [B]) -> predicted noise [B, Hs, Ws, C].
+
+    Cache-diffusion hooks (reference: examples/diffusers/cache_diffusion —
+    DeepCache-style reuse of deep-block outputs across sampler steps):
+    ``shallow=k`` splits the block stack after block k. With
+    ``deep_delta=None`` the full stack runs and the call ALSO returns the
+    deep-stack residual (h_full - h_shallow) for caching; with a cached
+    ``deep_delta`` the deep blocks are skipped entirely (the jitted partial
+    program never traces them) and the delta is spliced in."""
 
     cfg: DiTConfig
 
     @nn.compact
-    def __call__(self, x, t, y):
+    def __call__(self, x, t, y, deep_delta=None, shallow: Optional[int] = None):
         cfg = self.cfg
         B, Hs, Ws, C = x.shape
         P = cfg.patch_size
@@ -113,14 +121,25 @@ class DiT(nn.Module):
                         name="y_embed")(y).astype(cfg.dtype)
         c = temb + yemb
 
-        for i in range(cfg.num_layers):
+        n_shallow = cfg.num_layers if shallow is None else int(shallow)
+        for i in range(n_shallow):
             h = DiTBlock(cfg, name=f"blocks_{i}")(h, c)
+        delta = None
+        if shallow is not None and deep_delta is not None:
+            h = h + deep_delta.astype(h.dtype)  # cached deep-stack residual
+        else:
+            h_shallow = h
+            for i in range(n_shallow, cfg.num_layers):
+                h = DiTBlock(cfg, name=f"blocks_{i}")(h, c)
+            if shallow is not None:
+                delta = h - h_shallow
 
         h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=cfg.dtype)(h)
         out = QuantDense(P * P * C, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                          name="final_proj")(h)
         out = out.reshape(B, Hs // P, Ws // P, P, P, C).transpose(0, 1, 3, 2, 4, 5)
-        return out.reshape(B, Hs, Ws, C)
+        out = out.reshape(B, Hs, Ws, C)
+        return (out, delta) if delta is not None else out
 
 
 def ddim_sample(bundle, key, num_steps: int = 8, batch: int = 2,
