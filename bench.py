@@ -127,6 +127,38 @@ def main():
     ms16, _, _ = measure("INT4_BLOCKWISE_WEIGHT_ONLY_CFG")
     tok_s16 = BATCH / (ms16 / 1e3)
 
+    # MoE secondary: Qwen3-MoE-class (24L/64E, ~7.9B total params) W4A8
+    # decode — expert GEMMs ride the grouped int8-MXU kernels
+    try:
+        from modelopt_tpu.models import qwen3_moe_config
+
+        moe_cfg = qwen3_moe_config(
+            num_layers=24, num_experts=64, max_position_embeddings=MAXLEN,
+            param_dtype=jnp.bfloat16,
+        )
+        moe_module = Decoder(moe_cfg)
+        t0 = time.time()
+        moe_bundle = build_compressed_bundle(
+            moe_module, (ids,), "W4A8_INT8_DYNAMIC_CFG")
+        moe_fn = jax.jit(moe_bundle.make_fn(), donate_argnums=(2,))
+        moe_cache = make_cache(moe_cfg, BATCH, MAXLEN)
+        lg, cc = moe_fn(moe_bundle.variables, ids, moe_cache)
+        float(summ(lg))
+        times = {}
+        out = lg
+        for n in (4, 16):
+            t1 = time.time()
+            for _ in range(n):
+                out, cc = moe_fn(moe_bundle.variables, ids, cc)
+            float(summ(out))
+            times[n] = time.time() - t1
+        ms_moe = 1e3 * (times[16] - times[4]) / 12.0
+        tok_s_moe = BATCH / (ms_moe / 1e3)
+        del moe_cache, cc, moe_bundle
+    except Exception as e:  # pragma: no cover - defensive on-chip guard
+        tok_s_moe = -1.0
+        print(f"# moe variant failed: {e!r}", flush=True)
+
     # per-step HBM traffic (roofline sanity): packed weights + KV reads +
     # bf16 lm_head (excluded from quantization, like the reference's)
     def kv_gb(itemsize):
@@ -158,6 +190,7 @@ def main():
                     "w4a8_int8kv_tok_s": round(tok_s_kvi8, 1),
                     "w4a16_tok_s": round(tok_s16, 1),
                     "w4a16_vs_int4_awq_baseline": round(tok_s16 / 1392.78, 3),
+                    "moe_qwen3_24l64e_w4a8_tok_s": round(tok_s_moe, 1),
                     "weight_gb_packed": round(weight_gb, 2),
                     "bf16_fits_this_chip": False,
                     "hbm_traffic_gb_per_step": round(traffic_gb, 2),

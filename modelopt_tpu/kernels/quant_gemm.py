@@ -285,15 +285,17 @@ def _w4a8_kt_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int, K2: int,
         0, nblk, body, jnp.zeros((M, TN), jnp.float32), unroll=False)
 
 
-def _w4a8_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
-    """Unpack is TWO bitwise ANDs per byte — zero VPU converts: the MXU's
-    mixed int8 dot consumes ``bitcast(pb & 0xF, i8)`` (= q_lo + 8, corrected
-    by a rank-1 ``8 * rowsum(x)`` term) and ``bitcast(pb & 0xF0, i8)``
-    (= exactly ``16 * q_hi`` thanks to the two's-complement high nibble —
-    ``>> 4`` on the i32 accumulator finishes it). Measured 0.144 ms /
-    408 GB/s at K=4096, N=28672, M=64 on v5e vs 0.191 ms for the bf16-path
-    w4a16 kernel (Mosaic legalizes no shifts/subs on int8 vectors, so the
-    conventional unpack-to-i8 route is impossible; this needs none).
+def _w4a8_body(xs, p_ref, s_ref, M, TN, block: int):
+    """Shared w4a8 accumulation over ``xs(col, size)`` int8 activation
+    slices. Unpack is TWO bitwise ANDs per byte — zero VPU converts: the
+    MXU's mixed int8 dot consumes ``bitcast(pb & 0xF, i8)`` (= q_lo + 8,
+    corrected by a rank-1 ``8 * rowsum(x)`` term) and ``bitcast(pb & 0xF0,
+    i8)`` (= exactly ``16 * q_hi`` thanks to the two's-complement high
+    nibble — ``>> 4`` on the i32 accumulator finishes it). Measured
+    0.144 ms / 408 GB/s at K=4096, N=28672, M=64 on v5e vs 0.191 ms for
+    the bf16-path w4a16 kernel (Mosaic legalizes no shifts/subs on int8
+    vectors, so the conventional unpack-to-i8 route is impossible; this
+    needs none).
 
     Handles K2 % block != 0 (straddle shapes, same scale-row layout as
     _w4a16_body: nfull lo rows, one straddle row, hi rows shifted by rem):
@@ -302,7 +304,6 @@ def _w4a8_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
     K2 = p_ref.shape[0]
     nfull = K2 // block
     rem = K2 % block
-    M, TN = x_ref.shape[0], p_ref.shape[1]
     dot_lo = _w4a8_dot_lo
     dot_hi = _w4a8_dot_hi
 
@@ -310,35 +311,40 @@ def _w4a8_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
         def body(b, acc):
             off = b * block
             pb = p_ref[pl.ds(off, block), :]
-            qlo = dot_lo(x_ref[:, pl.ds(off, block)], pb)
-            qhi = dot_hi(x_ref[:, pl.ds(K2 + off, block)], pb)
+            qlo = dot_lo(xs(off, block), pb)
+            qhi = dot_hi(xs(K2 + off, block), pb)
             return (acc + qlo.astype(jnp.float32) * s_ref[pl.ds(b, 1), :]
                     + qhi.astype(jnp.float32) * s_ref[pl.ds(nfull + b, 1), :])
 
-        o_ref[:] = jax.lax.fori_loop(
+        return jax.lax.fori_loop(
             0, nfull, body, jnp.zeros((M, TN), jnp.float32), unroll=False)
-        return
 
     def body_lo(b, acc):
         off = b * block
-        q = dot_lo(x_ref[:, pl.ds(off, block)], p_ref[pl.ds(off, block), :])
+        q = dot_lo(xs(off, block), p_ref[pl.ds(off, block), :])
         return acc + q.astype(jnp.float32) * s_ref[pl.ds(b, 1), :]
 
     def body_hi(b, acc):
         poff = rem + b * block
-        q = dot_hi(x_ref[:, pl.ds(K2 + poff, block)],
-                   p_ref[pl.ds(poff, block), :])
+        q = dot_hi(xs(K2 + poff, block), p_ref[pl.ds(poff, block), :])
         return acc + q.astype(jnp.float32) * s_ref[pl.ds(nfull + 1 + b, 1), :]
 
     acc = jax.lax.fori_loop(0, nfull, body_lo,
                             jnp.zeros((M, TN), jnp.float32), unroll=False)
     # straddle block: lo-nibble tail + hi-nibble head, one shared scale row
-    q = dot_lo(x_ref[:, pl.ds(nfull * block, rem)],
-               p_ref[pl.ds(nfull * block, rem), :])
-    q = q + dot_hi(x_ref[:, pl.ds(K2, rem)], p_ref[pl.ds(0, rem), :])
+    q = dot_lo(xs(nfull * block, rem), p_ref[pl.ds(nfull * block, rem), :])
+    q = q + dot_hi(xs(K2, rem), p_ref[pl.ds(0, rem), :])
     acc = acc + q.astype(jnp.float32) * s_ref[pl.ds(nfull, 1), :]
-    o_ref[:] = jax.lax.fori_loop(0, (K2 - rem) // block, body_hi, acc,
-                                 unroll=False)
+    return jax.lax.fori_loop(0, (K2 - rem) // block, body_hi, acc,
+                             unroll=False)
+
+
+def _w4a8_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
+    def xs(col, size):
+        return x_ref[:, pl.ds(col, size)]
+
+    o_ref[:] = _w4a8_body(xs, p_ref, s_ref, x_ref.shape[0], p_ref.shape[1],
+                          block)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -580,6 +586,58 @@ def grouped_w4a16_gemm(x, packed, scale, n_per_expert: int, block: int = 128,
             transcendentals=0,
         ),
     )(x, packed, scale)
+    return out[:, :M]
+
+
+def _grouped_w4a8_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
+    """Grouped W4A8: one (expert, N-tile) grid step of the int8-MXU body
+    (zero-convert nibble unpack — see _w4a8_body). The bf16 grouped kernel
+    is VPU-unpack-bound at MoE decode shapes (measured 239 us vs the 77 us
+    roofline for 64x[768, 2048] experts on v5e); consuming the nibbles on
+    the int8 MXU removes the per-element converts entirely."""
+    def xs(col, size):
+        return x_ref[0, :, pl.ds(col, size)]
+
+    o_ref[0] = _w4a8_body(xs, p_ref, s_ref, x_ref.shape[1], p_ref.shape[1],
+                          block)
+
+
+@functools.partial(jax.jit, static_argnames=("n_per_expert", "block"))
+def grouped_w4a8_gemm(xq, packed, scale, n_per_expert: int, block: int = 128):
+    """Per-expert W4A8 GEMMs y[e] = xq[e] @ W[e] in one kernel.
+    xq int8 [E, M, K] (per-row activation scales applied by the caller);
+    packed uint8 [K/2, E*N] folded layout; scale f32 [2*K/2/block, E*N].
+    Returns f32 [E, M, N]."""
+    E, M, K = xq.shape
+    K2, EN = packed.shape
+    N = n_per_expert
+    TN = _pick_tn(N, K2, 1.5)
+    nt = N // TN
+    pad = (-M) % 8
+    if pad:
+        xq = jnp.pad(xq, ((0, 0), (0, pad), (0, 0)))
+    Mp = xq.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_grouped_w4a8_kernel, block=block),
+        grid=(E, nt),
+        in_specs=[
+            pl.BlockSpec((1, Mp, 2 * K2), lambda e, n: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, TN), lambda e, n: (0, e * nt + n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * K2 // block, TN), lambda e, n: (0, e * nt + n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Mp, TN), lambda e, n: (e, 0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, Mp, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * E * Mp * 2 * K2 * N,
+            bytes_accessed=K2 * EN + (2 * K2 // block) * EN * 4
+            + E * Mp * 2 * K2,
+            transcendentals=0,
+        ),
+    )(xq, packed, scale)
     return out[:, :M]
 
 

@@ -151,7 +151,8 @@ class QuantEinsum(nn.Module):
     def __call__(self, x):
         compressed = self.has_variable("quant", "qweight")
         act_int8 = skip_fake = False
-        if compressed and self.einsum_str == "btd,edf->btef":
+        if compressed and self.einsum_str in ("btd,edf->btef",
+                                              "bteo,eod->bted"):
             from ..nn.quantizer import active_quant_config
             from ..quant.backends import act_backend_quantizes
 
@@ -201,7 +202,8 @@ class QuantEinsum(nn.Module):
                 B_, T_ = x.shape[:2]
                 x3 = x.astype(dtype).reshape(B_ * T_, E, fin)
                 y3 = grouped_qgemm(x3, qt, specs[0], (E, fin, fout),
-                                   out_dtype=dtype)
+                                   out_dtype=dtype, act_int8=act_int8,
+                                   act_raw=skip_fake)
                 y = y3.reshape(B_, T_, E, fout)
             else:
                 w2d = dequantize_qtensor(qt, specs[0], (fin, E * fout))

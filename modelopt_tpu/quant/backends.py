@@ -134,14 +134,18 @@ def qgemm(x2d, qt: dict, spec: QuantizerSpec, kn, out_dtype=None,
     return jnp.dot(x2d.astype(out_dtype), w)
 
 
-def grouped_qgemm(x3, qt: dict, spec: QuantizerSpec, efn, out_dtype=None):
+def grouped_qgemm(x3, qt: dict, spec: QuantizerSpec, efn, out_dtype=None,
+                  act_int8: bool = False, act_raw: bool = False):
     """Per-expert GEMMs for MoE down-projections: x3 [M, E, K] (token-major)
     against a FOLDED packed weight [K, E*N] (quant/compress.py layout where
     expert e's matrix is columns e*N:(e+1)*N). Returns [M, E, N].
 
-    int4 at decode shapes rides the grouped Pallas kernel — one call for
-    the whole expert set, packed weights streamed at 4 bits; everything
-    else falls back to dequantize + einsum."""
+    int4 at decode shapes rides the grouped Pallas kernels — one call for
+    the whole expert set, packed weights streamed at 4 bits. ``act_int8``
+    selects the int8-MXU grouped W4A8 kernel (per-(token, expert) dynamic
+    int8 rows, zero-convert nibble unpack — the bf16 grouped kernel is
+    VPU-unpack-bound at MoE decode shapes). Everything else falls back to
+    dequantize + einsum."""
     E, K, N = efn
     M = x3.shape[0]
     out_dtype = out_dtype or x3.dtype
@@ -158,9 +162,22 @@ def grouped_qgemm(x3, qt: dict, spec: QuantizerSpec, efn, out_dtype=None):
         and N % 128 == 0
         and E * K * N >= 2**22  # amortized across the whole expert set
     )
+    if fmt == "int4" and grouped_ok and act_int8:
+        from ..kernels import quant_gemm as kq
+
+        xe = x3.transpose(1, 0, 2)  # [E, M, K]
+        xf = xe.astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=2, keepdims=True),
+                         1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        y = kq.grouped_w4a8_gemm(xq, qt["data"], qt["scale"], N,
+                                 block=block_of(spec))
+        return (y * xs).astype(out_dtype).transpose(1, 0, 2)
     if fmt == "int4" and grouped_ok:
         from ..kernels import quant_gemm as kq
 
+        if act_int8 and act_raw:
+            x3 = _fq_int8_per_token(x3.reshape(M * E, K)).reshape(M, E, K)
         xe = x3.astype(out_dtype).transpose(1, 0, 2)  # [E, M, K]
         y = kq.grouped_w4a16_gemm(xe, qt["data"], qt["scale"], N,
                                   block=block_of(spec), out_dtype=out_dtype)
@@ -174,6 +191,9 @@ def grouped_qgemm(x3, qt: dict, spec: QuantizerSpec, efn, out_dtype=None):
                                   N, block=block_of(spec, 16),
                                   out_dtype=out_dtype)
         return y.transpose(1, 0, 2)
+    if act_int8 and act_raw:
+        # bf16 fallback still serves A8: one per-(token, expert) rounding
+        x3 = _fq_int8_per_token(x3.reshape(M * E, K)).reshape(M, E, K)
     w = dequantize_qtensor(qt, spec, (K, E * N)).astype(out_dtype)
     w3 = w.reshape(K, E, N)
     return jnp.einsum("meo,oed->med", x3.astype(out_dtype), w3)

@@ -188,3 +188,33 @@ def test_nvfp4_adaptive_chunk_parity(rng, interp):
     ref = x @ qt.dequantize_nvfp4(packed, 16).astype(jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref, np.float32),
                                rtol=2e-2, atol=3e-1)
+
+
+def test_grouped_w4a8_parity(rng, interp):
+    """Grouped int8-MXU W4A8 (all expert down-projections in one kernel)
+    against the per-expert dequantized reference — exact int32 math."""
+    E, K, N, M = 4, 256, 128, 8
+    w = jnp.asarray(rng.standard_normal((K, E * N)), jnp.float32)
+    xq = jnp.asarray(rng.integers(-127, 128, (E, M, K)), jnp.int8)
+    packed = qt.quantize_int4(w, block=128)
+    y = kq.grouped_w4a8_gemm(xq, packed["data"], packed["scale"], N,
+                             block=128)
+    wd = qt.dequantize_int4(packed, 128)
+    for e in range(E):
+        ref = xq[e].astype(jnp.float32) @ wd[:, e * N:(e + 1) * N]
+        np.testing.assert_allclose(np.asarray(y[e]), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-2)
+
+
+def test_grouped_w4a8_straddle_parity(rng, interp):
+    E, K, N, M = 2, 704, 128, 8  # block 64: K2=352 -> rem 32 (straddle)
+    w = jnp.asarray(rng.standard_normal((K, E * N)), jnp.float32)
+    xq = jnp.asarray(rng.integers(-127, 128, (E, M, K)), jnp.int8)
+    packed = qt.quantize_int4(w, block=64)
+    y = kq.grouped_w4a8_gemm(xq, packed["data"], packed["scale"], N,
+                             block=64)
+    wd = qt.dequantize_int4(packed, 64)
+    for e in range(E):
+        ref = xq[e].astype(jnp.float32) @ wd[:, e * N:(e + 1) * N]
+        np.testing.assert_allclose(np.asarray(y[e]), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-2)
