@@ -641,6 +641,74 @@ def grouped_w4a8_gemm(xq, packed, scale, n_per_expert: int, block: int = 128):
     return out[:, :M]
 
 
+def _grouped_w4a8_combine_kernel(g_ref, x_ref, p_ref, s_ref, o_ref, *,
+                                 block: int):
+    """Fused MoE down-projection + routed combine: grid (N-tile, expert)
+    with the EXPERT dim innermost; each step adds its expert's
+    gate-weighted [M, TN] contribution into the revisited f32 output —
+    the [E, M, N] per-expert intermediate (write + re-read + a separate
+    combine einsum, ~1.5 ms/step at Qwen3-MoE decode shapes) never
+    exists. g_ref [1, M, 128] carries gate(e, m) * act_scale(e, m)
+    broadcast along lanes."""
+    e = pl.program_id(1)
+
+    def xs(col, size):
+        return x_ref[0, :, pl.ds(col, size)]
+
+    acc = _w4a8_body(xs, p_ref, s_ref, x_ref.shape[1], p_ref.shape[1],
+                     block)
+
+    @pl.when(e == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += acc * g_ref[0][:, :1]
+
+
+@functools.partial(jax.jit, static_argnames=("n_per_expert", "block"))
+def grouped_w4a8_combine_gemm(xq, gscale, packed, scale, n_per_expert: int,
+                              block: int = 128):
+    """Fused per-expert W4A8 GEMMs + weighted combine:
+    ``out[m] = sum_e gscale[e, m] * (xq[e, m] @ W[e])``.
+    xq int8 [E, M, K]; gscale f32 [E, M] (routing gate x per-row activation
+    scale); packed/scale the folded layout. Returns f32 [M, N]."""
+    E, M, K = xq.shape
+    K2, EN = packed.shape
+    N = n_per_expert
+    TN = _pick_tn(N, K2, 1.5)
+    nt = N // TN
+    pad = (-M) % 8
+    if pad:
+        xq = jnp.pad(xq, ((0, 0), (0, pad), (0, 0)))
+        gscale = jnp.pad(gscale, ((0, 0), (0, pad)))
+    Mp = xq.shape[1]
+    gs3 = jnp.broadcast_to(gscale[:, :, None], (E, Mp, 128))
+    out = pl.pallas_call(
+        functools.partial(_grouped_w4a8_combine_kernel, block=block),
+        grid=(nt, E),
+        in_specs=[
+            pl.BlockSpec((1, Mp, 128), lambda n, e: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, 2 * K2), lambda n, e: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, TN), lambda n, e: (0, e * nt + n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * K2 // block, TN), lambda n, e: (0, e * nt + n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, TN), lambda n, e: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * E * Mp * 2 * K2 * N,
+            bytes_accessed=K2 * EN + (2 * K2 // block) * EN * 4
+            + E * Mp * 2 * K2,
+            transcendentals=0,
+        ),
+    )(gs3, xq, packed, scale)
+    return out[:M]
+
+
 def _grouped_nvfp4_kernel(x_ref, p_ref, s_ref, s2_ref, o_ref, *, block: int):
     """Grouped variant of _nvfp4_kernel: one (expert, N-tile) per grid step,
     x/o carry a leading expert dim."""

@@ -766,12 +766,14 @@ class MoEBlock(nn.Module):
             h = (up + 1.0) * (gate * jax.nn.sigmoid(1.702 * gate))
         else:
             h = nn.silu(gate_out) * up_out  # [B,T,E,I]
-        down = QuantEinsum(
+        # down-projection + routed combine fused into the layer (one
+        # int8-MXU kernel on the compressed path — the [B,T,E,Hd]
+        # per-expert output never materializes; see backends.moe_down_qgemm)
+        out = QuantEinsum(
             einsum_str="bteo,eod->bted", kernel_shape=(E, I, Hd),
             use_bias=cfg.moe_bias, bias_shape=(E, Hd),
             dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="down_proj",
-        )(h)  # [B,T,E,Hd]
-        out = jnp.einsum("bted,bte->btd", down, gates.astype(cfg.dtype))
+        )(h, gates=gates.astype(cfg.dtype))  # [B,T,Hd]
         if cfg.n_shared_experts:
             # DeepSeek shared experts: one always-on MLP of width
             # n_shared * I added to the routed output

@@ -148,7 +148,14 @@ class QuantEinsum(nn.Module):
     kernel_axes: Optional[tuple] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, gates=None):
+        """``gates`` [B, T, E] (only for the per-expert contraction
+        ``bteo,eod->bted``) fuses the routed combine into this layer: the
+        return value is the gate-weighted sum [B, T, D] and, on the
+        int8-MXU compressed path, the whole thing is ONE kernel
+        (backends.moe_down_qgemm) — the [B, T, E, D] per-expert output
+        never materializes. The output_quantizer then applies to the
+        combined tensor."""
         compressed = self.has_variable("quant", "qweight")
         act_int8 = skip_fake = False
         if compressed and self.einsum_str in ("btd,edf->btef",
@@ -193,6 +200,18 @@ class QuantEinsum(nn.Module):
                             out_dtype=dtype, act_int8=act_int8,
                             act_raw=skip_fake)
                 y = y2d.reshape(*x.shape[:-1], E, fout)
+            elif self.einsum_str == "bteo,eod->bted" and gates is not None:
+                # fused down-projection + routed combine (one kernel on the
+                # int8-MXU path; grouped kernel + einsum otherwise)
+                from ..quant.backends import moe_down_qgemm
+
+                B_, T_ = x.shape[:2]
+                x3 = x.astype(dtype).reshape(B_ * T_, E, fin)
+                g2 = gates.reshape(B_ * T_, E)
+                y2 = moe_down_qgemm(x3, qt, specs[0], (E, fin, fout), g2,
+                                    out_dtype=dtype, act_int8=act_int8,
+                                    act_raw=skip_fake)
+                y = y2.reshape(B_, T_, fout)
             elif self.einsum_str == "bteo,eod->bted":
                 # per-expert contraction (block-diagonal in the folded
                 # view): the grouped kernel runs all expert GEMMs in one
@@ -219,11 +238,22 @@ class QuantEinsum(nn.Module):
             kernel = TensorQuantizer(name="weight_quantizer")(kernel)
             y = jnp.einsum(self.einsum_str, x.astype(dtype),
                            kernel.astype(dtype))
+        down_fused = gates is not None and self.einsum_str == "bteo,eod->bted"
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros_init(), tuple(self.bias_shape), self.param_dtype
             )
-            y = y + bias.astype(dtype)
+            if down_fused and y.ndim == 3:
+                # combined output: the per-expert bias enters gate-weighted
+                # (sum_e g_e * (y_e + b_e) = fused_y + gates @ bias)
+                y = y + jnp.einsum("bte,ef->btf", gates.astype(dtype),
+                                   bias.astype(dtype))
+            else:
+                y = y + bias.astype(dtype)
+        if down_fused and y.ndim == 4:
+            # fake-quant / fallback path: combine here so callers see the
+            # same [B, T, D] contract as the fused kernel
+            y = jnp.einsum("bted,bte->btd", y, gates.astype(dtype))
         return TensorQuantizer(name="output_quantizer")(y)
 
 

@@ -197,3 +197,46 @@ def grouped_qgemm(x3, qt: dict, spec: QuantizerSpec, efn, out_dtype=None,
     w = dequantize_qtensor(qt, spec, (K, E * N)).astype(out_dtype)
     w3 = w.reshape(K, E, N)
     return jnp.einsum("meo,oed->med", x3.astype(out_dtype), w3)
+
+
+def moe_down_qgemm(x3, qt: dict, spec: QuantizerSpec, efn, gates,
+                   out_dtype=None, act_int8: bool = False,
+                   act_raw: bool = False):
+    """MoE down-projection + routed combine in one step:
+    ``out[m] = sum_e gates[m, e] * (x3[m, e] @ W[e])`` -> [M, N].
+
+    On the int8-MXU path this is ONE fused kernel
+    (grouped_w4a8_combine_gemm): the routing gate folds into the per-row
+    activation scale and experts accumulate into a revisited f32 output —
+    the [M, E, N] per-expert intermediate never exists. Other formats run
+    grouped_qgemm then combine."""
+    E, K, N = efn
+    M = x3.shape[0]
+    out_dtype = out_dtype or x3.dtype
+    fmt = compressible_format(spec, (K, E * N))
+    K2 = K // 2
+    blk = block_of(spec, 16 if fmt == "nvfp4" else 128)
+    fused_ok = (
+        jax.default_backend() == "tpu"
+        and act_int8
+        and fmt == "int4"
+        and M <= PALLAS_MAX_M
+        and K % 2 == 0 and K % blk == 0 and blk % 8 == 0
+        and (K2 % blk) % 8 == 0
+        and N % 128 == 0
+        and E * K * N >= 2**22
+    )
+    if fused_ok:
+        from ..kernels import quant_gemm as kq
+
+        xe = x3.transpose(1, 0, 2)  # [E, M, K]
+        xf = xe.astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=2), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / xs[..., None]), -127, 127).astype(jnp.int8)
+        gsc = xs * gates.astype(jnp.float32).T  # [E, M]
+        y = kq.grouped_w4a8_combine_gemm(xq, gsc, qt["data"], qt["scale"], N,
+                                         block=block_of(spec))
+        return y.astype(out_dtype)
+    y3 = grouped_qgemm(x3, qt, spec, efn, out_dtype=out_dtype,
+                       act_int8=act_int8, act_raw=act_raw)
+    return jnp.einsum("men,me->mn", y3, gates.astype(out_dtype))

@@ -218,3 +218,22 @@ def test_grouped_w4a8_straddle_parity(rng, interp):
         ref = xq[e].astype(jnp.float32) @ wd[:, e * N:(e + 1) * N]
         np.testing.assert_allclose(np.asarray(y[e]), np.asarray(ref),
                                    rtol=1e-4, atol=1e-2)
+
+
+def test_grouped_w4a8_combine_parity(rng, interp):
+    """Fused down-projection + routed combine: one kernel equals the
+    per-expert GEMMs followed by the gate-weighted sum."""
+    E, K, N, M = 4, 256, 128, 8
+    w = jnp.asarray(rng.standard_normal((K, E * N)), jnp.float32)
+    xq = jnp.asarray(rng.integers(-127, 128, (E, M, K)), jnp.int8)
+    gs = jnp.asarray(rng.standard_normal((E, M)), jnp.float32)
+    packed = qt.quantize_int4(w, block=128)
+    y = kq.grouped_w4a8_combine_gemm(xq, gs, packed["data"], packed["scale"],
+                                     N, block=128)
+    wd = qt.dequantize_int4(packed, 128)
+    ref = sum(
+        gs[e][:, None] * (xq[e].astype(jnp.float32) @ wd[:, e * N:(e + 1) * N])
+        for e in range(E)
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-4, atol=1e-2)
