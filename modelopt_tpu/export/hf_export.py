@@ -63,6 +63,11 @@ _LAYER_MAP = {
 
 def _layer_map(mcfg) -> dict:
     m = dict(_LAYER_MAP)
+    if getattr(mcfg, "fused_qkv", False):
+        # phi3/4-style fused projections (hf_import reads the same names)
+        m["attn/qkv_proj/kernel"] = "self_attn.qkv_proj.weight"
+    if getattr(mcfg, "fused_gate_up", False):
+        m["mlp/gate_up_proj/kernel"] = "mlp.gate_up_proj.weight"
     if getattr(mcfg, "qk_norm", False):
         m["attn/q_norm/scale"] = "self_attn.q_norm.weight"
         m["attn/k_norm/scale"] = "self_attn.k_norm.weight"
@@ -321,7 +326,10 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
             if parts[-1] == "kernel" and leaf.ndim == 3:
                 # per-expert HF tensors (mixtral / qwen3-moe / deepseek)
                 proj = parts[2]
-                specs = cfg.resolve(path.rsplit("/kernel", 1)[0] + "/weight_quantizer")
+                dense3 = path.rsplit("/kernel", 1)[0]
+                specs = cfg.resolve(dense3 + "/weight_quantizer")
+                pqs3 = get_in(quant_vars, tuple(dense3.split("/"))
+                              + ("input_quantizer", "pre_quant_scale"))
                 arr = _np32(leaf)  # [E, in, out]
                 for e in range(arr.shape[0]):
                     name = f"model.layers.{i}." + expert_fmt.format(
@@ -329,6 +337,14 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
                     w_hf = arr[e].T  # [out, in]
                     if specs and specs[0].enable:
                         yield from _export_weight(w_hf, specs[0], name).items()
+                        if pqs3 is not None:
+                            # one shared smoothing scale per expert group
+                            # (our AWQ smooths the folded expert view); the
+                            # reference likewise exports the group-averaged
+                            # scale per expert (quant_utils.py:159)
+                            yield (name.rsplit(".weight", 1)[0]
+                                   + ".pre_quant_scale",
+                                   _np32(pqs3).reshape(-1).astype(np.float16))
                     else:
                         yield name, w_hf.astype(np.float16)
                 continue
@@ -363,13 +379,25 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
             dense = path.rsplit("/kernel", 1)[0]
             if specs and specs[0].enable:
                 tensors = _export_weight(w_hf, specs[0], name)
+                base = name.rsplit(".weight", 1)[0]
                 # input scale from calibrated activation amax if present;
                 # divisor is the resolved activation format's maxbound
                 a = get_in(quant_vars, tuple(dense.split("/")) + ("input_quantizer", "amax"))
                 aspecs = cfg.resolve(dense + "/input_quantizer")
                 if a is not None and aspecs and aspecs[0].enable:
-                    tensors[name.rsplit(".weight", 1)[0] + ".input_scale"] = (
+                    tensors[base + ".input_scale"] = (
                         _np32(a).reshape(-1)[:1] / _act_divisor(aspecs[0])
+                    )
+                # AWQ/SmoothQuant activation smoothing: the weights above
+                # carry the folded inverse, so the checkpoint MUST ship the
+                # activation-side scale or loaded models compute unscaled
+                # (reference: quant_utils.py:1157
+                # input_quantizer._pre_quant_scale -> <module>.pre_quant_scale)
+                pqs = get_in(quant_vars, tuple(dense.split("/"))
+                             + ("input_quantizer", "pre_quant_scale"))
+                if pqs is not None:
+                    tensors[base + ".pre_quant_scale"] = (
+                        _np32(pqs).reshape(-1).astype(np.float16)
                     )
                 yield from tensors.items()
             else:

@@ -252,7 +252,7 @@ class _DequantView(Mapping):
         self._keys = [k for k in sd
                       if not (k.endswith((".weight_scale", ".weight_scale_2",
                                           ".input_scale", ".k_scale",
-                                          ".v_scale")))]
+                                          ".v_scale", ".pre_quant_scale")))]
 
     def _shape(self, base: str):
         w = _np(self._sd[base + ".weight"])
@@ -286,7 +286,15 @@ class _DequantView(Mapping):
             else:
                 w = qt.dequantize_fp8(ours)
             del group
-            return np.asarray(w).T  # back to torch [out, in]
+            w = np.asarray(w).T  # back to torch [out, in]
+            if base + ".pre_quant_scale" in self._sd:
+                # no quantizer will apply the smoothing scale on this
+                # fallback path — fold it back into the weight instead:
+                # (x * pqs) @ W_folded == x @ (pqs * W_folded) exactly
+                pqs = _np(self._sd[base + ".pre_quant_scale"]).astype(
+                    np.float32).reshape(-1)
+                w = w * pqs[None, :]
+            return w
         return self._sd[key]
 
     def __iter__(self):
@@ -335,8 +343,10 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
         # our path suffix -> HF module base (per layer)
         "attn/q_proj": "self_attn.q_proj", "attn/k_proj": "self_attn.k_proj",
         "attn/v_proj": "self_attn.v_proj", "attn/o_proj": "self_attn.o_proj",
+        "attn/qkv_proj": "self_attn.qkv_proj",  # phi-style fused
         "mlp/gate_proj": "mlp.gate_proj", "mlp/up_proj": "mlp.up_proj",
         "mlp/down_proj": "mlp.down_proj",
+        "mlp/gate_up_proj": "mlp.gate_up_proj",
     }
     moe_expert_names = [
         ("block_sparse_moe.experts.{e}.w1", "moe/gate_proj"),
@@ -419,7 +429,9 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
         params = del_in(params, parts + ("kernel",))
         quant = set_in(quant, parts + ("qweight",), _qt_jnp(qt))
 
-    # activation / KV scales -> quantizer amax
+    # activation / KV scales -> quantizer amax; AWQ/SmoothQuant smoothing
+    # scales -> input_quantizer pre_quant_scale (the packed weights carry
+    # the folded inverse — without this the loaded model computes unscaled)
     mult = _act_amax_mult(algo)
     for k in sd:
         if k.endswith(".input_scale"):
@@ -429,6 +441,18 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
                 amax = _np(sd[k]).astype(np.float32).reshape(()) * mult
                 quant = set_in(quant, parts + ("input_quantizer", "amax"),
                                jnp.asarray(amax))
+        elif k.endswith(".pre_quant_scale"):
+            hf_base = k[: -len(".pre_quant_scale")]
+            entry = repack.get(hf_base)
+            if entry is None:
+                # per-expert names: only expert 0 keys the repack entry
+                # (one shared smoothing scale per expert group)
+                continue
+            parts = entry[0]
+            pqs = _np(sd[k]).astype(np.float32).reshape(-1)
+            quant = set_in(quant,
+                           parts + ("input_quantizer", "pre_quant_scale"),
+                           jnp.asarray(pqs))
         elif k.endswith((".k_scale", ".v_scale")):
             # model.layers.{i}.self_attn.{k,v}_scale
             parts = k.split(".")

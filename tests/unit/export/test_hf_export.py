@@ -211,6 +211,16 @@ class TestFamilyExportRoundtrip:
 
         self._roundtrip(tiny_gemma3_test_config(), tmp_path)
 
+    def test_phi_fused_roundtrip(self, tmp_path):
+        """phi3/4-style fused qkv/gate_up projections round-trip (their
+        name-map entries were missing: exports silently DROPPED the fused
+        attention/MLP weights before this test existed)."""
+        from modelopt_tpu.models import tiny_test_config
+
+        self._roundtrip(tiny_test_config(
+            fused_qkv=True, fused_gate_up=True,
+        ), tmp_path)
+
     def test_nemotron_roundtrip(self, tmp_path):
         from modelopt_tpu.models import tiny_test_config
 

@@ -163,3 +163,68 @@ class TestQuantizedImport:
         got = _logits(loaded, ids)
         ref = _logits(q, ids)
         np.testing.assert_allclose(got, ref, rtol=6e-2, atol=6e-2)
+
+
+class TestPreQuantScale:
+    """AWQ/SmoothQuant smoothing scales must round-trip: the exported
+    weights carry the folded inverse, so a checkpoint without
+    pre_quant_scale computes unscaled (showed up as ~4.5 logit error vs
+    ~0.1 fp16-storage noise before the fix)."""
+
+    def test_w4a8_awq_roundtrip(self, tmp_path):
+        bundle = lm_bundle()
+        ids = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.W4A8_INT8_DYNAMIC_CFG, lambda f: f(ids))
+        state = export_hf_checkpoint(q, str(tmp_path))
+        key = "model.layers.0.mlp.down_proj.pre_quant_scale"
+        assert key in state, [k for k in state if "layers.0.mlp" in k]
+        orig = np.asarray(
+            q.variables["quant"]["layers_0"]["mlp"]["down_proj"][
+                "input_quantizer"]["pre_quant_scale"], np.float32).reshape(-1)
+        np.testing.assert_allclose(state[key].astype(np.float32), orig,
+                                   rtol=1e-3, atol=1e-3)
+        loaded = load_quantized_checkpoint(str(tmp_path),
+                                           param_dtype=jnp.float32)
+        got = np.asarray(
+            loaded.variables["quant"]["layers_0"]["mlp"]["down_proj"][
+                "input_quantizer"]["pre_quant_scale"], np.float32)
+        np.testing.assert_allclose(got, orig.astype(np.float16), rtol=1e-3)
+        l1, l2 = _logits(q, ids), _logits(loaded, ids)
+        np.testing.assert_allclose(l2, l1, rtol=0.15, atol=0.15)
+
+    def test_moe_awq_pre_quant_scale(self, tmp_path):
+        bundle = lm_bundle(num_experts=4, experts_per_token=2)
+        ids = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.INT4_AWQ_CFG, lambda f: f(ids))
+        state = export_hf_checkpoint(q, str(tmp_path))
+        key = "model.layers.0.block_sparse_moe.experts.1.w2.pre_quant_scale"
+        assert key in state
+        loaded = load_quantized_checkpoint(str(tmp_path),
+                                           param_dtype=jnp.float32)
+        moe_q = loaded.variables["quant"]["layers_0"]["moe"]["down_proj"]
+        assert "pre_quant_scale" in moe_q["input_quantizer"]
+        l1, l2 = _logits(q, ids), _logits(loaded, ids)
+        np.testing.assert_allclose(l2, l1, rtol=0.15, atol=0.15)
+
+    def test_phi_fused_w4a8_roundtrip(self, tmp_path):
+        from modelopt_tpu.models import Decoder, tiny_test_config
+
+        cfg = tiny_test_config(fused_qkv=True, fused_gate_up=True,
+                               dtype=jnp.float32)
+        m = Decoder(cfg)
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 16)),
+                          jnp.int32)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), ids)
+        b = ModelBundle(module=m, variables=dict(v), example_inputs=(ids,))
+        q = mtq.quantize(b, mtq.W4A8_INT8_DYNAMIC_CFG, lambda f: f(ids))
+        state = export_hf_checkpoint(q, str(tmp_path))
+        # fused projections export packed (their name-map entries were
+        # missing: fused models silently dropped attention/MLP weights)
+        assert "model.layers.0.self_attn.qkv_proj.weight" in state
+        assert "model.layers.0.mlp.gate_up_proj.weight" in state
+        loaded = load_quantized_checkpoint(str(tmp_path),
+                                           param_dtype=jnp.float32)
+        assert "qweight" in loaded.variables["quant"]["layers_0"]["attn"][
+            "qkv_proj"]
+        l1, l2 = _logits(q, ids), _logits(loaded, ids)
+        np.testing.assert_allclose(l2, l1, rtol=0.15, atol=0.15)
