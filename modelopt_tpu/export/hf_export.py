@@ -161,7 +161,8 @@ def _export_weight(w_hf: np.ndarray, spec: QuantizerSpec, name: str, amax=None):
         out[name] = q
         out[base + ".weight_scale"] = s
     elif spec.is_fp and (spec.fp_format.exp_bits, spec.fp_format.man_bits) == (4, 3):
-        s = np.float32(max(np.abs(w_hf).max(), 1e-12) / 448.0)
+        s = np.float32(max(float(amax) if amax is not None
+                           else np.abs(w_hf).max(), 1e-12) / 448.0)
         codes = jnp.clip(jnp.asarray(w_hf / s), -448, 448).astype(jnp.float8_e4m3fn)
         out[name] = np.asarray(jax.device_get(codes))
         out[base + ".weight_scale"] = np.asarray([s], np.float32)
@@ -174,7 +175,12 @@ def _export_weight(w_hf: np.ndarray, spec: QuantizerSpec, name: str, amax=None):
         group = min(group, I)
         wb = w_hf.reshape(O, I // group, group)
         bamax = np.maximum(np.abs(wb).max(-1, keepdims=True), 1e-12)
-        s2 = np.float32(max(np.abs(w_hf).max(), 1e-12) / (6.0 * 448.0))
+        # the CALIBRATED per-tensor amax (when given) defines scale_2 so the
+        # exported codes match the fake-quant model exactly; per-expert
+        # slices of a stacked einsum in particular must share the stacked
+        # quantizer's scalar amax or every expert gets a different scale_2
+        s2 = np.float32(max(float(amax) if amax is not None
+                            else np.abs(w_hf).max(), 1e-12) / (6.0 * 448.0))
         s1 = np.asarray(
             jax.device_get(jnp.asarray(bamax[..., 0] / 6.0 / s2).astype(jnp.float8_e4m3fn))
         )
@@ -260,6 +266,43 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
     get_param = lambda p: get_in(  # noqa: E731
         bundle.variables.get("params", {}), tuple(p.split("/")))
 
+    def _quantized_2d(dense: str, w_hf: np.ndarray, name: str) -> dict:
+        """One 2-D kernel in torch [out, in] layout -> {tensor_name: array}:
+        packed weight per the active spec + input_scale / pre_quant_scale
+        siblings, or plain fp16 when the weight quantizer is off."""
+        specs = cfg.resolve(dense + "/weight_quantizer")
+        if not (specs and specs[0].enable):
+            return {name: w_hf.astype(np.float16)}
+        wamax = get_in(quant_vars, tuple(dense.split("/"))
+                       + ("weight_quantizer", "amax"))
+        tensors = _export_weight(
+            w_hf, specs[0], name,
+            amax=(float(np.asarray(wamax).reshape(-1)[0])
+                  if wamax is not None
+                  and np.asarray(wamax).size == 1 else None),
+        )
+        base = name.rsplit(".weight", 1)[0]
+        # input scale from calibrated activation amax if present; divisor
+        # is the resolved activation format's maxbound
+        a = get_in(quant_vars, tuple(dense.split("/"))
+                   + ("input_quantizer", "amax"))
+        aspecs = cfg.resolve(dense + "/input_quantizer")
+        if a is not None and aspecs and aspecs[0].enable:
+            tensors[base + ".input_scale"] = (
+                _np32(a).reshape(-1)[:1] / _act_divisor(aspecs[0])
+            )
+        # AWQ/SmoothQuant activation smoothing: the weights above carry the
+        # folded inverse, so the checkpoint MUST ship the activation-side
+        # scale or loaded models compute unscaled (reference:
+        # quant_utils.py:1157 _pre_quant_scale -> <module>.pre_quant_scale)
+        pqs = get_in(quant_vars, tuple(dense.split("/"))
+                     + ("input_quantizer", "pre_quant_scale"))
+        if pqs is not None:
+            tensors[base + ".pre_quant_scale"] = (
+                _np32(pqs).reshape(-1).astype(np.float16)
+            )
+        return tensors
+
     for path, leaf in flatten_with_paths(bundle.variables.get("params", {})):
         parts = path.split("/")
         if len(parts) >= 3 and parts[1] == "moe":
@@ -281,8 +324,13 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
                        _np32(leaf))
                 continue
             if parts[2] == "shared_experts" and shared_fmt:
+                if parts[-1] != "kernel":
+                    continue
                 name = f"model.layers.{i}." + shared_fmt.format(name=parts[3])
-                yield name, _np32(leaf).T.astype(np.float16)
+                # shared experts are plain QuantDense modules: export packed
+                # like any 2-D kernel (the reference quantizes them too)
+                yield from _quantized_2d(path.rsplit("/kernel", 1)[0],
+                                         _np32(leaf).T, name).items()
                 continue
             if fused:
                 # HF-canonical FUSED stacked expert tensors ([E, in, out]
@@ -330,13 +378,33 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
                 specs = cfg.resolve(dense3 + "/weight_quantizer")
                 pqs3 = get_in(quant_vars, tuple(dense3.split("/"))
                               + ("input_quantizer", "pre_quant_scale"))
+                a3 = get_in(quant_vars, tuple(dense3.split("/"))
+                            + ("input_quantizer", "amax"))
+                aspecs3 = cfg.resolve(dense3 + "/input_quantizer")
+                wamax3 = get_in(quant_vars, tuple(dense3.split("/"))
+                                + ("weight_quantizer", "amax"))
+                if wamax3 is not None and np.asarray(wamax3).size != 1:
+                    wamax3 = None  # per-expert amax: per-slice scales apply
                 arr = _np32(leaf)  # [E, in, out]
                 for e in range(arr.shape[0]):
                     name = f"model.layers.{i}." + expert_fmt.format(
                         e=e, name=proj, w1=_w123.get(proj, proj))
                     w_hf = arr[e].T  # [out, in]
                     if specs and specs[0].enable:
-                        yield from _export_weight(w_hf, specs[0], name).items()
+                        yield from _export_weight(
+                            w_hf, specs[0], name,
+                            amax=(None if wamax3 is None
+                                  else float(np.asarray(wamax3).reshape(-1)[0])),
+                        ).items()
+                        if a3 is not None and aspecs3 and aspecs3[0].enable:
+                            # one input_scale per expert (the stacked einsum
+                            # shares a single input quantizer; the reference
+                            # exports the same shared activation scale per
+                            # expert, quant_utils.py get_activation_scaling)
+                            yield (name.rsplit(".weight", 1)[0]
+                                   + ".input_scale",
+                                   _np32(a3).reshape(-1)[:1]
+                                   / _act_divisor(aspecs3[0]))
                         if pqs3 is not None:
                             # one shared smoothing scale per expert group
                             # (our AWQ smooths the folded expert view); the
@@ -375,33 +443,8 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
                     w3 = np.concatenate(
                         [w3[:, :dn], w3[:, dn:][:, iperm]], 1)
                     w_hf = w3.reshape(H * (dn + dr), -1)
-            specs = cfg.resolve(path.rsplit("/kernel", 1)[0] + "/weight_quantizer")
             dense = path.rsplit("/kernel", 1)[0]
-            if specs and specs[0].enable:
-                tensors = _export_weight(w_hf, specs[0], name)
-                base = name.rsplit(".weight", 1)[0]
-                # input scale from calibrated activation amax if present;
-                # divisor is the resolved activation format's maxbound
-                a = get_in(quant_vars, tuple(dense.split("/")) + ("input_quantizer", "amax"))
-                aspecs = cfg.resolve(dense + "/input_quantizer")
-                if a is not None and aspecs and aspecs[0].enable:
-                    tensors[base + ".input_scale"] = (
-                        _np32(a).reshape(-1)[:1] / _act_divisor(aspecs[0])
-                    )
-                # AWQ/SmoothQuant activation smoothing: the weights above
-                # carry the folded inverse, so the checkpoint MUST ship the
-                # activation-side scale or loaded models compute unscaled
-                # (reference: quant_utils.py:1157
-                # input_quantizer._pre_quant_scale -> <module>.pre_quant_scale)
-                pqs = get_in(quant_vars, tuple(dense.split("/"))
-                             + ("input_quantizer", "pre_quant_scale"))
-                if pqs is not None:
-                    tensors[base + ".pre_quant_scale"] = (
-                        _np32(pqs).reshape(-1).astype(np.float16)
-                    )
-                yield from tensors.items()
-            else:
-                yield name, w_hf.astype(np.float16)
+            yield from _quantized_2d(dense, w_hf, name).items()
         else:
             yield name, _np32(leaf).astype(np.float16)
 

@@ -56,6 +56,25 @@ class AbsorbedKernel(nn.Module):
 
     @nn.compact
     def __call__(self):
+        if self.has_variable("quant", "qweight"):
+            # compressed: packed codes dequantize on read (the kernel is
+            # consumed absorbed inside einsums — XLA fuses the dequant into
+            # the consumer, so HBM sees only the packed bytes)
+            from ..nn.quantizer import active_quant_config
+            from ..quant.qtensor import dequantize_qtensor
+
+            cfg = active_quant_config()
+            specs = (cfg.resolve("/".join(self.path) + "/weight_quantizer")
+                     if cfg else None)
+            if not specs:
+                raise ValueError(
+                    f"{'/'.join(self.path)}: qweight present but no active "
+                    "weight-quantizer spec to interpret it"
+                )
+            qt = self.get_variable("quant", "qweight")
+            return dequantize_qtensor(
+                qt, specs[0], (self.in_features, self.features)
+            ).astype(self.param_dtype)
         kernel = self.param("kernel", default_kernel_init,
                             (self.in_features, self.features),
                             self.param_dtype)

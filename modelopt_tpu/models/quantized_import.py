@@ -97,16 +97,30 @@ def _pack_codes_ours(c: np.ndarray) -> np.ndarray:
     return (c[: K // 2] | (c[K // 2:] << 4)).astype(np.uint8)
 
 
-def _repack_one(fmt: str, sd, base: str):
-    """One torch-layout quantized weight -> our qtensor dict (numpy)."""
+def _repack_one(fmt: str, sd, base: str, out_perm: np.ndarray | None = None):
+    """One torch-layout quantized weight -> our qtensor dict (numpy).
+
+    ``out_perm`` permutes OUTPUT channels (new col j <- old col perm[j] of
+    the transposed [K, N] code tensor): quantization blocks run along the
+    INPUT dim, so permuting codes and per-output scale columns together is
+    bit-exact. Used for MLA rope de-interleaving (see hf_import
+    _deepseek_params — the exporter writes HF-canonical interleaved rows)."""
     w = _np(sd[base + ".weight"])
     s = _np(sd[base + ".weight_scale"]).astype(np.float32) \
         if base + ".weight_scale" in sd else None
+
+    def permn(a, axis=1):
+        if out_perm is None:
+            return a
+        return jnp.take(a, jnp.asarray(out_perm), axis=axis) \
+            if not isinstance(a, np.ndarray) else np.take(a, out_perm, axis)
+
     if fmt == "int4":
-        q = _unpack_int4_torch(w).T  # [K, N]
-        return {"data": _pack_int4_ours(q), "scale": np.ascontiguousarray(s.T)}
+        q = permn(_unpack_int4_torch(w).T)  # [K, N]
+        return {"data": _pack_int4_ours(q),
+                "scale": permn(np.ascontiguousarray(s.T))}
     if fmt == "nvfp4":
-        c = _unpack_e2m1_torch(w).T  # [K, N]
+        c = permn(_unpack_e2m1_torch(w).T)  # [K, N]
         s2 = _np(sd[base + ".weight_scale_2"]).astype(np.float32).reshape(1, 1)
         # weight_scale is e4m3 on disk; safetensors reads it back as uint8
         # bits via _np — reinterpret, keep e4m3
@@ -115,14 +129,14 @@ def _repack_one(fmt: str, sd, base: str):
             s1 = jnp.asarray(s1).view(jnp.float8_e4m3fn)
         else:
             s1 = jnp.asarray(s1.astype(np.float32)).astype(jnp.float8_e4m3fn)
-        return {"data": _pack_codes_ours(c), "scale": jnp.asarray(s1).T,
+        return {"data": _pack_codes_ours(c), "scale": permn(jnp.asarray(s1).T),
                 "scale2": s2}
     if fmt == "int8":
-        q = _np(sd[base + ".weight"]).astype(np.int8).T  # [K, N]
-        return {"data": q, "scale": s.reshape(1, -1)}
+        q = permn(_np(sd[base + ".weight"]).astype(np.int8).T)  # [K, N]
+        return {"data": q, "scale": permn(s.reshape(1, -1))}
     if fmt == "fp8":
         codes = _np(sd[base + ".weight"])  # uint8 bits of e4m3
-        data = jnp.asarray(codes).view(jnp.float8_e4m3fn).T
+        data = permn(jnp.asarray(codes).view(jnp.float8_e4m3fn).T)
         return {"data": data, "scale": s.reshape(1, 1)}
     raise ValueError(f"unsupported packed format {fmt!r}")
 
@@ -321,9 +335,12 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
     (``input_scale``/``k_scale``/``v_scale``) import as quantizer amax.
 
     Works for the separate-projection families (llama/mistral/qwen/gemma
-    -class naming incl. mixtral/qwen3-moe per-expert MoE tensors). Fused
-    checkpoint layouts (gpt-oss / llama4 stacked experts) export their
-    experts in fp16 and import through the plain loader instead."""
+    -class naming incl. mixtral/qwen3-moe/deepseek per-expert MoE tensors)
+    and deepseek MLA projections (the rope de-interleave is applied as an
+    output-column permutation in code space — bit-exact). Fused checkpoint
+    layouts (gpt-oss / llama4 stacked experts) export their experts in
+    fp16 and import through the plain loader instead; native gpt-oss OAI
+    MXFP4 checkpoints load via ``load_oai_mxfp4_checkpoint``."""
     from .hf_import import LazyStateDict, from_hf
 
     with open(os.path.join(path, "config.json")) as f:
@@ -347,7 +364,33 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
         "mlp/gate_proj": "mlp.gate_proj", "mlp/up_proj": "mlp.up_proj",
         "mlp/down_proj": "mlp.down_proj",
         "mlp/gate_up_proj": "mlp.gate_up_proj",
+        # MLA (deepseek) projections + shared experts: packed repack with
+        # the rope de-interleave applied as an output-column permutation
+        "attn/q_a_proj": "self_attn.q_a_proj",
+        "attn/q_b_proj": "self_attn.q_b_proj",
+        "attn/kv_a_proj": "self_attn.kv_a_proj_with_mqa",
+        "attn/kv_b_proj": "self_attn.kv_b_proj",
+        "moe/shared_experts/gate_proj": "mlp.shared_experts.gate_proj",
+        "moe/shared_experts/up_proj": "mlp.shared_experts.up_proj",
+        "moe/shared_experts/down_proj": "mlp.shared_experts.down_proj",
     }
+    # output-channel permutations for MLA rope de-interleaving (must match
+    # hf_import._deepseek_params: new col j <- old 2j, j+dr/2 <- old 2j+1,
+    # per head for q, on the trailing rotary-key block for kv_a) — applied
+    # in CODE space so the repack stays bit-exact
+    perms: dict[str, np.ndarray] = {}
+    if str(hf_config.get("model_type", "")).startswith("deepseek") \
+            or "kv_lora_rank" in hf_config:
+        dn = int(hf_config["qk_nope_head_dim"])
+        dr = int(hf_config["qk_rope_head_dim"])
+        H = int(hf_config["num_attention_heads"])
+        r = int(hf_config["kv_lora_rank"])
+        rope_perm = np.concatenate([np.arange(0, dr, 2), np.arange(1, dr, 2)])
+        head = np.concatenate([np.arange(dn), dn + rope_perm])
+        qperm = (np.arange(H)[:, None] * (dn + dr) + head[None, :]).reshape(-1)
+        perms["attn/q_proj"] = qperm
+        perms["attn/q_b_proj"] = qperm
+        perms["attn/kv_a_proj"] = np.concatenate([np.arange(r), r + rope_perm])
     moe_expert_names = [
         ("block_sparse_moe.experts.{e}.w1", "moe/gate_proj"),
         ("block_sparse_moe.experts.{e}.w3", "moe/up_proj"),
@@ -368,6 +411,7 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
         return in_dim // _np(sd[base + ".weight_scale"]).shape[1]
 
     repack: dict[str, tuple] = {}  # hf base -> (our path parts, fmt[, bases])
+    repack_perm: dict[str, np.ndarray] = {}  # hf base -> output-col perm
     covered: set[str] = set()
     groups: dict[str, int] = {}  # our-path suffix -> on-disk group
     for i in range(n_layers):
@@ -381,6 +425,8 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
                 repack[L + hf] = ((f"layers_{i}",) + tuple(ours.split("/")),
                                   fmt)
                 covered.add(L + hf)
+                if ours in perms:
+                    repack_perm[L + hf] = perms[ours]
         for hf_fmt, ours in moe_expert_names:
             base0 = L + hf_fmt.format(e=0)
             fmt = _fmt_of(algo, sd, base0)
@@ -390,6 +436,15 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
                     g = _disk_group(base0, fmt)
                     if g is not None and groups.setdefault(ours, g) != g:
                         continue
+                    if fmt == "nvfp4":
+                        # the folded expert layout shares ONE per-tensor
+                        # scale_2; checkpoints with per-expert scale_2 fall
+                        # back to the dequant path
+                        s2 = np.array([
+                            _np(sd[b + ".weight_scale_2"]).reshape(())
+                            for b in bases], np.float32)
+                        if not np.allclose(s2, s2[0]):
+                            continue
                     repack[base0] = ((f"layers_{i}",) + tuple(ours.split("/")),
                                      fmt, bases)
                     covered.update(bases)
@@ -425,7 +480,8 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
             qt = _concat_experts(
                 [_repack_one(fmt, sd, b) for b in entry[2]], fmt)
         else:
-            qt = _repack_one(fmt, sd, hf_base)
+            qt = _repack_one(fmt, sd, hf_base,
+                             out_perm=repack_perm.get(hf_base))
         params = del_in(params, parts + ("kernel",))
         quant = set_in(quant, parts + ("qweight",), _qt_jnp(qt))
 
@@ -433,14 +489,39 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
     # scales -> input_quantizer pre_quant_scale (the packed weights carry
     # the folded inverse — without this the loaded model computes unscaled)
     mult = _act_amax_mult(algo)
+    # name -> module path for EVERY known module (incl. per-expert names
+    # sharing the stacked einsum's single input quantizer): activation
+    # scales must import even when the weight itself took the dequant
+    # fallback — the fake-quant path needs the amax just the same
+    name_map: dict[str, tuple] = {}
+    for i in range(n_layers):
+        L = f"model.layers.{i}."
+        for ours, hf in proj_names.items():
+            name_map[L + hf] = (f"layers_{i}",) + tuple(ours.split("/"))
+        for hf_fmt, ours in moe_expert_names:
+            for e in range(n_experts):
+                name_map[L + hf_fmt.format(e=e)] = \
+                    (f"layers_{i}",) + tuple(ours.split("/"))
+    amax_acc: dict[tuple, float] = {}
+    wamax_acc: dict[tuple, float] = {}
     for k in sd:
         if k.endswith(".input_scale"):
-            hf_base = k[: -len(".input_scale")]
-            if hf_base in repack and len(repack[hf_base]) == 2:
-                parts = repack[hf_base][0]
-                amax = _np(sd[k]).astype(np.float32).reshape(()) * mult
-                quant = set_in(quant, parts + ("input_quantizer", "amax"),
-                               jnp.asarray(amax))
+            parts = name_map.get(k[: -len(".input_scale")])
+            if parts is not None:
+                amax = float(_np(sd[k]).astype(np.float32).reshape(())) * mult
+                # per-expert scales share one quantizer: keep the max
+                amax_acc[parts] = max(amax, amax_acc.get(parts, 0.0))
+        elif k.endswith(".weight_scale_2"):
+            # NVFP4 per-tensor scale: modules on the dequant-fallback path
+            # fake-quant at serve time and need the weight amax (two-level
+            # scale_2 = amax / (6*448)); repacked modules carry scale2 in
+            # the qtensor and ignore this
+            base = k[: -len(".weight_scale_2")]
+            parts = name_map.get(base)
+            if parts is not None and base not in covered:
+                wamax = float(_np(sd[k]).astype(np.float32).reshape(())) \
+                    * 6.0 * 448.0
+                wamax_acc[parts] = max(wamax, wamax_acc.get(parts, 0.0))
         elif k.endswith(".pre_quant_scale"):
             hf_base = k[: -len(".pre_quant_scale")]
             entry = repack.get(hf_base)
@@ -464,6 +545,12 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
             quant = set_in(
                 quant, (f"layers_{i}", "attn", f"{which}_quantizer", "amax"),
                 jnp.asarray(amax))
+    for parts, amax in amax_acc.items():
+        quant = set_in(quant, parts + ("input_quantizer", "amax"),
+                       jnp.asarray(np.float32(amax)))
+    for parts, wamax in wamax_acc.items():
+        quant = set_in(quant, parts + ("weight_quantizer", "amax"),
+                       jnp.asarray(np.float32(wamax)))
 
     leftover = {b for b in view._qbases} - covered
     if leftover:

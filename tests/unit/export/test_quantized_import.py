@@ -165,6 +165,87 @@ class TestQuantizedImport:
         np.testing.assert_allclose(got, ref, rtol=6e-2, atol=6e-2)
 
 
+class TestMLARepack:
+    """DeepSeek MLA projections repack DIRECTLY (no dequant fallback): the
+    exporter writes HF-canonical INTERLEAVED rope rows, so the importer
+    must apply the same output-column permutation the plain importer does
+    (hf_import._deepseek_params) — in code space, bit-exactly."""
+
+    def _mla_bundle(self):
+        from modelopt_tpu.models import tiny_mla_test_config
+
+        cfg = tiny_mla_test_config(dtype=jnp.float32,
+                                   param_dtype=jnp.float32)
+        m = Decoder(cfg)
+        ids = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 16)),
+                          jnp.int32)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), ids)
+        return ModelBundle(module=m, variables=dict(v), example_inputs=(ids,))
+
+    def test_mla_int4_direct_repack_bit_exact(self, tmp_path):
+        import warnings as _w
+
+        bundle = self._mla_bundle()
+        cfg = bundle.module.cfg
+        ids = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.INT4_BLOCKWISE_WEIGHT_ONLY_CFG,
+                         lambda f: f(ids))
+        state = export_hf_checkpoint(q, str(tmp_path))
+        with _w.catch_warnings():
+            _w.simplefilter("error")  # no dequant-fallback leftovers allowed
+            loaded = load_quantized_checkpoint(str(tmp_path),
+                                               param_dtype=jnp.float32)
+        attn_q = loaded.variables["quant"]["layers_0"]["attn"]
+        for name in ("q_a_proj", "q_b_proj", "kv_a_proj", "kv_b_proj",
+                     "o_proj"):
+            assert "qweight" in attn_q[name], name
+            assert "kernel" not in loaded.variables["params"]["layers_0"][
+                "attn"].get(name, {}), name
+        # bit-exact: dequantized repacked q_b_proj == disk codes with the
+        # de-interleave permutation applied on output rows
+        from modelopt_tpu.quant.qtensor import dequantize_int4
+
+        qt = {k: jnp.asarray(v) for k, v in
+              attn_q["q_b_proj"]["qweight"].items()}
+        g = cfg.q_lora_rank  # in_dim 32 < 128 -> group shrinks to in_dim
+        ours = np.asarray(dequantize_int4(qt, g))
+        w = state["model.layers.0.self_attn.q_b_proj.weight"]
+        s = state["model.layers.0.self_attn.q_b_proj.weight_scale"]
+        lo = (w & 0xF).astype(np.int8)
+        hi = (w >> 4).astype(np.int8)
+        lo = np.where(lo >= 8, lo - 16, lo)
+        hi = np.where(hi >= 8, hi - 16, hi)
+        O, I = s.shape[0], w.shape[1]
+        deq = np.zeros((O, I), np.float32)
+        deq[0::2], deq[1::2] = lo, hi
+        disk = (deq.reshape(O, s.shape[1], -1) * s[..., None]).reshape(O, I)
+        dn, dr, H = (cfg.qk_nope_head_dim, cfg.qk_rope_head_dim,
+                     cfg.num_heads)
+        rope_perm = np.concatenate([np.arange(0, dr, 2),
+                                    np.arange(1, dr, 2)])
+        head = np.concatenate([np.arange(dn), dn + rope_perm])
+        qperm = (np.arange(H)[:, None] * (dn + dr) + head[None, :]).reshape(-1)
+        np.testing.assert_array_equal(ours, disk[qperm].T)
+        # logits match the fake-quant original (fp16-storage noise only on
+        # the unquantized params)
+        ref = _logits(q, ids)
+        got = _logits(loaded, ids)
+        np.testing.assert_allclose(got, ref, rtol=6e-2, atol=6e-2)
+
+    def test_mla_nvfp4_logit_parity(self, tmp_path):
+        bundle = self._mla_bundle()
+        ids = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, mtq.NVFP4_DEFAULT_CFG, lambda f: f(ids))
+        export_hf_checkpoint(q, str(tmp_path))
+        loaded = load_quantized_checkpoint(str(tmp_path),
+                                           param_dtype=jnp.float32)
+        assert "qweight" in loaded.variables["quant"]["layers_0"]["attn"][
+            "q_b_proj"]
+        ref = _logits(q, ids)
+        got = _logits(loaded, ids)
+        np.testing.assert_allclose(got, ref, rtol=8e-2, atol=8e-2)
+
+
 class TestPreQuantScale:
     """AWQ/SmoothQuant smoothing scales must round-trip: the exported
     weights carry the folded inverse, so a checkpoint without
