@@ -1,0 +1,53 @@
+"""Pin the quantization-quality ladder orderings on a trained model.
+
+This is the CI mirror of the committed QUALITY.json artifact (regenerated
+by `python quality.py`, embedded in bench.py aux): a tiny decoder trained
+on a fixed synthetic Markov language, each format calibrated for real, and
+scored by held-out ppl / logits-KL vs bf16. The *orderings* are the
+regression surface — the same ladder shape the reference's MMLU table
+shows (reference: examples/benchmark.md:37-40 — FP8 lossless-ish, 4-bit
+formats cost more, better algorithms recover).
+"""
+
+import pytest
+
+from modelopt_tpu.utils.quality import quality_ladder
+
+LADDER = (
+    ("FP8_DEFAULT_CFG", "fp8"),
+    ("NVFP4_DEFAULT_CFG", "nvfp4"),
+    ("INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "w4a16_rtn"),
+    ("INT4_AWQ_CFG", "w4a16_awq"),
+    ("GPTQ", "w4a16_gptq"),
+)
+
+
+@pytest.fixture(scope="module")
+def ladder():
+    return quality_ladder(steps=200, seed=0, ladder=LADDER)
+
+
+class TestQualityLadder:
+    def test_model_actually_trained(self, ladder):
+        # Markov-chain conditional entropy => ppl ~4.4; untrained = 256
+        assert ladder["bf16_ppl"] < 8.0
+
+    def test_quantization_never_helps_materially(self, ladder):
+        for label, r in ladder["rungs"].items():
+            assert r["delta_ppl"] > -0.05, (label, r)
+            assert r["kl_vs_bf16"] > 0.0, (label, r)
+
+    def test_fp8_near_lossless(self, ladder):
+        fp8 = ladder["rungs"]["fp8"]
+        assert fp8["delta_ppl"] < 0.05
+        for label, r in ladder["rungs"].items():
+            if label != "fp8":
+                assert fp8["kl_vs_bf16"] < r["kl_vs_bf16"], (label, r)
+
+    def test_gptq_beats_rtn(self, ladder):
+        assert (ladder["rungs"]["w4a16_gptq"]["kl_vs_bf16"]
+                < ladder["rungs"]["w4a16_rtn"]["kl_vs_bf16"])
+
+    def test_awq_not_worse_than_rtn(self, ladder):
+        assert (ladder["rungs"]["w4a16_awq"]["kl_vs_bf16"]
+                <= ladder["rungs"]["w4a16_rtn"]["kl_vs_bf16"] * 1.05)
