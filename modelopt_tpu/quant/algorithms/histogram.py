@@ -22,38 +22,52 @@ def percentile_amax(x: np.ndarray, percentile: float) -> float:
     return float(np.percentile(np.abs(x), percentile))
 
 
-def entropy_amax(x: np.ndarray, num_bits: int = 8, num_bins: int = 2048) -> float:
+def entropy_amax(x: np.ndarray, num_bits: int = 8, num_bins: int = 2048,
+                 stride: int = 1, start_bin: int = 128) -> float:
     """Pick amax minimizing KL(P || Q) between the fp histogram P and its
-    quantized coarsening Q — the classic TensorRT entropy calibrator."""
+    quantized coarsening Q — the classic TensorRT entropy calibrator.
+
+    Semantics match the reference scan exactly (reference:
+    quantization/calib/histogram.py:210 _compute_amax_entropy): zero-bin
+    smoothing (bins[0]=bins[1]), candidate cuts from ``start_bin`` with
+    ``stride`` 1, per-chunk averages over *nonzero* bins only, outlier tail
+    clipped into the reference density's last bin (not the coarsened one),
+    and ties broken toward the LARGEST cut. The per-candidate coarsening is
+    vectorized with bincount instead of the reference's Counter loops."""
     absx = np.abs(x).ravel()
     amax0 = float(absx.max()) or 1e-8
     hist, edges = np.histogram(absx, bins=num_bins, range=(0, amax0))
-    hist = hist.astype(np.float64)
-    nlevels = 2 ** (num_bits - 1)
-    best_kl, best_amax = np.inf, amax0
-    # candidate cut points from 1/16 of the range upward (outliers can
-    # stretch the histogram range far beyond the useful mass)
-    start = max(nlevels, num_bins // 16)
-    for stop in range(start, num_bins + 1, max(1, num_bins // 64)):
-        p = hist[:stop].copy()
-        p[-1] += hist[stop:].sum()  # clip outliers into the last bin
-        if p.sum() == 0:
-            continue
-        # coarsen to nlevels then expand back
-        factor = stop / nlevels
-        q = np.zeros(stop)
-        for i in range(nlevels):
-            lo, hi = int(i * factor), max(int((i + 1) * factor), int(i * factor) + 1)
-            chunk = p[lo:hi]
-            nz = (chunk > 0).sum()
-            if nz:
-                q[lo:hi] = np.where(chunk > 0, chunk.sum() / nz, 0)
-        pn, qn = p / p.sum(), q / max(q.sum(), 1e-12)
-        mask = pn > 0
-        kl = float(np.sum(pn[mask] * np.log(pn[mask] / np.maximum(qn[mask], 1e-12))))
-        if kl < best_kl:
-            best_kl, best_amax = kl, edges[stop]
-    return best_amax
+    bins = hist.astype(np.float64)
+    bins[0] = bins[1]  # the zero bin carries no scale information
+    nlevels = 1 << (num_bits - 1)
+    start = max(start_bin, nlevels)
+    divergences = []
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(start, num_bins + 1, stride):
+            p = bins[:i]
+            nz = p > 0
+            # chunk id per bin: integer form of digitize(range(i),
+            # linspace(0, i, nlevels+1)) - 1 — exact because nlevels is a
+            # power of two, so every edge i*j/nlevels is float-exact
+            dig = (np.arange(i) * nlevels) // i
+            sums = np.bincount(dig[nz], weights=p[nz], minlength=nlevels)
+            cnts = np.bincount(dig[nz], minlength=nlevels)
+            avg = np.divide(sums, cnts, out=np.zeros(nlevels), where=cnts > 0)
+            q = np.where(nz, avg[dig], 0.0)
+            ref = p.copy()
+            ref[-1] += bins[i:].sum()
+            rsum, qsum = ref.sum(), q.sum()
+            if rsum == 0 or qsum == 0:
+                divergences.append(np.inf)
+                continue
+            pn, qn = ref / rsum, q / qsum
+            mask = pn > 0
+            ratio = pn[mask] / qn[mask]  # inf where the coarsening dropped mass
+            divergences.append(float(np.sum(pn[mask] * np.log(ratio))))
+    div = np.asarray(divergences)
+    # last argmin: on ties keep the widest range (reference :277)
+    last_argmin = len(div) - 1 - int(np.argmin(div[::-1]))
+    return float(edges[start + last_argmin * stride])
 
 
 def _histogram_calibrate(bundle, forward_loop, method: str, percentile: float,
