@@ -41,6 +41,53 @@ def test_ring_matches_full_attention(causal, kh):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("kh", [4, 2])  # MHA and GQA
+def test_zigzag_matches_full_attention(kh):
+    mesh = make_mesh({"sp": 8})
+    rng = np.random.default_rng(1)
+    B, T, H, D = 2, 64, 4, 8
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, kh, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, kh, D)), jnp.float32)
+    got = jax.jit(
+        lambda q, k, v: context_parallel_attention(
+            q, k, v, mesh, causal=True, zigzag=True)
+    )(q, k, v)
+    want = _reference(q, k, v, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_zigzag_halves_causal_flops():
+    """The zigzag interleave must cut the compiled MXU work of causal
+    prefill to ~(n+1)/2n of the contiguous ring (measured on the lowered
+    module's own cost model, not wall-clock)."""
+    mesh = make_mesh({"sp": 8})
+    B, T, H, D = 1, 1024, 4, 64
+    q = jnp.ones((B, T, H, D), jnp.float32)
+
+    def flops(zz):
+        fn = jax.jit(lambda q: context_parallel_attention(
+            q, q, q, mesh, causal=True, zigzag=zz))
+        comp = fn.lower(q).compile()
+        costs = comp.cost_analysis()
+        if isinstance(costs, list):
+            costs = costs[0]
+        return costs["flops"]
+
+    f_ring, f_zz = flops(False), flops(True)
+    # ideal ratio at n=8 is (n+1)/2n = 0.5625; allow overhead headroom
+    assert f_zz < 0.7 * f_ring, (f_zz, f_ring)
+
+
+def test_zigzag_requires_divisible_2n():
+    mesh = make_mesh({"sp": 8})
+    q = jnp.zeros((1, 72, 4, 8))  # divisible by 8, not by 16
+    with pytest.raises(ValueError, match="zigzag"):
+        context_parallel_attention(q, q[:, :, :4], q[:, :, :4], mesh,
+                                   zigzag=True)
+
+
 def test_ring_requires_divisible_seq():
     mesh = make_mesh({"sp": 8})
     q = jnp.zeros((1, 60, 4, 8))
