@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--recipe", default=None, help="e.g. llama_fp8 / llama_int4_awq")
     ap.add_argument("--override", action="append", default=[], help="dotlist a.b=c")
     ap.add_argument("--calib-batches", type=int, default=8)
+    ap.add_argument("--calib-batch-size", type=int, default=2,
+                    help="0 = auto-tune to the largest size that fits "
+                         "device memory (utils.dataset.get_max_batch_size)")
     ap.add_argument("--compress", action="store_true")
     ap.add_argument("--export-dir", default=None)
     ap.add_argument("--eval-text", default=None,
@@ -75,8 +78,14 @@ def main():
                     help="local tokenizer dir for --eval-text")
     args = ap.parse_args()
 
+    from modelopt_tpu.utils.dataset import create_forward_loop, get_max_batch_size
+
     bundle = build_model(args.model)
     cfg = bundle.module.cfg
+    bs = args.calib_batch_size
+    if bs == 0:
+        bs = get_max_batch_size(bundle, max_sample_length=64, cap=64)
+        print(f"auto-tuned calibration batch size: {bs}")
     if args.eval_text:
         from transformers import AutoTokenizer
 
@@ -87,14 +96,12 @@ def main():
         )
         eval_batches = text_file_token_batches(args.eval_text, tok, 4, 2, 512)
         batches = text_file_token_batches(args.eval_text, tok,
-                                          args.calib_batches, 2, 512)
+                                          args.calib_batches, bs, 512)
     else:
-        batches = synthetic_token_batches(cfg.vocab_size, args.calib_batches, 2, 64)
+        batches = synthetic_token_batches(cfg.vocab_size, args.calib_batches, bs, 64)
         eval_batches = synthetic_token_batches(cfg.vocab_size, 4, 2, 64, seed=99)
 
-    def forward_loop(model_fn):
-        for b in batches:
-            model_fn(b)
+    forward_loop = create_forward_loop(batches)
 
     ppl_base = perplexity(bundle, eval_batches)
     t0 = time.time()

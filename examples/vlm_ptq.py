@@ -42,17 +42,13 @@ def main():
     ap.add_argument("--calib-batches", type=int, default=8)
     args = ap.parse_args()
 
+    from modelopt_tpu.utils.dataset import create_forward_loop, vlm_calib_batches
+
     bundle = build_vlm(args.model)
     cfg = bundle.module.cfg
-    rng = np.random.default_rng(0)
-    vocab = cfg.text.vocab_size
-    img = cfg.vision.image_size
-
-    def forward_loop(model_fn):
-        for _ in range(args.calib_batches):
-            ids = jnp.asarray(rng.integers(0, vocab, (2, 16)), jnp.int32)
-            px = jnp.asarray(rng.normal(size=(2, img, img, 3)), jnp.float32)
-            model_fn(ids, px)
+    forward_loop = create_forward_loop(
+        vlm_calib_batches(cfg, num_batches=args.calib_batches)
+    )
 
     qb = mtq.quantize(bundle, getattr(mtq, args.preset), forward_loop)
     mtq.print_quant_summary(qb)
