@@ -35,11 +35,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_FORCE_XLA_ATTN = 0
+
+
 def _pallas_attn_disabled() -> bool:
     """Emergency kill-switch: MODELOPT_TPU_NO_PALLAS_ATTN=1 routes decode
     attention and cache writes to the XLA fallbacks (checked at trace
-    time, so it composes with jit retracing after a failed compile)."""
+    time, so it composes with jit retracing after a failed compile).
+    ``xla_attention()`` does the same per trace — the mesh-sharded serving
+    engine uses it because a pallas_call inside a GSPMD-partitioned program
+    would need an explicit shard_map wrapper (future work)."""
+    if _FORCE_XLA_ATTN:
+        return True
     return os.environ.get("MODELOPT_TPU_NO_PALLAS_ATTN", "0") not in ("0", "")
+
+
+class xla_attention:
+    """Context manager: trace with the XLA attention fallbacks (wrap the
+    first call of a jitted fn; cached executions don't retrace)."""
+
+    def __enter__(self):
+        global _FORCE_XLA_ATTN
+        _FORCE_XLA_ATTN += 1
+
+    def __exit__(self, *exc):
+        global _FORCE_XLA_ATTN
+        _FORCE_XLA_ATTN -= 1
 
 
 def _e4m3_to_bf16(x):

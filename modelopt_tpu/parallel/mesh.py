@@ -133,3 +133,33 @@ def shard_variables(variables, mesh: Mesh, rules=DECODER_RULES):
 
 def shard_bundle(bundle, mesh: Mesh, rules=DECODER_RULES):
     return bundle.replace(variables=shard_variables(bundle.variables, mesh, rules))
+
+
+def kv_cache_shardings(cache, mesh: Mesh):
+    """NamedShardings for a serving KV cache pytree (make_cache /
+    make_paged_cache layout): k/v rows are [B, S, KH*D] (heads merged into
+    the lane dim) — slots shard over ``dp``, the merged head-dim over
+    ``tp``; lengths/page tables and other small state replicate. Dims that
+    don't divide their mesh axis stay unsharded (same guard as
+    variable_shardings)."""
+
+    def spec_for(path, arr):
+        name = path[-1] if path else ""
+        if name in ("k", "v") and getattr(arr, "ndim", 0) == 3:
+            B, _, KHD = arr.shape
+            dp = "dp" if ("dp" in mesh.axis_names and B % mesh.shape["dp"] == 0
+                          and mesh.shape["dp"] > 1) else None
+            tp = "tp" if ("tp" in mesh.axis_names
+                          and KHD % mesh.shape["tp"] == 0
+                          and mesh.shape["tp"] > 1) else None
+            return P(dp, None, tp)
+        return P()
+
+    def walk(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, prefix + (k,)) for k, v in tree.items()}
+        if isinstance(tree, tuple):
+            return tuple(walk(v, prefix) for v in tree)
+        return NamedSharding(mesh, spec_for(prefix, tree))
+
+    return walk(cache)

@@ -87,6 +87,20 @@ class Request:
     prefill_pos: int = 0  # tokens of the prompt already ingested
 
 
+def _with_xla_attn(fn):
+    """Run ``fn`` under kernels.attention.xla_attention so any (re)trace
+    inside it lowers to the XLA attention path (mesh-sharded engine)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        from ..kernels.attention import xla_attention
+
+        with xla_attention():
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 class ServingEngine:
     def __init__(
         self,
@@ -103,6 +117,8 @@ class ServingEngine:
         max_admit: int = 2,
         multi_step: int = 1,
         spec_sampling: bool = False,
+        mesh=None,
+        shard_rules=None,
     ):
         """``speculative=k`` enables batched draft-verify decode for medusa-,
         eagle-, or dflash-converted bundles: every tick verifies k drafted tokens per
@@ -110,7 +126,16 @@ class ServingEngine:
         the slot's cache length, so mixed acceptance needs no recompile).
 
         ``paged=True`` switches to the paged KV cache; ``kv_pages`` sizes the
-        pool (default: worst case + null page — pass less to oversubscribe)."""
+        pool (default: worst case + null page — pass less to oversubscribe).
+
+        ``mesh``: a ``jax.sharding.Mesh`` (axes from dp/tp/ep) shards the
+        engine across chips: weights by ``parallel.mesh`` rules (tp
+        column/row-parallel, ep experts), KV-cache slots over dp and merged
+        head-dims over tp — one compiled decode program, GSPMD collectives
+        on ICI (SURVEY §2.10; reference frame:
+        utils/distributed.py:341 ParallelState). Attention runs the XLA
+        path under a mesh (a pallas_call inside a partitioned program needs
+        an explicit shard_map; future work)."""
         self.bundle = bundle
         self.cfg = bundle.module.cfg
         self.max_batch = max_batch
@@ -166,6 +191,24 @@ class ServingEngine:
                                     dtype=kv_dtype)
         self._apply = bundle.make_fn()
         self._vars = bundle.variables
+        self.mesh = mesh
+        if mesh is not None:
+            if paged:
+                raise NotImplementedError(
+                    "mesh-sharded engine currently requires the dense KV "
+                    "cache (page-table host mutation would break donated "
+                    "sharding)")
+            from ..parallel.mesh import (
+                DECODER_RULES,
+                kv_cache_shardings,
+                variable_shardings,
+            )
+
+            rules = shard_rules or DECODER_RULES
+            self._vars = jax.device_put(
+                self._vars, variable_shardings(self._vars, mesh, rules))
+            self.cache = jax.device_put(
+                self.cache, kv_cache_shardings(self.cache, mesh))
         self._key = jax.random.PRNGKey(seed)
         self._slots: list[Optional[Request]] = [None] * max_batch
         self._queue: deque[Request] = deque()
@@ -376,6 +419,15 @@ class ServingEngine:
             functools.partial(burst_fn, n=self.multi_step),
             donate_argnums=(1, 10, 11),
         ) if self.multi_step > 1 else None
+        if mesh is not None:
+            # trace every jitted step with the XLA attention fallbacks (see
+            # class docstring); cached executions never retrace
+            self._prefill = _with_xla_attn(self._prefill)
+            self._decode = _with_xla_attn(self._decode)
+            if self._burst is not None:
+                self._burst = _with_xla_attn(self._burst)
+            if self.spec_k:
+                self._spec_decode = _with_xla_attn(self._spec_decode)
 
     # -- speculative drafting ------------------------------------------------
     def _hidden_width(self) -> int:
