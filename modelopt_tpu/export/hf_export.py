@@ -324,9 +324,15 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
                        _np32(leaf))
                 continue
             if parts[2] == "shared_experts" and shared_fmt:
-                if parts[-1] != "kernel":
-                    continue
                 name = f"model.layers.{i}." + shared_fmt.format(name=parts[3])
+                if parts[-1] == "bias":
+                    yield (name.rsplit(".weight", 1)[0] + ".bias",
+                           _np32(leaf).astype(np.float16))
+                    continue
+                if parts[-1] != "kernel":
+                    raise ValueError(
+                        f"unexportable shared_experts leaf {path!r}: only "
+                        "kernel/bias are mapped")
                 # shared experts are plain QuantDense modules: export packed
                 # like any 2-D kernel (the reference quantizes them too)
                 yield from _quantized_2d(path.rsplit("/kernel", 1)[0],

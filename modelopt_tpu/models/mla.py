@@ -66,7 +66,10 @@ class AbsorbedKernel(nn.Module):
             cfg = active_quant_config()
             specs = (cfg.resolve("/".join(self.path) + "/weight_quantizer")
                      if cfg else None)
-            if not specs:
+            # a resolved-but-disabled spec (enable=False, e.g. an exclude
+            # pattern matched while a qweight variable is present) must hit
+            # the same descriptive error, not a downstream dequant failure
+            if not (specs and specs[0].enable):
                 raise ValueError(
                     f"{'/'.join(self.path)}: qweight present but no active "
                     "weight-quantizer spec to interpret it"

@@ -381,10 +381,13 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
     perms: dict[str, np.ndarray] = {}
     if str(hf_config.get("model_type", "")).startswith("deepseek") \
             or "kv_lora_rank" in hf_config:
-        dn = int(hf_config["qk_nope_head_dim"])
-        dr = int(hf_config["qk_rope_head_dim"])
+        # same defaults config_from_hf uses (hf_import.py:317-319) so the
+        # importer and the model config derive identical dims even when the
+        # checkpoint's config.json relies on HF defaults
+        dn = int(hf_config.get("qk_nope_head_dim", 128))
+        dr = int(hf_config.get("qk_rope_head_dim", 64))
         H = int(hf_config["num_attention_heads"])
-        r = int(hf_config["kv_lora_rank"])
+        r = int(hf_config.get("kv_lora_rank", 512))
         rope_perm = np.concatenate([np.arange(0, dr, 2), np.arange(1, dr, 2)])
         head = np.concatenate([np.arange(dn), dn + rope_perm])
         qperm = (np.arange(H)[:, None] * (dn + dr) + head[None, :]).reshape(-1)
