@@ -449,6 +449,18 @@ def _iter_export_tensors(bundle: ModelBundle, cfg):
                     w3 = np.concatenate(
                         [w3[:, :dn], w3[:, dn:][:, iperm]], 1)
                     w_hf = w3.reshape(H * (dn + dr), -1)
+            elif (mcfg.router_score == "llama4"
+                    and parts[-2] in ("q_proj", "k_proj")):
+                # llama4 interleaved complex rope: write HF-canonical
+                # interleaved rows (inverse of hf_import._llama4_params
+                # deinterleave), per head
+                D = mcfg.dims_per_head
+                perm = np.concatenate(
+                    [np.arange(0, D, 2), np.arange(1, D, 2)])
+                iperm = np.argsort(perm)
+                nh = w_hf.shape[0] // D
+                w_hf = w_hf.reshape(nh, D, -1)[:, iperm].reshape(
+                    nh * D, -1)
             dense = path.rsplit("/kernel", 1)[0]
             yield from _quantized_2d(dense, w_hf, name).items()
         else:
@@ -646,7 +658,6 @@ def _decoder_config_json(cfg) -> dict:
         extra["attention_bias"] = cfg.attn_bias
     return {
         "model_type": mt,
-        **extra,
         "vocab_size": cfg.vocab_size,
         "hidden_size": cfg.hidden_size,
         "num_hidden_layers": cfg.num_layers,
@@ -657,4 +668,7 @@ def _decoder_config_json(cfg) -> dict:
         "max_position_embeddings": cfg.max_position_embeddings,
         "rms_norm_eps": cfg.norm_eps,
         "tie_word_embeddings": cfg.tie_word_embeddings,
+        # family-specific keys LAST: llama4 redefines intermediate_size as
+        # the MoE width (intermediate_size_mlp is the dense width)
+        **extra,
     }

@@ -2,7 +2,7 @@
 
 from .dit import DiT, DiTConfig, ddim_sample, dit_config_s
 from .hf_import import LazyStateDict, config_from_hf, from_hf, load_hf_checkpoint
-from .quantized_import import load_quantized_checkpoint
+from .quantized_import import load_oai_mxfp4_checkpoint, load_quantized_checkpoint
 from .vit import ViTConfig, VisionTransformer
 from .vlm import VLM, VLMConfig, tiny_vlm_config
 from .transformer import (
@@ -41,6 +41,7 @@ __all__ = [
     "config_from_hf",
     "from_hf",
     "load_hf_checkpoint",
+    "load_oai_mxfp4_checkpoint",
     "load_quantized_checkpoint",
     "gpt2_config",
     "llama3_8b_config",

@@ -338,9 +338,12 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
     -class naming incl. mixtral/qwen3-moe/deepseek per-expert MoE tensors)
     and deepseek MLA projections (the rope de-interleave is applied as an
     output-column permutation in code space — bit-exact). Fused checkpoint
-    layouts (gpt-oss / llama4 stacked experts) export their experts in
-    fp16 and import through the plain loader instead; native gpt-oss OAI
-    MXFP4 checkpoints load via ``load_oai_mxfp4_checkpoint``."""
+    layouts exported by hf_export (gpt-oss / llama4 stacked experts) carry
+    their experts in fp16 and import through the plain loader; native
+    gpt-oss OAI MXFP4 checkpoints repack bit-exactly via
+    ``load_oai_mxfp4_checkpoint``. Anything quantized that matches no
+    direct repack path imports dequantized with a warning naming the
+    tensors (served through fake-quant)."""
     from .hf_import import LazyStateDict, from_hf
 
     with open(os.path.join(path, "config.json")) as f:
@@ -374,6 +377,20 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
         "moe/shared_experts/up_proj": "mlp.shared_experts.up_proj",
         "moe/shared_experts/down_proj": "mlp.shared_experts.down_proj",
     }
+    if str(hf_config.get("model_type", "")).startswith("llama4"):
+        # llama4 names its dense-interleave MLP and (singular) shared
+        # expert under feed_forward.* (hf_import._llama4_params)
+        proj_names.update({
+            "mlp/gate_proj": "feed_forward.gate_proj",
+            "mlp/up_proj": "feed_forward.up_proj",
+            "mlp/down_proj": "feed_forward.down_proj",
+            "moe/shared_experts/gate_proj":
+                "feed_forward.shared_expert.gate_proj",
+            "moe/shared_experts/up_proj":
+                "feed_forward.shared_expert.up_proj",
+            "moe/shared_experts/down_proj":
+                "feed_forward.shared_expert.down_proj",
+        })
     # output-channel permutations for MLA rope de-interleaving (must match
     # hf_import._deepseek_params: new col j <- old 2j, j+dr/2 <- old 2j+1,
     # per head for q, on the trailing rotary-key block for kv_a) — applied
@@ -394,6 +411,18 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
         perms["attn/q_proj"] = qperm
         perms["attn/q_b_proj"] = qperm
         perms["attn/kv_a_proj"] = np.concatenate([np.arange(r), r + rope_perm])
+    if str(hf_config.get("model_type", "")).startswith("llama4"):
+        # llama4 uses interleaved complex rope: the native half-split rope
+        # needs new col j <- old 2j per head (hf_import._llama4_params
+        # deinterleave) — applied in code space on q/k projections
+        D = int(hf_config.get("head_dim", 128))
+        H = int(hf_config["num_attention_heads"])
+        KH = int(hf_config.get("num_key_value_heads", H))
+        dperm = np.concatenate([np.arange(0, D, 2), np.arange(1, D, 2)])
+        perms["attn/q_proj"] = (
+            np.arange(H)[:, None] * D + dperm[None, :]).reshape(-1)
+        perms["attn/k_proj"] = (
+            np.arange(KH)[:, None] * D + dperm[None, :]).reshape(-1)
     moe_expert_names = [
         ("block_sparse_moe.experts.{e}.w1", "moe/gate_proj"),
         ("block_sparse_moe.experts.{e}.w3", "moe/up_proj"),
@@ -573,4 +602,162 @@ def load_quantized_checkpoint(path: str, example_len: int = 8,
     out = bundle.replace(variables=variables, records=records)
     out.metadata["checkpoint_path"] = path
     out.metadata["hf_quant_config"] = meta
+    return out
+
+
+# --------------------------------------------------------------------------
+# native gpt-oss (OpenAI MXFP4 release format): fused stacked experts
+# --------------------------------------------------------------------------
+class _OaiView(Mapping):
+    """Zero placeholders for the stacked expert tensors so the plain
+    gpt-oss importer builds the module structure; everything else passes
+    through. The placeholders are deleted and replaced by repacked
+    qtensors immediately after."""
+
+    def __init__(self, sd, synth: dict):
+        self._sd = sd
+        self._synth = synth
+        self._keys = [k for k in sd
+                      if not k.endswith(("_blocks", "_scales"))] \
+            + list(synth)
+
+    def __getitem__(self, key):
+        if key in self._synth:
+            return np.zeros(self._synth[key], np.float16)
+        return self._sd[key]
+
+    def __iter__(self):
+        return iter(self._keys)
+
+    def __len__(self):
+        return len(self._keys)
+
+    def __contains__(self, key):
+        return key in self._synth or key in self._sd
+
+
+_OAI_MX_WSPEC = {
+    "enable": True, "num_bits": (2, 1),
+    "block_sizes": {-2: 32, "type": "dynamic", "scale_format": "e8m0",
+                    "two_level": False},
+}
+
+
+def _oai_unpack_blocks(blocks: np.ndarray) -> np.ndarray:
+    """[..., out, in/32, 16] uint8 (2 e2m1 codes per byte, LOW nibble
+    first) -> raw codes [..., out, in] uint8."""
+    b = blocks.reshape(*blocks.shape[:-2], blocks.shape[-2] * 16)
+    c = np.empty((*b.shape[:-1], b.shape[-1] * 2), np.uint8)
+    c[..., 0::2] = b & 0xF
+    c[..., 1::2] = b >> 4
+    return c
+
+
+def _oai_fold_codes(codes: np.ndarray) -> np.ndarray:
+    """Per-expert output-major codes [E, out, in] -> our folded split-half
+    packed layout [in/2, E*out] (expert e occupies output columns
+    e*out:(e+1)*out — quant/compress.py's fold; quantize_mxfp4's pack)."""
+    m = np.transpose(codes, (2, 0, 1)).reshape(codes.shape[2], -1)
+    K = m.shape[0]
+    return (m[: K // 2] | (m[K // 2:] << 4)).astype(np.uint8)
+
+
+def _oai_fold_scales(s: np.ndarray) -> np.ndarray:
+    """e8m0 scales [E, out, in/32] -> [in/32, E*out]."""
+    return np.ascontiguousarray(
+        np.transpose(s, (2, 0, 1)).reshape(s.shape[2], -1))
+
+
+def load_oai_mxfp4_checkpoint(path: str, example_len: int = 8,
+                              param_dtype=None) -> ModelBundle:
+    """Load a native gpt-oss checkpoint in the OpenAI MXFP4 release format
+    into a servable compressed bundle — the fused-stacked-expert layout the
+    reference handles through its fused-expert HF plugin classes
+    (reference: modelopt/torch/quantization/plugins/huggingface.py gpt-oss
+    experts; examples/gpt-oss/).
+
+    On disk each MoE projection is ONE stacked tensor per layer:
+    ``mlp.experts.{gate_up,down}_proj_blocks`` [E, out, in/32, 16] uint8
+    with two e2m1 codes per byte (low nibble first) and
+    ``..._scales`` [E, out, in/32] biased-e8m0 uint8. The repack into the
+    folded [in, E*out] MXFP4 qtensor layout is pure byte movement — code
+    and scale values are copied verbatim (bit-exact), including the
+    gate/up de-interleave (gate = even output rows) which is an output-
+    permutation and so commutes with the input-dim quantization blocks.
+    Everything dense (attention, router, biases, sinks, norms) imports
+    through the plain gpt-oss map."""
+    from .hf_import import LazyStateDict, from_hf
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf_config = json.load(f)
+    dtype = param_dtype or jnp.bfloat16
+    sd = LazyStateDict(path)
+    n_layers = int(hf_config["num_hidden_layers"])
+    E = int(hf_config.get("num_local_experts", 32))
+    Hd = int(hf_config["hidden_size"])
+    I = int(hf_config["intermediate_size"])
+
+    synth = {}
+    for i in range(n_layers):
+        L = f"model.layers.{i}.mlp.experts."
+        synth[L + "gate_up_proj"] = (E, Hd, 2 * I)
+        synth[L + "down_proj"] = (E, I, Hd)
+    view = _OaiView(sd, synth)
+
+    def commit(subtree):
+        import jax
+
+        return jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), subtree)
+
+    bundle = from_hf(view, hf_config, example_len=example_len, commit=commit)
+    if param_dtype is not None:
+        import dataclasses
+
+        mod = type(bundle.module)(
+            dataclasses.replace(bundle.module.cfg, dtype=param_dtype,
+                                param_dtype=param_dtype))
+        bundle = bundle.replace(module=mod)
+
+    from ..core.tree import del_in
+
+    params = bundle.variables.get("params", {})
+    quant: dict = {}
+    for i in range(n_layers):
+        L = f"model.layers.{i}.mlp.experts."
+        gu_c = _oai_unpack_blocks(_np(sd[L + "gate_up_proj_blocks"]))
+        gu_s = _np(sd[L + "gate_up_proj_scales"])
+        d_c = _oai_unpack_blocks(_np(sd[L + "down_proj_blocks"]))
+        d_s = _np(sd[L + "down_proj_scales"])
+        # OAI interleaves gate/up along the fused output dim (gate even)
+        for name, c, s in (("gate_proj", gu_c[:, 0::2], gu_s[:, 0::2]),
+                           ("up_proj", gu_c[:, 1::2], gu_s[:, 1::2]),
+                           ("down_proj", d_c, d_s)):
+            parts = (f"layers_{i}", "moe", name)
+            params = del_in(params, parts + ("kernel",))
+            quant = set_in(quant, parts + ("qweight",), {
+                "data": jnp.asarray(_oai_fold_codes(c)),
+                "scale": jnp.asarray(_oai_fold_scales(s)),
+            })
+
+    cfg_dict = {
+        "quant_cfg": {
+            "*": {"enable": False},
+            "*moe/gate_proj/weight_quantizer": dict(_OAI_MX_WSPEC),
+            "*moe/up_proj/weight_quantizer": dict(_OAI_MX_WSPEC),
+            "*moe/down_proj/weight_quantizer": dict(_OAI_MX_WSPEC),
+        },
+        "algorithm": None,
+    }
+    qcfg = get_config(cfg_dict)
+    records = (
+        ModeRecord("quantize", qcfg, {}),
+        ModeRecord("compress", {}, {"compressed": sorted(
+            f"layers_{i}/moe/{n}" for i in range(n_layers)
+            for n in ("gate_proj", "up_proj", "down_proj"))}),
+    )
+    out = bundle.replace(
+        variables={**bundle.variables, "params": params, "quant": quant},
+        records=records,
+    )
+    out.metadata["checkpoint_path"] = path
     return out

@@ -246,6 +246,176 @@ class TestMLARepack:
         np.testing.assert_allclose(got, ref, rtol=8e-2, atol=8e-2)
 
 
+class TestOaiMxfp4Import:
+    """Native gpt-oss (OpenAI MXFP4 release format) fused-stacked-expert
+    checkpoints must repack BIT-EXACTLY into the folded MXFP4 qtensor
+    layout — no dequant fallback (reference: quantization/plugins/
+    huggingface.py fused gpt-oss experts; examples/gpt-oss/)."""
+
+    MX_CFG = {
+        "quant_cfg": {
+            "*": {"enable": False},
+            "*moe/gate_proj/weight_quantizer": {
+                "enable": True, "num_bits": (2, 1),
+                "block_sizes": {-2: 32, "type": "dynamic",
+                                "scale_format": "e8m0", "two_level": False}},
+            "*moe/up_proj/weight_quantizer": {
+                "enable": True, "num_bits": (2, 1),
+                "block_sizes": {-2: 32, "type": "dynamic",
+                                "scale_format": "e8m0", "two_level": False}},
+            "*moe/down_proj/weight_quantizer": {
+                "enable": True, "num_bits": (2, 1),
+                "block_sizes": {-2: 32, "type": "dynamic",
+                                "scale_format": "e8m0", "two_level": False}},
+        },
+        "algorithm": None,
+    }
+
+    def _gptoss_bundle(self):
+        from modelopt_tpu.models import tiny_gptoss_test_config
+
+        cfg = tiny_gptoss_test_config(dtype=jnp.float32,
+                                      param_dtype=jnp.float32)
+        m = Decoder(cfg)
+        ids = jnp.asarray(np.random.default_rng(2).integers(0, 256, (2, 16)),
+                          jnp.int32)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), ids)
+        return ModelBundle(module=m, variables=dict(v), example_inputs=(ids,))
+
+    @staticmethod
+    def _unfold_to_oai(data, scale, E):
+        """Invert the folded qtensor layout back to OAI blocks/scales:
+        data [K/2, E*N] split-half packed -> blocks [E, N, K/32, 16];
+        scale [K/32, E*N] -> [E, N, K/32]."""
+        Khalf, EN = data.shape
+        K, N = 2 * Khalf, EN // E
+        codes = np.empty((K, EN), np.uint8)
+        codes[:Khalf] = data & 0xF
+        codes[Khalf:] = data >> 4
+        per = codes.reshape(K, E, N).transpose(1, 2, 0)  # [E, N, K]
+        # ascontiguousarray: ufuncs keep the transposed input's memory
+        # order and safetensors serializes the raw buffer
+        packed = np.ascontiguousarray(
+            (per[..., 0::2] | (per[..., 1::2] << 4)).astype(np.uint8))
+        blocks = packed.reshape(E, N, K // 32, 16)
+        scales = scale.reshape(K // 32, E, N).transpose(1, 2, 0)
+        return blocks, np.ascontiguousarray(scales)
+
+    def _write_oai_checkpoint(self, qc, tmp_path):
+        """Serialize a compressed tiny gpt-oss bundle in the OAI release
+        layout (dense tensors f32 so logit parity is storage-noise-free)."""
+        import json
+
+        from safetensors.numpy import save_file
+
+        cfg = qc.module.cfg
+        p = qc.variables["params"]
+        quant = qc.variables["quant"]
+        E = cfg.num_experts
+        def T(x):  # contiguous transpose: safetensors writes raw buffers
+            return np.ascontiguousarray(np.asarray(x, np.float32).T)
+
+        sd = {"model.embed_tokens.weight":
+              np.asarray(p["embed_tokens"]["embedding"], np.float32),
+              "model.norm.weight": np.asarray(p["final_norm"]["scale"],
+                                              np.float32),
+              "lm_head.weight": T(p["lm_head"]["kernel"])}
+        for i in range(cfg.num_layers):
+            lp = p[f"layers_{i}"]
+            L = f"model.layers.{i}."
+            for n in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                sd[L + f"self_attn.{n}.weight"] = T(
+                    lp["attn"][n]["kernel"])
+                sd[L + f"self_attn.{n}.bias"] = np.asarray(
+                    lp["attn"][n]["bias"], np.float32)
+            sd[L + "self_attn.sinks"] = np.asarray(lp["attn"]["sinks"],
+                                                   np.float32)
+            sd[L + "input_layernorm.weight"] = np.asarray(
+                lp["input_norm"]["scale"], np.float32)
+            sd[L + "post_attention_layernorm.weight"] = np.asarray(
+                lp["post_attn_norm"]["scale"], np.float32)
+            sd[L + "mlp.router.weight"] = T(lp["moe"]["router"]["kernel"])
+            sd[L + "mlp.router.bias"] = np.asarray(
+                lp["moe"]["router"]["bias"], np.float32)
+            gb = np.asarray(lp["moe"]["gate_proj"]["bias"], np.float32)
+            ub = np.asarray(lp["moe"]["up_proj"]["bias"], np.float32)
+            gub = np.empty((E, gb.shape[1] * 2), np.float32)
+            gub[:, 0::2], gub[:, 1::2] = gb, ub
+            sd[L + "mlp.experts.gate_up_proj_bias"] = gub
+            sd[L + "mlp.experts.down_proj_bias"] = np.asarray(
+                lp["moe"]["down_proj"]["bias"], np.float32)
+            lq = quant[f"layers_{i}"]["moe"]
+            gB, gS = self._unfold_to_oai(
+                np.asarray(lq["gate_proj"]["qweight"]["data"]),
+                np.asarray(lq["gate_proj"]["qweight"]["scale"]), E)
+            uB, uS = self._unfold_to_oai(
+                np.asarray(lq["up_proj"]["qweight"]["data"]),
+                np.asarray(lq["up_proj"]["qweight"]["scale"]), E)
+            I2 = gB.shape[1] * 2
+            guB = np.empty((E, I2, *gB.shape[2:]), np.uint8)
+            guB[:, 0::2], guB[:, 1::2] = gB, uB
+            guS = np.empty((E, I2, gS.shape[2]), np.uint8)
+            guS[:, 0::2], guS[:, 1::2] = gS, uS
+            sd[L + "mlp.experts.gate_up_proj_blocks"] = guB
+            sd[L + "mlp.experts.gate_up_proj_scales"] = guS
+            dB, dS = self._unfold_to_oai(
+                np.asarray(lq["down_proj"]["qweight"]["data"]),
+                np.asarray(lq["down_proj"]["qweight"]["scale"]), E)
+            sd[L + "mlp.experts.down_proj_blocks"] = dB
+            sd[L + "mlp.experts.down_proj_scales"] = dS
+        # TPU fetches come back F-contiguous and safetensors writes raw
+        # buffers — force C order on every tensor (hf_export.py:504 note)
+        sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
+        save_file(sd, str(tmp_path / "model.safetensors"))
+        config = {
+            "model_type": "gpt_oss", "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "num_key_value_heads": cfg.kv_heads,
+            "head_dim": cfg.dims_per_head,
+            "intermediate_size": cfg.intermediate_size,
+            "num_local_experts": cfg.num_experts,
+            "num_experts_per_tok": cfg.experts_per_token,
+            "layer_types": ["sliding_attention", "full_attention"],
+            "sliding_window": 8, "rope_theta": 10000.0,
+            "rope_scaling": {"rope_type": "yarn", "factor": 4.0,
+                             "original_max_position_embeddings": 32},
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "attention_bias": True, "rms_norm_eps": cfg.norm_eps,
+            "tie_word_embeddings": False,
+            "quantization_config": {"quant_method": "mxfp4"},
+        }
+        with open(tmp_path / "config.json", "w") as f:
+            json.dump(config, f)
+
+    def test_bit_exact_repack_and_logit_parity(self, tmp_path):
+        from modelopt_tpu.models import load_oai_mxfp4_checkpoint
+
+        bundle = self._gptoss_bundle()
+        ids = bundle.example_inputs[0]
+        q = mtq.quantize(bundle, self.MX_CFG, lambda f: f(ids))
+        qc = mtq.compress(q)
+        self._write_oai_checkpoint(qc, tmp_path)
+        loaded = load_oai_mxfp4_checkpoint(str(tmp_path),
+                                           param_dtype=jnp.float32)
+        for i in range(2):
+            for n in ("gate_proj", "up_proj", "down_proj"):
+                ours = loaded.variables["quant"][f"layers_{i}"]["moe"][n][
+                    "qweight"]
+                ref = qc.variables["quant"][f"layers_{i}"]["moe"][n][
+                    "qweight"]
+                np.testing.assert_array_equal(np.asarray(ours["data"]),
+                                              np.asarray(ref["data"]))
+                np.testing.assert_array_equal(np.asarray(ours["scale"]),
+                                              np.asarray(ref["scale"]))
+                assert "kernel" not in loaded.variables["params"][
+                    f"layers_{i}"]["moe"].get(n, {})
+        ref_lg = _logits(qc, ids)
+        got_lg = _logits(loaded, ids)
+        np.testing.assert_allclose(got_lg, ref_lg, rtol=2e-4, atol=2e-4)
+
+
 class TestPreQuantScale:
     """AWQ/SmoothQuant smoothing scales must round-trip: the exported
     weights carry the folded inverse, so a checkpoint without
