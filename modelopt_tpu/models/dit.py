@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..nn.layers import QuantDense
 from ..nn.quantizer import TensorQuantizer
+from ..sparsity.vsa import VSAConfig, video_sparse_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +35,11 @@ class DiTConfig:
     num_classes: int = 10
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # VSA (video sparse attention, T=1 for images): replaces the dense
+    # self-attention in every block with the two-branch top-K tile form +
+    # a learned per-channel compression gate (sparsity/vsa.py; reference:
+    # sparsity/attention_sparsity/methods/vsa.py)
+    vsa: Optional[VSAConfig] = None
 
     @property
     def num_patches(self) -> int:
@@ -71,10 +77,22 @@ class DiTBlock(nn.Module):
         q = TensorQuantizer(name="q_quantizer")(q.reshape(B, N, nh, hd))
         k = TensorQuantizer(name="k_quantizer")(k.reshape(B, N, nh, hd))
         v = TensorQuantizer(name="v_quantizer")(v.reshape(B, N, nh, hd))
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) / jnp.sqrt(hd)
-        p = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, N, H)
+        if cfg.vsa is not None:
+            side = cfg.image_size // cfg.patch_size
+            gate = self.param(
+                "gate_compress",
+                nn.initializers.constant(cfg.vsa.gate_init), (nh, hd),
+                cfg.param_dtype)
+            o = video_sparse_attention(
+                q, k, v, video_shape=(1, side, side), config=cfg.vsa,
+                gate_compress=jnp.broadcast_to(
+                    gate.astype(jnp.float32), (B, N, nh, hd)),
+            ).reshape(B, N, H)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                              preferred_element_type=jnp.float32) / jnp.sqrt(hd)
+            p = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
+            o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, N, H)
         o = QuantDense(H, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="o_proj")(o)
         x = x + g1 * o
 

@@ -157,6 +157,31 @@ def _params_count(tree) -> int:
     return sum(x.size for x in jax.tree.leaves(tree))
 
 
+def _layer_deploy_costs(layer: dict, cfg, deployment: dict):
+    """(memory_bytes, decode_latency_ms) of one sewed layer at a deployment
+    point — the reference MIP's per-subblock memory/runtime columns
+    (reference: puzzletron/mip/run_puzzle.py solves under latency/memory
+    budgets, not just parameters). Memory = weights + this layer's KV cache;
+    latency = a bandwidth cost model of one decode step (weight-bound
+    GEMMs + KV reads at the chip's achievable GB/s — decode on TPU is
+    HBM-bound, so bytes/bandwidth is the honest first-order model; swap in
+    ``nas.profile(measure_latency=True)`` for measured numbers when a chip
+    is attached)."""
+    batch = deployment.get("batch", 1)
+    seq = deployment.get("seq_len", cfg.max_position_embeddings)
+    kv_itemsize = deployment.get("kv_itemsize", 2)
+    param_itemsize = deployment.get("param_itemsize", 2)
+    gbps = deployment.get("achievable_gbps", 650.0)
+    weight_bytes = _params_count(layer) * param_itemsize
+    kv_bytes = 0
+    if "attn" in layer:
+        kh = layer["attn"]["k_proj"]["kernel"].shape[1] // cfg.dims_per_head
+        kv_bytes = 2 * batch * seq * kh * cfg.dims_per_head * kv_itemsize
+    # one decode step streams the layer's weights once + reads the KV cache
+    latency_ms = (weight_bytes + kv_bytes) / (gbps * 1e9) * 1e3
+    return float(weight_bytes + kv_bytes), latency_ms
+
+
 def puzzle_search(
     bundle: ModelBundle,
     constraints: dict,
@@ -164,10 +189,21 @@ def puzzle_search(
     library=None,
     donors=None,
 ):
-    """constraints: {"params_ratio": r in (0, 1]} — keep <= r of decoder
-    params. ``donors``: {name: ModelBundle} whose layers join the library
-    (anymodel stitching). Returns (sewed bundle, info).
-    (reference: mip/run_puzzle.py)"""
+    """Multi-budget MIP selection (reference: mip/run_puzzle.py — the
+    reference solves per-subblock selection under memory AND runtime
+    budgets; same here, with a TPU bandwidth cost model).
+
+    constraints — any combination of:
+      "params_ratio": r in (0, 1]    keep <= r of decoder params
+      "memory_gb": g                 weights + KV cache at the deployment
+                                     point <= g (per chip)
+      "latency_ms": t                modeled decode-step latency <= t
+      "deployment": {batch, seq_len, kv_itemsize, param_itemsize,
+                     achievable_gbps}   the serving point the memory/latency
+                                     columns are evaluated at
+
+    ``donors``: {name: ModelBundle} whose layers join the library
+    (anymodel stitching). Returns (sewed bundle, info)."""
     cfg = bundle.module.cfg
     L = cfg.num_layers
     donors = donors or {}
@@ -190,8 +226,11 @@ def puzzle_search(
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         return float(jnp.mean(jnp.sum(base_p * (base_lp - lp), -1)))
 
+    deployment = constraints.get("deployment", {})
     scores = np.zeros((L, len(lib)))
     costs = np.zeros((L, len(lib)))
+    mem = np.zeros((L, len(lib)))
+    lat = np.zeros((L, len(lib)))
     layer_params = [
         _params_count(bundle.variables["params"][f"layers_{i}"]) for i in range(L)
     ]
@@ -199,22 +238,35 @@ def puzzle_search(
         for o, entry in enumerate(lib):
             if o == 0:
                 costs[i, o] = layer_params[i]
+                mem[i, o], lat[i, o] = _layer_deploy_costs(
+                    bundle.variables["params"][f"layers_{i}"], cfg, deployment)
                 continue
             if dict(entry).get("donor") and f"layers_{i}" not in donor_paramset(
                 donors, dict(entry)["donor"]
             ):
                 scores[i, o] = 1e9  # donor has no such layer: never chosen
                 costs[i, o] = layer_params[i]
+                mem[i, o], lat[i, o] = mem[i, 0], lat[i, 0]
                 continue
             plan = tuple(entry if j == i else () for j in range(L))
             cand = sew(bundle, plan, ffn_keep, kv_keep, donors)
+            layer = cand.variables["params"][f"layers_{i}"]
             scores[i, o] = kl_of(cand)
-            costs[i, o] = _params_count(cand.variables["params"][f"layers_{i}"])
+            costs[i, o] = _params_count(layer)
+            mem[i, o], lat[i, o] = _layer_deploy_costs(layer, cfg, deployment)
 
     total_layer_params = float(sum(layer_params))
-    budget = constraints.get("params_ratio", 0.75) * total_layer_params
+    budgets = []
+    if "params_ratio" in constraints or not (
+            "memory_gb" in constraints or "latency_ms" in constraints):
+        budgets.append(
+            (costs, constraints.get("params_ratio", 0.75) * total_layer_params))
+    if "memory_gb" in constraints:
+        budgets.append((mem, constraints["memory_gb"] * 1e9))
+    if "latency_ms" in constraints:
+        budgets.append((lat, float(constraints["latency_ms"])))
 
-    choice = _solve(scores, costs, budget)
+    choice = _solve(scores, budgets)
     plan = tuple(lib[choice[i]] for i in range(L))
     sewed = sew(bundle, plan, ffn_keep, kv_keep, donors)
     return sewed, {
@@ -222,6 +274,8 @@ def puzzle_search(
         "kl_scores": scores.tolist(),
         "params_before": int(total_layer_params),
         "params_after": int(sum(costs[i, choice[i]] for i in range(L))),
+        "memory_gb_after": float(sum(mem[i, choice[i]] for i in range(L))) / 1e9,
+        "latency_ms_after": float(sum(lat[i, choice[i]] for i in range(L))),
         "model_kl": kl_of(sewed),
     }
 
@@ -230,9 +284,11 @@ def donor_paramset(donors: dict, name: str):
     return donors[name].variables["params"]
 
 
-def _solve(scores, costs, budget):
-    """One replacement per layer, minimize total KL under the param budget
-    (HiGHS MILP; greedy best-rate knapsack fallback)."""
+def _solve(scores, budgets):
+    """One replacement per layer, minimize total KL under every budget in
+    ``budgets`` = [(cost_matrix [L, O], limit), ...] (HiGHS MILP; greedy
+    best-rate knapsack fallback driven by the most-violated budget).
+    (reference: puzzletron/mip/run_puzzle.py multi-budget MIP)"""
     L, O = scores.shape
     try:
         from scipy.optimize import Bounds, LinearConstraint, milp
@@ -241,13 +297,13 @@ def _solve(scores, costs, budget):
         A_onehot = np.zeros((L, L * O))
         for i in range(L):
             A_onehot[i, i * O : (i + 1) * O] = 1
-        A_cost = costs.flatten()[None, :]
+        cons = [LinearConstraint(A_onehot, 1, 1)]
+        for costs, budget in budgets:
+            cons.append(LinearConstraint(costs.flatten()[None, :],
+                                         -np.inf, budget))
         res = milp(
             c,
-            constraints=[
-                LinearConstraint(A_onehot, 1, 1),
-                LinearConstraint(A_cost, -np.inf, budget),
-            ],
+            constraints=cons,
             integrality=np.ones(L * O),
             bounds=Bounds(0, 1),
         )
@@ -255,16 +311,27 @@ def _solve(scores, costs, budget):
             return [int(np.argmax(res.x[i * O : (i + 1) * O])) for i in range(L)]
     except Exception:
         pass
-    # greedy fallback: cheapest-score replacements until under budget
+    # greedy fallback: fix the most-violated budget with the best
+    # KL-per-cost replacement until every budget holds
     choice = [0] * L
-    while sum(costs[i, choice[i]] for i in range(L)) > budget:
+
+    def violation():
+        worst = None
+        for costs, budget in budgets:
+            used = sum(costs[i, choice[i]] for i in range(L))
+            if used > budget and (worst is None or used / budget > worst[0]):
+                worst = (used / budget, costs)
+        return worst
+
+    while (v := violation()) is not None:
+        _, costs = v
         best = None
         for i in range(L):
             for o in range(O):
-                if costs[i, o] >= costs[i, choice[i]]:
+                if costs[i, o] >= costs[i, choice[i]] or scores[i, o] >= 1e9:
                     continue
                 rate = (scores[i, o] - scores[i, choice[i]]) / max(
-                    costs[i, choice[i]] - costs[i, o], 1
+                    costs[i, choice[i]] - costs[i, o], 1e-12
                 )
                 if best is None or rate < best[0]:
                     best = (rate, i, o)

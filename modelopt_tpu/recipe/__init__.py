@@ -1,3 +1,3 @@
-from .api import PTQRecipe, load_recipe, run_recipe
+from .api import PRESETS, PTQRecipe, load_recipe, run_recipe
 
 __all__ = ["PTQRecipe", "load_recipe", "run_recipe"]

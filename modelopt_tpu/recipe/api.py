@@ -37,6 +37,16 @@ PRESETS = {
     "llama_fp8": "ptq/llama_fp8.yaml",
     "llama_int4_awq": "ptq/llama_int4_awq.yaml",
     "llama_nvfp4": "ptq/llama_nvfp4.yaml",
+    # per-model serving presets (reference: modelopt_recipes/configs/ptq/
+    # presets/model/*.yaml + kv/*.yaml + diffusers/*.yaml)
+    "llama_w4a8_int8kv": "ptq/llama_w4a8_int8kv.yaml",
+    "qwen3_moe_w4a8": "ptq/qwen3_moe_w4a8.yaml",
+    "deepseek_mla_fp8": "ptq/deepseek_mla_fp8.yaml",
+    "gpt_oss_mxfp4": "ptq/gpt_oss_mxfp4.yaml",
+    "gemma3_int4_awq": "ptq/gemma3_int4_awq.yaml",
+    "mixtral_experts_nvfp4": "ptq/mixtral_experts_nvfp4.yaml",
+    "dit_fp8": "diffusers/dit_fp8.yaml",
+    "dit_nvfp4": "diffusers/dit_nvfp4.yaml",
 }
 
 

@@ -5,6 +5,9 @@ from .magnitude import create_nm_mask
 from .sparsification import export_sparse, sparsify
 from . import attention_sparsity  # noqa: F401
 from . import skip_softmax  # noqa: F401
+from . import vsa  # noqa: F401
+from .attention_sparsity import sparsify_attention_vsa
+from .vsa import VSAConfig, video_sparse_attention, vsa_stats
 from .skip_softmax import (
     SkipSoftmaxConfig,
     calibrate_skip_softmax,
@@ -14,6 +17,7 @@ from .skip_softmax import (
 
 __all__ = [
     "SkipSoftmaxConfig",
+    "VSAConfig",
     "attention_sparsity",
     "calibrate_skip_softmax",
     "create_nm_mask",
@@ -22,4 +26,8 @@ __all__ = [
     "skip_softmax",
     "sparsify",
     "sparsify_attention_dynamic",
+    "sparsify_attention_vsa",
+    "video_sparse_attention",
+    "vsa",
+    "vsa_stats",
 ]

@@ -145,3 +145,31 @@ def test_recovery_training_reduces_kl():
     )
     logits, _ = recovered.apply(ids)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_puzzle_search_memory_and_latency_budgets():
+    """Multi-budget MIP (reference: mip/run_puzzle.py solves under memory
+    AND runtime budgets): a KV-heavy deployment point plus a tight memory
+    budget must force KV/attention reductions, and the reported usage must
+    respect both budgets."""
+    bundle = lm_bundle()
+    deployment = dict(batch=8, seq_len=2048, kv_itemsize=2, param_itemsize=2)
+
+    # baseline usage with no reductions
+    _, free_info = mtn.puzzle_search(
+        bundle, {"memory_gb": 1e9, "deployment": deployment})
+    base_mem = free_info["memory_gb_after"]
+    base_lat = free_info["latency_ms_after"]
+
+    mem_budget = 0.7 * base_mem
+    lat_budget = 0.8 * base_lat
+    sewed, info = mtn.puzzle_search(
+        bundle, {"memory_gb": mem_budget, "latency_ms": lat_budget,
+                 "deployment": deployment})
+    assert info["memory_gb_after"] <= mem_budget * (1 + 1e-6)
+    assert info["latency_ms_after"] <= lat_budget * (1 + 1e-6)
+    # at least one layer was reduced and the model still runs
+    assert any(p for p in info["plan"])
+    ids = bundle.example_inputs[0]
+    logits, _ = sewed.apply(ids)
+    assert np.isfinite(np.asarray(logits)).all()
