@@ -50,9 +50,12 @@ from .config import (  # noqa: F401 — preset names re-exported
     NVFP4_WEIGHT_ONLY_CFG,
     W4A16_NVFP4_CFG,
     W4A8_AWQ_BETA_CFG,
+    W4A8_INT8KV_CFG,
     W4A8_INT8_DYNAMIC_CFG,
     W4A8_MXFP4_FP8_CFG,
     W4A8_NVFP4_FP8_CFG,
+    INT8_KV_CFG,
+    MIXED_MXFP8_NVFP4_EXPERTS_CFG,
     QuantizeConfig,
     choices,
     get_config,

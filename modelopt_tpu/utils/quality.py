@@ -29,8 +29,11 @@ from ..core import ModelBundle
 # (preset, human label). Order = the report order, not the quality order.
 DEFAULT_LADDER = (
     ("FP8_DEFAULT_CFG", "fp8"),
+    ("INT8_SMOOTHQUANT_CFG", "int8_sq"),
     ("NVFP4_DEFAULT_CFG", "nvfp4"),
+    ("MXFP4_DEFAULT_CFG", "mxfp4"),
     ("W4A8_INT8_DYNAMIC_CFG", "w4a8_int4_rtn"),
+    ("W4A8_INT8KV_CFG", "w4a8_int8kv_awq"),  # the bench serving headline
     ("INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "w4a16_rtn"),
     ("INT4_AWQ_CFG", "w4a16_awq"),
     ("GPTQ", "w4a16_gptq"),  # INT4 blockwise + gptq algorithm
@@ -38,12 +41,19 @@ DEFAULT_LADDER = (
 
 
 def make_markov_batches(vocab=256, batch=32, seqlen=64, n_batches=12, seed=0,
-                        branching=6):
+                        branching=6, traj_seed=None):
     """Deterministic synthetic language: a sparse Markov chain with Zipfian
     next-token weights — low-entropy enough that a tiny decoder learns it
-    well (ppl far below uniform), so quantization damage is measurable."""
+    well (ppl far below uniform), so quantization damage is measurable.
+
+    ``traj_seed``: draw FRESH trajectories from the SAME chain (the chain
+    is defined by ``seed``) — e.g. QAT finetuning data that matches the
+    training language without repeating its sequences. None keeps the
+    original single-stream draws bit-identical."""
     rng = np.random.default_rng(seed)
     nxt = rng.integers(0, vocab, size=(vocab, branching))
+    if traj_seed is not None:
+        rng = np.random.default_rng(traj_seed)
     w = 1.0 / np.arange(1, branching + 1) ** 1.2
     probs = w / w.sum()
     cum = np.cumsum(probs)
@@ -145,6 +155,47 @@ def eval_ppl(bundle: ModelBundle, batches, ref_logits=None):
     ppl = float(np.exp(total_nll / total_tok))
     kl = total_kl / total_tok if ref_logits is not None else None
     return ppl, kl, out_logits
+
+
+def qat_recovery(steps=400, seed=0, preset="MXFP4_DEFAULT_CFG",
+                 qat_steps=120, lr=5e-4, log=False):
+    """PTQ-damage -> QAT-recovery measurement (the reference's QAT
+    val-loss table shape: PTQ 3.321 -> QAT 1.294 for INT4w/INT8a on
+    Llama2-7B, benchmark.md:58-63). Quantize with an aggressive format,
+    then STE-finetune the quantized bundle on fresh batches and re-score:
+    the recovered delta must land well inside the PTQ delta.
+
+    Returns {"preset", "bf16_ppl", "ptq_delta_ppl", "qat_delta_ppl",
+    "recovery_frac"}."""
+    import modelopt_tpu.quant as mtq
+    from ..quant.qat import qat_finetune
+
+    bundle, _, calib, evalb = train_tiny_lm(steps=steps, seed=seed, log=log)
+    bf16_ppl, _, _ = eval_ppl(bundle, evalb)
+
+    def forward_loop(fn):
+        for ids in calib:
+            fn(ids)
+
+    q = mtq.quantize(bundle, getattr(mtq, preset), forward_loop)
+    ptq_ppl, _, _ = eval_ppl(q, evalb)
+    # fresh trajectories from the SAME chain train_tiny_lm used
+    ft_batches = make_markov_batches(seed=seed + 100, traj_seed=seed + 777,
+                                     n_batches=qat_steps)
+    qat, losses = qat_finetune(q, ft_batches, learning_rate=lr)
+    qat_ppl, _, _ = eval_ppl(qat, evalb)
+    ptq_d, qat_d = ptq_ppl - bf16_ppl, qat_ppl - bf16_ppl
+    out = {
+        "preset": preset,
+        "bf16_ppl": round(bf16_ppl, 4),
+        "ptq_delta_ppl": round(ptq_d, 4),
+        "qat_delta_ppl": round(qat_d, 4),
+        "recovery_frac": round(1.0 - qat_d / ptq_d, 4) if ptq_d > 0 else None,
+    }
+    if log:
+        print(f"qat recovery [{preset}]: ptq Δ{ptq_d:+.4f} -> "
+              f"qat Δ{qat_d:+.4f}")
+    return out
 
 
 def quality_ladder(steps=400, seed=0, ladder=DEFAULT_LADDER, log=False):

@@ -23,10 +23,11 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
-    from modelopt_tpu.utils.quality import quality_ladder
+    from modelopt_tpu.utils.quality import qat_recovery, quality_ladder
 
     t0 = time.time()
     result = quality_ladder(steps=400, seed=0, log=True)
+    recovery = qat_recovery(steps=400, seed=0, log=True)
     fp8 = result["rungs"]["fp8"]
     out = {
         "metric": "quality_delta_ppl_fp8_tiny_lm",
@@ -38,6 +39,8 @@ def main():
             **{k: v["delta_ppl"] for k, v in result["rungs"].items()},
         },
         "rungs": result["rungs"],
+        # the reference's QAT-recovery table shape (benchmark.md:58-63)
+        "qat_recovery": recovery,
         "method": "tiny 4L/128d decoder trained 400 steps on a fixed "
                   "synthetic Markov language; held-out ppl delta + mean "
                   "logits-KL vs bf16; real calibration per algorithm",

@@ -15,7 +15,9 @@ from modelopt_tpu.utils.quality import quality_ladder
 
 LADDER = (
     ("FP8_DEFAULT_CFG", "fp8"),
+    ("INT8_SMOOTHQUANT_CFG", "int8_sq"),
     ("NVFP4_DEFAULT_CFG", "nvfp4"),
+    ("MXFP4_DEFAULT_CFG", "mxfp4"),
     ("INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "w4a16_rtn"),
     ("INT4_AWQ_CFG", "w4a16_awq"),
     ("GPTQ", "w4a16_gptq"),
@@ -40,8 +42,10 @@ class TestQualityLadder:
     def test_fp8_near_lossless(self, ladder):
         fp8 = ladder["rungs"]["fp8"]
         assert fp8["delta_ppl"] < 0.05
+        # fp8 beats every 4-bit rung; int8_sq (per-channel scales +
+        # smoothquant) may legitimately edge out per-tensor fp8
         for label, r in ladder["rungs"].items():
-            if label != "fp8":
+            if label not in ("fp8", "int8_sq"):
                 assert fp8["kl_vs_bf16"] < r["kl_vs_bf16"], (label, r)
 
     def test_gptq_beats_rtn(self, ladder):
@@ -51,3 +55,27 @@ class TestQualityLadder:
     def test_awq_not_worse_than_rtn(self, ladder):
         assert (ladder["rungs"]["w4a16_awq"]["kl_vs_bf16"]
                 <= ladder["rungs"]["w4a16_rtn"]["kl_vs_bf16"] * 1.05)
+
+    def test_int8_beats_4bit(self, ladder):
+        # 8-bit smoothquant sits between fp8 and every 4-bit format
+        int8 = ladder["rungs"]["int8_sq"]["kl_vs_bf16"]
+        assert int8 < ladder["rungs"]["nvfp4"]["kl_vs_bf16"]
+        assert int8 < ladder["rungs"]["w4a16_rtn"]["kl_vs_bf16"]
+
+    def test_nvfp4_not_worse_than_mxfp4(self, ladder):
+        # two-level e4m3 block-16 scales recover more than pow2 e8m0
+        # block-32 (the reference's own nvfp4-vs-mxfp4 positioning)
+        assert (ladder["rungs"]["nvfp4"]["kl_vs_bf16"]
+                <= ladder["rungs"]["mxfp4"]["kl_vs_bf16"] * 1.05)
+
+
+def test_qat_recovers_ptq_damage():
+    """Reference shape: PTQ val-loss damage largely recovered by QAT
+    (benchmark.md:58-63, PTQ 3.321 -> QAT 1.294). On the tiny trained LM
+    with MXFP4 (the most damaging ladder rung), STE finetuning must
+    recover most of the ppl delta."""
+    from modelopt_tpu.utils.quality import qat_recovery
+
+    r = qat_recovery(steps=200, seed=0, qat_steps=80)
+    assert r["ptq_delta_ppl"] > 0.05          # PTQ caused real damage
+    assert r["qat_delta_ppl"] < r["ptq_delta_ppl"] * 0.6
