@@ -135,6 +135,19 @@ class DecoderConfig:
     # attend only KV blocks whose Quest-style score upper bound survives the
     # calibrated threshold (kernels/block_sparse_attention.py)
     skip_softmax: Optional[Any] = None
+    # Hybrid Mamba2/attention pattern (Nemotron-H / Mamba-MoE class;
+    # reference: megatron hybrid_override_pattern in
+    # prune/plugins/mcore_minitron.py:215): one char per layer, "M" =
+    # Mamba2 mixer (models/ssm.py), anything else = attention. Combine
+    # with layer_plan {"no_mlp": True} for mixer-only (pure-Mamba2)
+    # blocks. None = all-attention.
+    hybrid_pattern: Optional[str] = None
+    mamba_num_heads: int = 0
+    mamba_head_dim: int = 64
+    mamba_state_dim: int = 64
+    mamba_groups: int = 1
+    mamba_conv_width: int = 4
+    mamba_chunk: int = 64
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -142,6 +155,11 @@ class DecoderConfig:
         if self.layer_plan is None or i >= len(self.layer_plan):
             return {}
         return dict(self.layer_plan[i])
+
+    def is_mamba(self, i: int) -> bool:
+        return (self.hybrid_pattern is not None
+                and i < len(self.hybrid_pattern)
+                and self.hybrid_pattern[i] == "M")
 
     @property
     def kv_heads(self) -> int:
@@ -198,9 +216,23 @@ def make_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
         kv = 1 if "no_attn" in opts else int(opts.get("kv", cfg.kv_heads))
         return (batch, max_len, kv * cfg.dims_per_head)
 
+    def slot(i, which):
+        # Mamba2 layers keep O(1) state instead of a KV cache: the "k"
+        # slot holds the rolling conv window (model dtype — raw pre-conv
+        # activations), the "v" slot the f32 [nh, N*P] SSM state. KV
+        # dtype overrides (fp8/int8 caches) never touch them.
+        if cfg.is_mamba(i):
+            from .ssm import mamba_cache_shapes
+
+            conv_sh, ssm_sh = mamba_cache_shapes(cfg, batch)
+            if which == "k":
+                return jnp.zeros(conv_sh, cfg.dtype)
+            return jnp.zeros(ssm_sh, jnp.float32)
+        return jnp.zeros(shape_for(i), dtype)
+
     cache = {
-        "k": tuple(jnp.zeros(shape_for(i), dtype) for i in range(cfg.num_layers)),
-        "v": tuple(jnp.zeros(shape_for(i), dtype) for i in range(cfg.num_layers)),
+        "k": tuple(slot(i, "k") for i in range(cfg.num_layers)),
+        "v": tuple(slot(i, "v") for i in range(cfg.num_layers)),
         "lengths": jnp.zeros((batch,), jnp.int32),
     }
     if cfg.skip_softmax is not None:
@@ -806,7 +838,17 @@ class Block(nn.Module):
                 epsilon=cfg.norm_eps, dtype=cfg.dtype,
                 param_dtype=cfg.param_dtype, name=name)
         new_kv = None
-        if "no_attn" not in opts:
+        if cfg.is_mamba(self.layer_index):
+            from .ssm import Mamba2Mixer
+
+            h, new_kv = Mamba2Mixer(cfg, name="mixer")(
+                norm("input_norm")(x),
+                cache_kv[:2] if cache_kv is not None else None,
+            )
+            if cfg.norm_style == "gemma":
+                h = norm("post_attn_out_norm")(h)
+            x = x + h
+        elif "no_attn" not in opts:
             attn_cfg = cfg
             if "kv" in opts:
                 # per-layer KV-head count (puzzletron heterogeneous plans);
@@ -904,12 +946,18 @@ class Decoder(nn.Module):
             x = x + pos_emb
 
         paged = cache is not None and "page_table" in cache
+        # hybrid models: the max-len / mask geometry comes from the first
+        # ATTENTION layer's KV slot (mamba slots hold conv/SSM state)
+        attn_idx = next((i for i in range(cfg.num_layers)
+                         if not cfg.is_mamba(i)), None)
         if cache is not None:
             if paged:
                 # virtual dense length = page-table capacity
                 S = cache["page_table"].shape[1] * cache["k"][0].shape[1]
+            elif attn_idx is not None:
+                S = cache["k"][attn_idx].shape[1]
             else:
-                S = cache["k"][0].shape[1]
+                S = cfg.max_position_embeddings  # pure-Mamba: no KV at all
             key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, :]  # [1,1,S]
             causal = key_pos <= positions[:, :, None]
         else:
@@ -1261,6 +1309,39 @@ def gpt_oss_20b_config(**overrides) -> DecoderConfig:
                       ("original_max_position_embeddings", 4096),
                       ("beta_fast", 32.0), ("beta_slow", 1.0)),
         max_position_embeddings=131072,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def nemotron_h_config(**overrides) -> DecoderConfig:
+    """Nemotron-H-8B-class hybrid: Mamba2 mixers with sparse attention
+    layers (public arch shape: 52 blocks, ~1:8 attention ratio, d_inner
+    2x hidden, state 128, GQA-grouped B/C). The reference operates on
+    these models through its Megatron plugins (mcore_minitron mamba
+    pruning, mamba_moe presets); here they are a native family."""
+    n_layers = 52
+    pattern = "".join("*" if i % 8 == 4 else "M" for i in range(n_layers))
+    base = dict(
+        vocab_size=131072, hidden_size=4096, num_layers=n_layers,
+        num_heads=32, num_kv_heads=8, head_dim=128,
+        intermediate_size=21504, activation="relu2", norm="rmsnorm",
+        hybrid_pattern=pattern, mamba_num_heads=128, mamba_head_dim=64,
+        mamba_state_dim=128, mamba_groups=8, positions="none",
+        max_position_embeddings=8192,
+    )
+    base.update(overrides)
+    return DecoderConfig(**base)
+
+
+def tiny_hybrid_test_config(**overrides) -> DecoderConfig:
+    """Small Mamba2/attention hybrid for tests (3 layers: M, attn, M)."""
+    base = dict(
+        vocab_size=256, hidden_size=64, num_layers=3, num_heads=4,
+        num_kv_heads=2, head_dim=16, intermediate_size=128,
+        hybrid_pattern="M*M", mamba_num_heads=4, mamba_head_dim=16,
+        mamba_state_dim=16, mamba_groups=2, mamba_chunk=8,
+        max_position_embeddings=64,
     )
     base.update(overrides)
     return DecoderConfig(**base)

@@ -45,9 +45,28 @@ PRESETS = {
     "gpt_oss_mxfp4": "ptq/gpt_oss_mxfp4.yaml",
     "gemma3_int4_awq": "ptq/gemma3_int4_awq.yaml",
     "mixtral_experts_nvfp4": "ptq/mixtral_experts_nvfp4.yaml",
+    "mamba_moe_fp8_conservative": "ptq/mamba_moe_fp8_conservative.yaml",
+    "mamba_moe_fp8_aggressive": "ptq/mamba_moe_fp8_aggressive.yaml",
     "dit_fp8": "diffusers/dit_fp8.yaml",
     "dit_nvfp4": "diffusers/dit_nvfp4.yaml",
 }
+
+
+def _normalize_quant_cfg(qc: dict) -> dict:
+    """Drop ``enable: false`` leaked into rules that specify numerics.
+
+    ``$import`` deep-merges rule dicts, so a preset that overrides
+    base.yaml's blanket ``{enable: false}`` with real numerics ends up
+    with ``{enable: false, num_bits: ...}`` — a silently-disabled
+    quantizer. A rule that carries spec fields means "quantize like
+    this"; pure ``{enable: false}`` exclusions are untouched."""
+    out = {}
+    for pat, rule in qc.items():
+        if (isinstance(rule, dict) and rule.get("enable") is False
+                and set(rule) - {"enable"}):
+            rule = {k: v for k, v in rule.items() if k != "enable"}
+        out[pat] = rule
+    return out
 
 
 def load_recipe(name_or_path: str, overrides: Optional[list[str]] = None) -> PTQRecipe:
@@ -57,6 +76,8 @@ def load_recipe(name_or_path: str, overrides: Optional[list[str]] = None) -> PTQ
     raw = load_config(path)
     if overrides:
         raw = apply_dotlist(raw, overrides)
+    if isinstance(raw.get("quant_cfg"), dict):
+        raw["quant_cfg"] = _normalize_quant_cfg(raw["quant_cfg"])
     return PTQRecipe.model_validate(raw)
 
 

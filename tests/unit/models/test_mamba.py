@@ -1,0 +1,163 @@
+"""Mamba2 (SSD) mixer + hybrid decoder tests (reference surface:
+megatron mamba support in prune/plugins/mcore_minitron.py + the
+mamba_moe PTQ presets; the SSD math is arXiv:2405.21060)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modelopt_tpu.core import ModelBundle
+from modelopt_tpu.models import Decoder, make_cache, tiny_hybrid_test_config
+from modelopt_tpu.models.ssm import ssd_scan, ssd_step
+
+
+def _naive_recurrence(x, dt, A, B, C, h0):
+    """Literal h_t = exp(dt A) h + dt B x ; y = C h reference."""
+    Bz, T, nh, P = x.shape
+    h = np.asarray(h0, np.float64).copy()
+    ys = np.zeros((Bz, T, nh, P))
+    xn, dtn = np.asarray(x, np.float64), np.asarray(dt, np.float64)
+    Bn, Cn, An = (np.asarray(a, np.float64) for a in (B, C, A))
+    for t in range(T):
+        a = np.exp(dtn[:, t] * An)[..., None, None]        # [Bz,nh,1,1]
+        h = a * h + np.einsum("bh,bhn,bhp->bhnp", dtn[:, t], Bn[:, t],
+                              xn[:, t])
+        ys[:, t] = np.einsum("bhn,bhnp->bhp", Cn[:, t], h)
+    return ys, h
+
+
+def _rand_ssd(key, Bz=2, T=19, nh=3, P=5, N=4):
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (Bz, T, nh, P))
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (Bz, T, nh)))
+    A = -jnp.exp(jax.random.normal(ks[2], (nh,)))
+    B = jax.random.normal(ks[3], (Bz, T, nh, N))
+    C = jax.random.normal(ks[4], (Bz, T, nh, N))
+    h0 = jax.random.normal(jax.random.PRNGKey(9), (Bz, nh, N, P))
+    return x, dt, A, B, C, h0
+
+
+def test_ssd_scan_matches_naive_recurrence():
+    x, dt, A, B, C, h0 = _rand_ssd(jax.random.PRNGKey(0))
+    y, hT = ssd_scan(x, dt, A, B, C, h0, chunk=8)  # T=19: ragged chunks
+    y_ref, h_ref = _naive_recurrence(x, dt, A, B, C, h0)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hT), h_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ssd_step_matches_scan():
+    x, dt, A, B, C, h0 = _rand_ssd(jax.random.PRNGKey(1), T=1)
+    y, hT = ssd_step(x[:, 0], dt[:, 0], A, B[:, 0], C[:, 0], h0)
+    y2, hT2 = ssd_scan(x, dt, A, B, C, h0, chunk=4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2[:, 0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(hT2),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def hybrid_bundle():
+    cfg = tiny_hybrid_test_config(dtype=jnp.float32, param_dtype=jnp.float32)
+    m = Decoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 24)),
+                      jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), ids)
+    return ModelBundle(module=m, variables=dict(v), example_inputs=(ids,))
+
+
+def test_hybrid_forward_finite(hybrid_bundle):
+    ids = hybrid_bundle.example_inputs[0]
+    logits, _ = hybrid_bundle.apply(ids)
+    assert logits.shape == (2, 24, 256)
+    assert np.isfinite(np.asarray(logits)).all()
+    # mamba layers own mixer params, attention layer owns attn params
+    p = hybrid_bundle.variables["params"]
+    assert "mixer" in p["layers_0"] and "mixer" in p["layers_2"]
+    assert "attn" in p["layers_1"]
+
+
+def test_hybrid_decode_matches_full_forward(hybrid_bundle):
+    """Teacher-forced one-token-at-a-time decode (conv window + SSM state
+    through the cache) must reproduce the full-sequence logits."""
+    bundle = hybrid_bundle
+    cfg = bundle.module.cfg
+    ids = bundle.example_inputs[0]
+    B, T = ids.shape
+    full, _ = bundle.apply(ids)
+
+    cache = make_cache(cfg, B, 32)
+    fn = jax.jit(bundle.make_fn())
+    outs = []
+    for t in range(T):
+        logits, cache = fn(bundle.variables, ids[:, t:t + 1], cache)
+        outs.append(logits[:, 0])
+    step = np.stack([np.asarray(o) for o in outs], axis=1)
+    np.testing.assert_allclose(step, np.asarray(full), rtol=2e-3, atol=2e-3)
+
+
+def test_hybrid_chunked_prefill_matches(hybrid_bundle):
+    """Prefill in two chunks through the cache == full forward (the SSD
+    initial-state path)."""
+    bundle = hybrid_bundle
+    cfg = bundle.module.cfg
+    ids = bundle.example_inputs[0]
+    full, _ = bundle.apply(ids)
+    cache = make_cache(cfg, ids.shape[0], 32)
+    fn = jax.jit(bundle.make_fn(), static_argnums=())
+    l1, cache = fn(bundle.variables, ids[:, :13], cache)
+    l2, cache = fn(bundle.variables, ids[:, 13:], cache)
+    got = np.concatenate([np.asarray(l1), np.asarray(l2)], axis=1)
+    np.testing.assert_allclose(got, np.asarray(full), rtol=2e-3, atol=2e-3)
+
+
+def test_hybrid_quantizes_fp8(hybrid_bundle):
+    import modelopt_tpu.quant as mtq
+
+    bundle = hybrid_bundle
+    ids = bundle.example_inputs[0]
+    q = mtq.quantize(bundle, mtq.FP8_DEFAULT_CFG, lambda f: f(ids))
+    logits, _ = q.apply(ids)
+    assert np.isfinite(np.asarray(logits)).all()
+    # mamba in/out projections carry quantizer state
+    lq = q.variables["quant"]["layers_0"]["mixer"]
+    assert "in_proj" in lq and "out_proj" in lq
+    base, _ = bundle.apply(ids)
+    lp0 = jax.nn.log_softmax(np.asarray(base, np.float32), -1)
+    lp1 = jax.nn.log_softmax(np.asarray(logits, np.float32), -1)
+    kl = float(np.mean(np.sum(np.exp(lp0) * (lp0 - lp1), -1)))
+    assert kl < 0.05
+
+
+def test_hybrid_compress_and_decode(hybrid_bundle):
+    """Compressed (real int8 codes) hybrid still decodes through the
+    cache — the quant backends serve the mamba projections too."""
+    import modelopt_tpu.quant as mtq
+
+    bundle = hybrid_bundle
+    cfg = bundle.module.cfg
+    ids = bundle.example_inputs[0]
+    q = mtq.quantize(bundle, mtq.INT8_DEFAULT_CFG, lambda f: f(ids))
+    qc = mtq.compress(q)
+    cache = make_cache(cfg, ids.shape[0], 32)
+    fn = jax.jit(qc.make_fn())
+    logits, cache = fn(qc.variables, ids, cache)
+    logits2, cache = fn(qc.variables, ids[:, :1], cache)
+    assert np.isfinite(np.asarray(logits2)).all()
+
+
+def test_pure_mamba_via_no_mlp_plan():
+    """Pure-Mamba2 stack: all-M pattern + no_mlp layer plan."""
+    cfg = tiny_hybrid_test_config(
+        dtype=jnp.float32, param_dtype=jnp.float32,
+        hybrid_pattern="MMM",
+        layer_plan=((("no_mlp", True),),) * 3,
+    )
+    m = Decoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 12)),
+                      jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), ids)
+    logits, _ = m.apply(v, ids)
+    assert np.isfinite(np.asarray(logits)).all()
+    p = v["params"]
+    assert all("mlp" not in p[f"layers_{i}"] for i in range(3))

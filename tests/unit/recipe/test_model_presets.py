@@ -85,3 +85,46 @@ def test_dit_preset_end_to_end():
     keys = [jax.tree_util.keystr(p) for p, _ in flat]
     assert not any("final_proj" in k or "t_embed" in k for k in keys)
     assert any("qkv_proj" in k for k in keys)
+
+
+def test_mamba_moe_preset_end_to_end():
+    """Hybrid Mamba2 + MoE quantized by the mamba_moe recipes: the
+    conservative preset excludes attention projections but quantizes the
+    mamba in/out projections (reference:
+    presets/model/mamba_moe_fp8_conservative.yaml +
+    units/mamba_moe_disabled_quantizers.yaml)."""
+    from modelopt_tpu.core import ModelBundle
+    from modelopt_tpu.models import Decoder, tiny_hybrid_test_config
+    from modelopt_tpu.quant import quantize
+
+    cfg = tiny_hybrid_test_config(
+        dtype=jnp.float32, param_dtype=jnp.float32,
+        num_experts=4, experts_per_token=2, moe_intermediate_size=64,
+    )
+    m = Decoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, (2, 16)),
+                      jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), ids)
+    bundle = ModelBundle(module=m, variables=dict(v), example_inputs=(ids,))
+    r = load_recipe("mamba_moe_fp8_conservative")
+    q = quantize(bundle, r.to_quantize_config(), lambda f: f(ids))
+    out, _ = q.apply(ids)
+    assert np.isfinite(np.asarray(out)).all()
+    flat = jax.tree_util.tree_leaves_with_path(q.variables["quant"])
+    keys = [jax.tree_util.keystr(p) for p, _ in flat]
+    assert any("mixer" in k and "in_proj" in k for k in keys)
+    assert not any("attn" in k for k in keys)
+    r2 = load_recipe("mamba_moe_fp8_aggressive")
+    q2 = quantize(bundle, r2.to_quantize_config(), lambda f: f(ids))
+    keys2 = [jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_leaves_with_path(q2.variables["quant"])]
+    assert any("attn" in k for k in keys2)
+
+
+def test_base_disable_does_not_leak_into_numeric_rules():
+    """The $import deep-merge must not leave base.yaml's blanket
+    {enable: false} inside rules that set real numerics (this silently
+    disabled every YAML-recipe weight quantizer before round 4)."""
+    r = load_recipe("llama_fp8")
+    assert r.quant_cfg["*weight_quantizer"].get("enable") is not False
+    assert r.quant_cfg["*lm_head*"] == {"enable": False}  # pure exclusions stay
