@@ -125,7 +125,14 @@ class Mamba2Mixer(nn.Module):
     cfg: "DecoderConfig"  # noqa: F821 - transformer.DecoderConfig
 
     @nn.compact
-    def __call__(self, x, cache=None):
+    def __call__(self, x, cache=None, positions=None, valid=None):
+        """``positions`` [B, T]: absolute positions — a chunk starting at
+        position 0 RESETS the slot's state (a serving engine reusing a
+        cache slot for a new request must not inherit the previous
+        request's SSM/conv state; attention gets this for free from
+        position masking). ``valid`` [B, T] bool: prefix validity mask for
+        bucket-padded prefill — invalid tokens contribute nothing to the
+        state (dt -> 0) and never enter the conv window."""
         cfg = self.cfg
         nh = cfg.mamba_num_heads
         P = cfg.mamba_head_dim
@@ -147,14 +154,27 @@ class Mamba2Mixer(nn.Module):
                             (dc, conv_dim), cfg.param_dtype).astype(dt_f)
         conv_b = self.param("conv_bias", nn.initializers.zeros,
                             (conv_dim,), cfg.param_dtype).astype(dt_f)
+        keep = None
+        if cache is not None and positions is not None:
+            # new-request reset: chunk starting at absolute position 0
+            keep = (positions[:, 0] > 0).astype(dt_f)
         if cache is not None:
             conv_state = cache[0][:, :, :conv_dim].astype(dt_f)
+            if keep is not None:
+                conv_state = conv_state * keep[:, None, None]
             full = jnp.concatenate([conv_state, xBC], axis=1)
         else:
             full = jnp.pad(xBC, ((0, 0), (dc - 1, 0), (0, 0)))
         conv = sum(conv_w[j] * full[:, j:j + T] for j in range(dc)) + conv_b
         xBC = nn.silu(conv)
-        new_conv = full[:, T:]  # last dc-1 rows
+        if valid is not None:
+            # bucket-padded prefill: the conv window slides only over the
+            # VALID prefix (padding rows never become conv state)
+            vend = jnp.sum(valid.astype(jnp.int32), axis=1)       # [B]
+            idx = vend[:, None] + jnp.arange(dc - 1)[None]        # [B,dc-1]
+            new_conv = jnp.take_along_axis(full, idx[..., None], axis=1)
+        else:
+            new_conv = full[:, T:]  # last dc-1 rows
 
         xs, Bg, Cg = jnp.split(xBC, [d_in, d_in + ng * N], axis=-1)
         xs = xs.reshape(Bz, T, nh, P)
@@ -177,10 +197,17 @@ class Mamba2Mixer(nn.Module):
             (nh,))
         Dp = self.param("D", nn.initializers.ones, (nh,), jnp.float32)
         dtv = jax.nn.softplus(dt.astype(jnp.float32) + dt_bias)
+        if valid is not None:
+            # dt == 0 makes a token a state no-op (decay exp(0)=1, zero
+            # input contribution) — exactly how padding must behave
+            dtv = dtv * valid[..., None].astype(jnp.float32)
         A = -jnp.exp(A_log)
 
         if cache is not None:
             state0 = cache[1].astype(jnp.float32).reshape(Bz, nh, N, P)
+            if keep is not None:
+                state0 = state0 * keep[:, None, None, None].astype(
+                    jnp.float32)
         else:
             state0 = jnp.zeros((Bz, nh, N, P), jnp.float32)
         if T == 1 and cache is not None:

@@ -821,7 +821,7 @@ class Block(nn.Module):
     layer_index: int = 0
 
     @nn.compact
-    def __call__(self, x, positions, mask, cache_kv=None):
+    def __call__(self, x, positions, mask, cache_kv=None, valid=None):
         cfg = self.cfg
         opts = cfg.layer_opts(self.layer_index)
         off = 1.0 if cfg.norm_style == "gemma" else 0.0
@@ -844,6 +844,7 @@ class Block(nn.Module):
             h, new_kv = Mamba2Mixer(cfg, name="mixer")(
                 norm("input_norm")(x),
                 cache_kv[:2] if cache_kv is not None else None,
+                positions=positions, valid=valid,
             )
             if cfg.norm_style == "gemma":
                 h = norm("post_attn_out_norm")(h)
@@ -983,6 +984,13 @@ class Decoder(nn.Module):
                 _masks[key] = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
             return _masks[key]  # [B,T,S]
 
+        # prefix-validity bound for stateful (Mamba) layers: a serving
+        # engine sets cache["valid_to"] [B] to the absolute position past
+        # which this chunk's tokens are bucket padding / inactive fillers
+        valid = None
+        if cache is not None and "valid_to" in cache:
+            valid = positions < cache["valid_to"][:, None]
+
         new_cache = None
         ks, vs = [], []
         kmaxs, kmins = [], []
@@ -1000,7 +1008,7 @@ class Decoder(nn.Module):
             w_i = opts_i.get("window", cfg.attention_window)
             c_i = opts_i.get("chunk", cfg.attention_chunk)
             x, new_kv = Block(cfg, layer_index=i, name=f"layers_{i}")(
-                x, positions, mask_for(w_i, c_i), cache_kv
+                x, positions, mask_for(w_i, c_i), cache_kv, valid=valid
             )
             if new_kv is not None:
                 ks.append(new_kv[0])

@@ -280,6 +280,9 @@ class ServingEngine:
                     "v": tuple(jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)
                                for a in cache["v"]),
                     "lengths": jnp.full((1,), start, jnp.int32),
+                    # stateful (Mamba) layers: bucket padding past the true
+                    # length must not enter the SSM/conv state
+                    "valid_to": jnp.full((1,), start + true_len, jnp.int32),
                 }
             logits, new_sub, hidden = self._apply(variables, ids, sub,
                                                   output_hidden=True)
@@ -346,7 +349,10 @@ class ServingEngine:
             act = active.astype(jnp.int32)
             all_counts = all_counts.at[rows, tokens[:, 0]].add(act)
             out_counts = out_counts.at[rows, tokens[:, 0]].add(act)
-            logits, cache = self._apply(variables, tokens, cache)
+            # valid_to = lengths + active: an inactive slot's fed-back token
+            # is a state no-op on stateful (Mamba) layers
+            logits, cache = self._apply(
+                variables, tokens, {**cache, "valid_to": old_lengths + act})
             cache = {**cache, "lengths": old_lengths + active.astype(jnp.int32)}
             keys = jax.random.split(key, logits.shape[0])
             last = logits[:, -1]
@@ -380,7 +386,9 @@ class ServingEngine:
                 all_c = all_c.at[rows, tokens[:, 0]].add(act)
                 out_c = out_c.at[rows, tokens[:, 0]].add(act)
                 old_lengths = cache["lengths"]
-                logits, cache = self._apply(variables, tokens, cache)
+                logits, cache = self._apply(
+                    variables, tokens,
+                    {**cache, "valid_to": old_lengths + act})
                 cache = {**cache, "lengths": old_lengths + act}
                 last = logits[:, -1]
                 need_pen = jnp.any((rep != 1.0) | (pres != 0.0)

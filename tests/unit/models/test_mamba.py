@@ -161,3 +161,64 @@ def test_pure_mamba_via_no_mlp_plan():
     assert np.isfinite(np.asarray(logits)).all()
     p = v["params"]
     assert all("mlp" not in p[f"layers_{i}"] for i in range(3))
+
+
+class TestHybridServing:
+    """Engine-level correctness for stateful layers: bucket-padded
+    prefill must not pollute the SSM/conv state, and slot reuse must not
+    inherit the previous request's state."""
+
+    @pytest.fixture(scope="class")
+    def bundle(self):
+        cfg = tiny_hybrid_test_config(dtype=jnp.float32,
+                                      param_dtype=jnp.float32,
+                                      max_position_embeddings=128)
+        m = Decoder(cfg)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        v = m.init(jax.random.PRNGKey(0), ids)
+        return ModelBundle(module=m, variables=dict(v),
+                           example_inputs=(ids,))
+
+    @staticmethod
+    def _naive_greedy(bundle, prompt, n):
+        toks = list(prompt)
+        fn = jax.jit(bundle.make_fn())
+        for _ in range(n):
+            logits, _ = fn(bundle.variables,
+                           jnp.asarray([toks], jnp.int32))
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        return toks[len(prompt):]
+
+    def test_padded_prefill_matches_naive(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        # prompt length 5 into a bucket of 16: 11 padding tokens would
+        # corrupt the SSM state without the valid_to masking
+        prompt = [5, 17, 42, 7, 101]
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(16,))
+        req = eng.submit(prompt, max_new_tokens=6)
+        eng.run()
+        assert req.out_tokens == self._naive_greedy(bundle, prompt, 6)
+
+    def test_slot_reuse_resets_state(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        eng = ServingEngine(bundle, max_batch=1, max_seq_len=64,
+                            prefill_buckets=(8,))
+        r1 = eng.submit([9, 9, 1, 30, 2, 4], max_new_tokens=4)
+        eng.run()
+        # second request reuses the only slot; its state must start clean
+        r2 = eng.submit([11, 3, 8], max_new_tokens=5)
+        eng.run()
+        assert r2.out_tokens == self._naive_greedy(bundle, [11, 3, 8], 5)
+
+    def test_burst_decode_matches(self, bundle):
+        from modelopt_tpu.serve import ServingEngine
+
+        prompt = [2, 4, 6, 8]
+        eng = ServingEngine(bundle, max_batch=2, max_seq_len=64,
+                            prefill_buckets=(8,), multi_step=4)
+        req = eng.submit(prompt, max_new_tokens=8)
+        eng.run()
+        assert req.out_tokens == self._naive_greedy(bundle, prompt, 8)
