@@ -93,3 +93,72 @@ class TestMinitron:
         q = mtq.quantize(p, mtq.INT8_DEFAULT_CFG, lambda f: f(ids))
         logits, _ = q.apply(ids)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestMambaPruning:
+    """Mamba-head pruning on hybrid models (reference: mcore_minitron
+    mamba_num_heads/mamba_head_dim pruning + hybrid layer handling)."""
+
+    def _bundle(self):
+        import numpy as np
+
+        from modelopt_tpu.models import tiny_hybrid_test_config
+
+        cfg = tiny_hybrid_test_config(dtype=jnp.float32,
+                                      param_dtype=jnp.float32)
+        m = Decoder(cfg)
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 16)),
+                          jnp.int32)
+        v = m.init(jax.random.PRNGKey(0), ids)
+        return ModelBundle(module=m, variables=dict(v),
+                           example_inputs=(ids,))
+
+    def test_mamba_head_prune_runs_and_decodes(self):
+        import numpy as np
+
+        from modelopt_tpu.models import make_cache
+
+        bundle = self._bundle()
+        ids = bundle.example_inputs[0]
+        pruned = mtp.minitron_prune(bundle, {"mamba_num_heads": 2})
+        cfg = pruned.module.cfg
+        assert cfg.mamba_num_heads == 2
+        mix = pruned.variables["params"]["layers_0"]["mixer"]
+        d_in = 2 * cfg.mamba_head_dim
+        assert mix["A_log"].shape == (2,)
+        assert mix["out_proj"]["kernel"].shape[0] == d_in
+        assert mix["in_proj"]["kernel"].shape[1] == (
+            2 * d_in + 2 * cfg.mamba_groups * cfg.mamba_state_dim + 2)
+        logits, _ = pruned.apply(ids)
+        assert np.isfinite(np.asarray(logits)).all()
+        # pruned hybrid still decodes exactly (step == full forward)
+        cache = make_cache(cfg, 2, 32)
+        fn = jax.jit(pruned.make_fn())
+        outs = []
+        for t in range(ids.shape[1]):
+            lg, cache = fn(pruned.variables, ids[:, t:t + 1], cache)
+            outs.append(np.asarray(lg[:, 0]))
+        np.testing.assert_allclose(
+            np.stack(outs, axis=1), np.asarray(logits),
+            rtol=2e-3, atol=2e-3)
+
+    def test_mamba_prune_keeps_important_heads(self):
+        import numpy as np
+
+        bundle = self._bundle()
+        imps = mtp.estimate_importances(bundle)
+        assert imps["mamba_heads"] is not None
+        assert set(imps["mamba_heads"]) == {0, 2}  # the M layers
+        assert imps["mamba_heads"][0].shape == (4,)
+
+    def test_depth_prune_reslices_hybrid_pattern(self):
+        import numpy as np
+
+        bundle = self._bundle()
+        pruned = mtp.minitron_prune(bundle, {"num_layers": 2})
+        cfg = pruned.module.cfg
+        assert cfg.num_layers == 2
+        assert len(cfg.hybrid_pattern) == 2
+        ids = bundle.example_inputs[0]
+        logits, _ = pruned.apply(ids)
+        assert np.isfinite(np.asarray(logits)).all()
