@@ -71,6 +71,28 @@ def config_from_hf(hf_config) -> DecoderConfig:
             mlp_bias=True, tie_word_embeddings=True,
             norm_eps=get("layer_norm_epsilon", 1e-5),
         )
+    if mt == "mamba2":
+        # pure Mamba2 (state-spaces/mamba2 HF port): every layer is a
+        # mixer-only block (no MLP, no attention) -> all-"M" hybrid
+        # pattern + no_mlp layer plan on the native decoder
+        L = get("num_hidden_layers")
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
+            num_layers=L, num_heads=1, intermediate_size=8,
+            hybrid_pattern="M" * L,
+            layer_plan=((("no_mlp", True),),) * L,
+            mamba_num_heads=get("num_heads"),
+            mamba_head_dim=get("head_dim", 64),
+            mamba_state_dim=get("state_size", 128),
+            mamba_groups=get("n_groups", 1),
+            mamba_conv_width=get("conv_kernel", 4),
+            mamba_chunk=get("chunk_size", 256),
+            positions="none",
+            norm_eps=get("layer_norm_epsilon", 1e-5),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            max_position_embeddings=get("max_position_embeddings", 4096)
+            or 4096,
+        )
     if mt == "nemotron":
         return DecoderConfig(
             vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
@@ -706,6 +728,38 @@ def _llava_params(sd, cfg, commit=None) -> dict:
     return p
 
 
+def _mamba2_params(sd, cfg: DecoderConfig, commit=None) -> dict:
+    """HF Mamba2 (backbone.*) -> native hybrid decoder params. Weight
+    translation only: in/out projections transpose (torch [out, in] ->
+    [in, out]), the depthwise conv1d [conv_dim, 1, dc] becomes
+    [dc, conv_dim], scalars (A_log/D/dt_bias) copy verbatim."""
+    params: dict = {}
+    params["embed_tokens"] = {"embedding": _np(sd["backbone.embeddings.weight"])}
+    for i in range(cfg.num_layers):
+        hp = f"backbone.layers.{i}."
+        mixer = {
+            "in_proj": {"kernel": _np(sd[hp + "mixer.in_proj.weight"]).T},
+            "out_proj": {"kernel": _np(sd[hp + "mixer.out_proj.weight"]).T},
+            "conv_kernel": _np(sd[hp + "mixer.conv1d.weight"])[:, 0, :].T,
+            "conv_bias": _np(sd[hp + "mixer.conv1d.bias"]),
+            "A_log": _np(sd[hp + "mixer.A_log"]),
+            "D": _np(sd[hp + "mixer.D"]),
+            "dt_bias": _np(sd[hp + "mixer.dt_bias"]),
+            "norm_scale": _np(sd[hp + "mixer.norm.weight"]),
+        }
+        layer = {
+            "input_norm": {"scale": _np(sd[hp + "norm.weight"])},
+            "mixer": mixer,
+        }
+        params[f"layers_{i}"] = layer
+        if commit is not None:
+            params[f"layers_{i}"] = commit(params[f"layers_{i}"])
+    params["final_norm"] = {"scale": _np(sd["backbone.norm_f.weight"])}
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": _np(sd["lm_head.weight"]).T}
+    return params
+
+
 def _gpt2_params(sd, cfg: DecoderConfig) -> dict:
     pre = "transformer." if any(k.startswith("transformer.") for k in sd) else ""
     p: dict = {
@@ -784,6 +838,10 @@ def from_hf(model, hf_config=None, example_len: int = 8, commit=None) -> ModelBu
         example_inputs = (ids,)
     elif mt.startswith("llama4"):
         params = _llama4_params(sd, cfg, commit=commit)
+        module = Decoder(cfg)
+        example_inputs = (ids,)
+    elif mt == "mamba2":
+        params = _mamba2_params(sd, cfg, commit=commit)
         module = Decoder(cfg)
         example_inputs = (ids,)
     else:

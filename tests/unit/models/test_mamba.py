@@ -222,3 +222,33 @@ class TestHybridServing:
         req = eng.submit(prompt, max_new_tokens=8)
         eng.run()
         assert req.out_tokens == self._naive_greedy(bundle, prompt, 8)
+
+
+def test_mamba2_hf_logit_parity():
+    """Real torch parity: HF Mamba2ForCausalLM (random init) imported via
+    from_hf must match logits — the strongest validation of the SSD math,
+    head/group expansion order, conv semantics, and the gated norm."""
+    torch = pytest.importorskip("torch")
+    tfm = pytest.importorskip("transformers")
+    from transformers.models.mamba2.modeling_mamba2 import Mamba2ForCausalLM
+
+    from modelopt_tpu.models.hf_import import from_hf
+
+    cfg = tfm.Mamba2Config(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_heads=8, head_dim=16, state_size=32, n_groups=2,
+        expand=2, conv_kernel=4, chunk_size=8,
+        tie_word_embeddings=False, time_step_limit=(0.0, float("inf")),
+    )
+    torch.manual_seed(0)
+    hf = Mamba2ForCausalLM(cfg).eval().float()
+    b = from_hf(hf, cfg)
+    assert b.module.cfg.hybrid_pattern == "MM"
+    assert b.module.cfg.mamba_num_heads == 8
+    ids_t = torch.tensor([[5, 3, 7, 2, 9, 1, 4, 8, 11, 6, 2, 3]])
+    with torch.no_grad():
+        ref = hf(ids_t).logits.numpy()
+    out = b.apply(jnp.asarray(ids_t.numpy()))
+    lg = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
+    err = np.abs(lg - ref).max() / np.abs(ref).max()
+    assert err < 2e-2, err
