@@ -93,6 +93,32 @@ def config_from_hf(hf_config) -> DecoderConfig:
             max_position_embeddings=get("max_position_embeddings", 4096)
             or 4096,
         )
+    if mt == "bamba":
+        # IBM Bamba: hybrid Mamba2 + attention, every block followed by a
+        # SwiGLU MLP (the Jamba block shape) — maps onto hybrid_pattern
+        # with attention at attn_layer_indices
+        L = get("num_hidden_layers")
+        attn_idx = set(get("attn_layer_indices") or [])
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
+            num_layers=L,
+            num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads"),
+            intermediate_size=get("intermediate_size"),
+            hybrid_pattern="".join(
+                "*" if i in attn_idx else "M" for i in range(L)),
+            mamba_num_heads=get("mamba_n_heads"),
+            mamba_head_dim=get("mamba_d_head", 64),
+            mamba_state_dim=get("mamba_d_state", 128),
+            mamba_groups=get("mamba_n_groups", 1),
+            mamba_conv_width=get("mamba_d_conv", 4),
+            mamba_chunk=get("mamba_chunk_size", 256),
+            partial_rotary_factor=get("partial_rotary_factor", 0.5),
+            rope_theta=get("rope_theta", 10000.0),
+            norm_eps=get("rms_norm_eps", 1e-5),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            max_position_embeddings=get("max_position_embeddings", 4096),
+        )
     if mt == "nemotron":
         return DecoderConfig(
             vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
@@ -760,6 +786,48 @@ def _mamba2_params(sd, cfg: DecoderConfig, commit=None) -> dict:
     return params
 
 
+def _bamba_params(sd, cfg: DecoderConfig, commit=None) -> dict:
+    """IBM Bamba (model.*) -> native hybrid decoder params: mamba blocks
+    translate like _mamba2_params (the mixer lives under '.mamba.'),
+    attention blocks like the llama family, every block keeps its SwiGLU
+    MLP under 'feed_forward'."""
+    params: dict = {}
+    params["embed_tokens"] = {"embedding": _np(sd["model.embed_tokens.weight"])}
+    for i in range(cfg.num_layers):
+        hp = f"model.layers.{i}."
+        layer: dict = {
+            "input_norm": {"scale": _np(sd[hp + "input_layernorm.weight"])},
+            "post_attn_norm": {"scale": _np(sd[hp + "pre_ff_layernorm.weight"])},
+            "mlp": {
+                n: {"kernel": _np(sd[hp + f"feed_forward.{n}.weight"]).T}
+                for n in ("gate_proj", "up_proj", "down_proj")
+            },
+        }
+        if cfg.is_mamba(i):
+            layer["mixer"] = {
+                "in_proj": {"kernel": _np(sd[hp + "mamba.in_proj.weight"]).T},
+                "out_proj": {"kernel": _np(sd[hp + "mamba.out_proj.weight"]).T},
+                "conv_kernel": _np(sd[hp + "mamba.conv1d.weight"])[:, 0, :].T,
+                "conv_bias": _np(sd[hp + "mamba.conv1d.bias"]),
+                "A_log": _np(sd[hp + "mamba.A_log"]),
+                "D": _np(sd[hp + "mamba.D"]),
+                "dt_bias": _np(sd[hp + "mamba.dt_bias"]),
+                "norm_scale": _np(sd[hp + "mamba.norm.weight"]),
+            }
+        else:
+            layer["attn"] = {
+                n: {"kernel": _np(sd[hp + f"self_attn.{n}.weight"]).T}
+                for n in ("q_proj", "k_proj", "v_proj", "o_proj")
+            }
+        params[f"layers_{i}"] = layer
+        if commit is not None:
+            params[f"layers_{i}"] = commit(params[f"layers_{i}"])
+    params["final_norm"] = {"scale": _np(sd["model.final_layernorm.weight"])}
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": _np(sd["lm_head.weight"]).T}
+    return params
+
+
 def _gpt2_params(sd, cfg: DecoderConfig) -> dict:
     pre = "transformer." if any(k.startswith("transformer.") for k in sd) else ""
     p: dict = {
@@ -842,6 +910,10 @@ def from_hf(model, hf_config=None, example_len: int = 8, commit=None) -> ModelBu
         example_inputs = (ids,)
     elif mt == "mamba2":
         params = _mamba2_params(sd, cfg, commit=commit)
+        module = Decoder(cfg)
+        example_inputs = (ids,)
+    elif mt == "bamba":
+        params = _bamba_params(sd, cfg, commit=commit)
         module = Decoder(cfg)
         example_inputs = (ids,)
     else:

@@ -252,3 +252,36 @@ def test_mamba2_hf_logit_parity():
     lg = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
     err = np.abs(lg - ref).max() / np.abs(ref).max()
     assert err < 2e-2, err
+
+
+def test_bamba_hybrid_hf_logit_parity():
+    """Hybrid torch parity: IBM Bamba (Mamba2 blocks + attention blocks +
+    per-block SwiGLU MLP) imported via from_hf matches HF logits — pins
+    the HYBRID wiring (pattern mapping, partial-rotary attention next to
+    SSM blocks, pre_ff norm placement)."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from transformers.models.bamba import BambaConfig
+    from transformers.models.bamba.modeling_bamba import BambaForCausalLM
+
+    from modelopt_tpu.models.hf_import import from_hf
+
+    cfg = BambaConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=96, mamba_n_heads=8, mamba_d_head=16,
+        mamba_d_state=32, mamba_n_groups=2, mamba_expand=2,
+        mamba_d_conv=4, mamba_chunk_size=8,
+        attn_layer_indices=[1], tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = BambaForCausalLM(cfg).eval().float()
+    b = from_hf(hf, cfg)
+    assert b.module.cfg.hybrid_pattern == "M*M"
+    ids_t = torch.tensor([[5, 3, 7, 2, 9, 1, 4, 8, 11, 6]])
+    with torch.no_grad():
+        ref = hf(ids_t).logits.numpy()
+    out = b.apply(jnp.asarray(ids_t.numpy()))
+    lg = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
+    err = np.abs(lg - ref).max() / np.abs(ref).max()
+    assert err < 2e-2, err
