@@ -75,11 +75,15 @@ def ssd_scan(x, dt, A, B, C, init_state, chunk: int):
 
     # ---- intra-chunk: y[t] += sum_{s<=t} (C_t.B_s) e^{L_t-L_s} dt_s x_s
     cb = jnp.einsum("bcthn,bcshn->bchts", Cc, Bc)
-    decay = jnp.exp(cums[:, :, :, None] - cums[:, :, None])  # [b,c,t,s,h]
+    # mask in LOG domain before exponentiating: for s > t the exponent
+    # L_t - L_s is positive and can overflow f32 to inf; a post-exp
+    # jnp.where keeps the forward finite but the 0-cotangent * inf
+    # product NaNs gradients of dt/A/x (breaks QAT on hybrid models)
+    diff = cums[:, :, :, None] - cums[:, :, None]       # [b,c,t,s,h]
     tri = jnp.tril(jnp.ones((Q, Q), bool))
-    scores = cb * jnp.where(tri[None, None, :, :, None],
-                            decay * dtc[:, :, None], 0.0).transpose(
-                                0, 1, 4, 2, 3)
+    diff = jnp.where(tri[None, None, :, :, None], diff, -jnp.inf)
+    scores = cb * (jnp.exp(diff) * dtc[:, :, None]).transpose(
+        0, 1, 4, 2, 3)
     y = jnp.einsum("bchts,bcshp->bcthp", scores, xc)
 
     # ---- chunk states: S_c = sum_t e^{Lq - L_t} dt_t B_t (x) x_t

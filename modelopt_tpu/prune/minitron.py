@@ -50,6 +50,10 @@ def estimate_importances(bundle: ModelBundle, forward_loop=None, max_tokens=4096
         d_in = caps.get(f"layers_{i}/mlp/down_proj")  # [K, I]
         if d_in is not None:
             ffn_imp.append(jnp.mean(jnp.abs(d_in), axis=0))
+        else:
+            # MLP-less layers (e.g. mixer-only hybrid blocks) also get a
+            # zero row so imps['ffn'][i] stays layer-index aligned
+            ffn_imp.append(jnp.zeros((cfg.intermediate_size,), jnp.float32))
         q_in = caps.get(f"layers_{i}/attn/q_proj")  # [K, Hd] (normed hidden)
         if q_in is not None:
             hidden_acc.append(jnp.mean(jnp.abs(q_in), axis=0))

@@ -242,6 +242,17 @@ class ServingEngine:
             "draft_proposed": 0, "draft_accepted": 0, "tokens_emitted": 0,
         }
         self.spec_k = int(speculative)
+        if self.spec_k and any(self.cfg.is_mamba(i)
+                               for i in range(self.cfg.num_layers)):
+            # the verify forward irreversibly ingests all K+1 draft tokens
+            # into the mamba layers' SSM/conv state; rolling back only
+            # cache['lengths'] would leave rejected drafts inside the
+            # recurrent state and silently corrupt generations. Needs
+            # accepted-prefix state checkpointing before it can be enabled.
+            raise NotImplementedError(
+                "speculative decode is not supported for hybrid (mamba) "
+                "bundles: rejected draft tokens cannot be rolled out of "
+                "recurrent SSM/conv state")
         self._is_dflash = False
         if self.spec_k:
             self._draft_fn = self._resolve_draft()  # may set _is_dflash

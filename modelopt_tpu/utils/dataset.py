@@ -116,12 +116,17 @@ def chat_template_batches(
             ids = np.concatenate(
                 [ids, np.full(seq_len - ids.size, pad_id, np.int32)])
         rows.append(ids)
-    out = []
-    for off in range(0, len(rows) - batch_size + 1, batch_size):
-        out.append(jnp.asarray(np.stack(rows[off:off + batch_size])))
-    if not out:
+    if len(rows) < batch_size:
         raise ValueError(
             f"{len(rows)} conversations < one batch of {batch_size}")
+    tail = len(rows) % batch_size
+    if tail:
+        # pad the final partial batch by repeating the last conversation —
+        # dropping calibration samples silently would skew statistics
+        rows.extend([rows[-1]] * (batch_size - tail))
+    out = []
+    for off in range(0, len(rows), batch_size):
+        out.append(jnp.asarray(np.stack(rows[off:off + batch_size])))
     return out
 
 

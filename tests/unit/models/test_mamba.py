@@ -46,6 +46,24 @@ def test_ssd_scan_matches_naive_recurrence():
     np.testing.assert_allclose(np.asarray(hT), h_ref, rtol=1e-4, atol=1e-4)
 
 
+def test_ssd_scan_gradients_finite_at_large_decay():
+    """Large dt*|A| makes the (s > t) log-decay exponent overflow f32 if
+    the triangular mask is applied AFTER exponentiation — the forward
+    survives the jnp.where but gradients NaN (advisor round-4 finding).
+    Pin: grads of dt/A/x stay finite at realistic magnitudes."""
+    x, dt, A, B, C, h0 = _rand_ssd(jax.random.PRNGKey(3), T=64)
+    dt = dt * 8.0          # dt*|A| sums past ~90 within a chunk -> e^+big
+    A = A * 4.0
+
+    def loss(x, dt, A):
+        y, hT = ssd_scan(x, dt, A, B, C, h0, chunk=64)
+        return jnp.sum(y) + jnp.sum(hT)
+
+    gx, gdt, gA = jax.grad(loss, argnums=(0, 1, 2))(x, dt, A)
+    for g in (gx, gdt, gA):
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_ssd_step_matches_scan():
     x, dt, A, B, C, h0 = _rand_ssd(jax.random.PRNGKey(1), T=1)
     y, hT = ssd_step(x[:, 0], dt[:, 0], A, B[:, 0], C[:, 0], h0)
@@ -188,6 +206,15 @@ class TestHybridServing:
                            jnp.asarray([toks], jnp.int32))
             toks.append(int(jnp.argmax(logits[0, -1])))
         return toks[len(prompt):]
+
+    def test_speculative_refused_for_hybrid(self, bundle):
+        # the verify forward would irreversibly push rejected drafts into
+        # SSM/conv state — the engine must refuse, not silently corrupt
+        from modelopt_tpu.serve import ServingEngine
+
+        with pytest.raises(NotImplementedError, match="hybrid"):
+            ServingEngine(bundle, max_batch=1, max_seq_len=64,
+                          prefill_buckets=(16,), speculative=2)
 
     def test_padded_prefill_matches_naive(self, bundle):
         from modelopt_tpu.serve import ServingEngine

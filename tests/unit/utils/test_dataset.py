@@ -102,6 +102,15 @@ class TestChatTemplateBatches:
         # the 100-char conversation truncates; 'short' pads with 0
         assert int(np.asarray(out[1])[1, -1]) == 0
 
+    def test_partial_final_batch_kept(self):
+        # 3 conversations at batch_size 2: the trailing one must not be
+        # silently dropped — the final batch pads by repeating the last row
+        out = chat_template_batches(self.CONVS[:3], _ChatTokenizer(),
+                                    batch_size=2, seq_len=32)
+        assert len(out) == 2
+        b = np.asarray(out[1])
+        assert np.array_equal(b[0], b[1])  # padded by repetition
+
     def test_too_few_conversations_raises(self):
         with pytest.raises(ValueError, match="< one batch"):
             chat_template_batches(self.CONVS[:1], _ToyTokenizer(),
