@@ -65,6 +65,28 @@ def _pad_m(x, mult=8):
     return x, M
 
 
+def _pick_prefill_tiles(K2: int, N: int, block: int, x_bytes: int = 1,
+                        budget: float = 6e6):
+    """(TM, TN) for the prefill (large-M) int4 kernels: 2-D (M, N) grid
+    with the whole K in every tile — all packed-row offsets stay STATIC so
+    Mosaic keeps the MXU dots overlapped with the VPU scale chain (the
+    K-tiled variant's dynamic ``k*TK2`` offsets serialize; measured 34
+    TFLOPS on the qkv shape vs 160+ here). Budget is per-buffer-set; Pallas
+    double-buffers streamed blocks, so stay well under VMEM/2."""
+    best = None
+    for tn in (1024, 512, 256, 128):
+        if N % tn:
+            continue
+        for tm in (512, 256, 128, 64):
+            use = (tm * 2 * K2 * x_bytes + K2 * tn + tm * tn * 4
+                   + (2 * K2 // block) * tn * 4)
+            if use <= budget:
+                if best is None or tm * tn > best[0] * best[1]:
+                    best = (tm, tn)
+                break
+    return best
+
+
 # ---------------------------------------------------------------------------
 # W4A16: int4 block-quantized weights (offset-binary nibbles, split-half)
 # ---------------------------------------------------------------------------
@@ -167,6 +189,33 @@ def w4a16_gemm(x, packed, scale, block: int = 128, out_dtype=jnp.bfloat16):
         bytes_accessed=K2 * N + (2 * K2 // block) * N * 4 + Mp * 2 * K2 * 2,
         transcendentals=0,
     )
+    if Mp > 256 and (tiles := _pick_prefill_tiles(K2, N, block,
+                                                  x_bytes=2)) is not None:
+        # prefill variant: M-tiled 2-D grid, whole K per tile (see the
+        # _w4a8_gemm twin) — avoids the XLA fallback's unpacked-weight
+        # HBM temps at large M
+        TM, TN = tiles
+        x, _ = _pad_m(x, TM)
+        Mp = x.shape[0]
+        out = pl.pallas_call(
+            functools.partial(_w4a16_kernel, block=block),
+            grid=(Mp // TM, N // TN),
+            in_specs=[
+                pl.BlockSpec((TM, 2 * K2), lambda m, n: (m, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K2, TN), lambda m, n: (0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * K2 // block, TN), lambda m, n: (0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TM, TN), lambda m, n: (m, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            cost_estimate=cost,
+        )(x, packed, scale)
+        return out[:M]
     if K2 % block == 0:
         TN, TK2 = _pick_tiles(N, K2, block)
         out = pl.pallas_call(
@@ -204,14 +253,17 @@ def w4a16_gemm(x, packed, scale, block: int = 128, out_dtype=jnp.bfloat16):
 
 
 def _w4a16_kt_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, block: int,
-                     K2: int, TK2: int):
+                     K2: int, TK2: int, k_axis: int = 1):
     """K-tiled w4a16: grid (N-tiles, K-tiles) with k INNERMOST, f32 VMEM
     accumulator persisting across the k steps (the revisited output block is
     written once, at the last k). x and the scale matrix stay whole in VMEM
     (small); only the packed weight streams in (TK2, TN) blocks, keeping TN
-    wide for dense HBM reads at any K (see _pick_tiles)."""
-    k = pl.program_id(1)
-    nk = pl.num_programs(1)
+    wide for dense HBM reads at any K (see _pick_tiles). ``k_axis=2`` is
+    the prefill variant: an (M-tiles, N-tiles, K-tiles) grid where x rides
+    in [TM, 2*K2] row tiles (the packed weight re-streams once per M-tile;
+    compute-bound at those shapes, so the re-reads hide under the MXU)."""
+    k = pl.program_id(k_axis)
+    nk = pl.num_programs(k_axis)
     nblk = TK2 // block
     M, TN = x_ref.shape[0], p_ref.shape[1]
     nsrow_half = K2 // block
@@ -266,10 +318,11 @@ def _w4a8_dot_hi(xhi, pb):
 
 
 def _w4a8_kt_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int, K2: int,
-                    TK2: int):
-    """K-tiled w4a8 (see _w4a16_kt_kernel for the grid/accumulation scheme;
-    _w4a8_kernel for the zero-convert int8 nibble trick)."""
-    k = pl.program_id(1)
+                    TK2: int, k_axis: int = 1):
+    """K-tiled w4a8 (see _w4a16_kt_kernel for the grid/accumulation scheme
+    and the k_axis=2 prefill variant; _w4a8_kernel for the zero-convert
+    int8 nibble trick)."""
+    k = pl.program_id(k_axis)
     nblk = TK2 // block
     M, TN = x_ref.shape[0], p_ref.shape[1]
     nsrow_half = K2 // block
@@ -381,6 +434,33 @@ def w4a8_gemm(xq, packed, scale, block: int = 128):
         bytes_accessed=K2 * N + (2 * K2 // block) * N * 4 + Mp * 2 * K2,
         transcendentals=0,
     )
+    if Mp > 256 and (tiles := _pick_prefill_tiles(K2, N, block)) is not None:
+        # prefill shapes: M-tiled 2-D grid, whole K per tile (static
+        # offsets — see _pick_prefill_tiles); int8 MXU at 394 TOPS and no
+        # unpacked-weight HBM temps (the XLA fallback's are an OOM hazard
+        # at serving shapes)
+        TM, TN = tiles
+        xq, _ = _pad_m(xq, TM)
+        Mp = xq.shape[0]
+        out = pl.pallas_call(
+            functools.partial(_w4a8_kernel, block=block),
+            grid=(Mp // TM, N // TN),
+            in_specs=[
+                pl.BlockSpec((TM, 2 * K2), lambda m, n: (m, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K2, TN), lambda m, n: (0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * K2 // block, TN), lambda m, n: (0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TM, TN), lambda m, n: (m, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            cost_estimate=cost,
+        )(xq, packed, scale)
+        return out[:M]
     if K2 % block == 0:
         TN, TK2 = _pick_tiles(N, K2, block)
         out = pl.pallas_call(

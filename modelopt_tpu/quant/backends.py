@@ -16,8 +16,12 @@ from ..kernels.quant_gemm import _nvfp4_chunk
 from .qspec import QuantizerSpec
 from .qtensor import block_of, compressible_format, dequantize_qtensor
 
-# decode-size threshold: above this M the GEMM is compute-bound and the XLA
-# bf16 path (dequant once, big matmul) wins
+# decode-size threshold: above this M the whole-x-in-VMEM kernel layouts
+# stop applying. int4 formats have an M-tiled prefill variant instead
+# (kernels/quant_gemm.py k_axis=2 grids): the int8-MXU w4a8 path is 2x the
+# bf16 FLOP rate AND the XLA dequant fallback materializes the unpacked
+# weight (s32) + broadcast scales (f32) in HBM — ~0.7 GB of temps per
+# Llama-8B gate_up weight, an OOM hazard at serving shapes.
 PALLAS_MAX_M = 256
 
 
@@ -25,8 +29,16 @@ def _pallas_ok(fmt: str, x, kn, block: int = 128) -> bool:
     if jax.default_backend() != "tpu":
         return False
     K, N = kn
-    if x.shape[0] > PALLAS_MAX_M or N % 128 != 0:
+    if N % 128 != 0:
         return False
+    if x.shape[0] > PALLAS_MAX_M:
+        # large-M (prefill) grids exist for the int4 kernels only, and
+        # need a (TM, TN) tiling that fits VMEM with the whole K resident
+        from ..kernels.quant_gemm import _pick_prefill_tiles
+
+        if fmt != "int4" or _pick_prefill_tiles(
+                K // 2, N, block, x_bytes=2) is None:
+            return False
     if K * N < 2**22:
         return False  # per-call overhead beats the BW win on small GEMMs
     if fmt in ("int4", "nvfp4"):

@@ -70,6 +70,36 @@ def test_w4a8_straddle_parity(rng, interp):
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-2)
 
 
+def test_w4a8_prefill_mtiled_parity(rng, interp):
+    """M > 256 takes the M-tiled (M, N, K) grid — the prefill path that
+    keeps serving's 2048-token chunks off the OOM-prone XLA dequant
+    fallback. Exact integer math, multiple m-tiles exercised."""
+    K, N, M = 512, 256, 600  # pads to 2 m-tiles of 512
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    xq = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    packed = qt.quantize_int4(w, block=128)
+    y = kq.w4a8_gemm(xq, packed["data"], packed["scale"], block=128)
+    assert y.shape == (M, N)
+    q = qt.unpack_int4(packed["data"]).astype(jnp.float32)
+    scale = jnp.repeat(packed["scale"], 128, axis=0)
+    ref = xq.astype(jnp.float32) @ (q * scale)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4,
+                               atol=1e-2)
+
+
+def test_w4a16_prefill_mtiled_parity(rng, interp):
+    K, N, M = 512, 256, 300
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    packed = qt.quantize_int4(w, block=128)
+    y = kq.w4a16_gemm(x, packed["data"], packed["scale"], block=128,
+                      out_dtype=jnp.float32)
+    assert y.shape == (M, N)
+    ref = x @ qt.dequantize_int4(packed, 128).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-1)
+
+
 def test_w8a16_parity(rng, interp):
     K, N, M = 256, 128, 8
     w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
