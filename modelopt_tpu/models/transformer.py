@@ -363,9 +363,11 @@ class Attention(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, x, positions, mask, cache_kv=None):
+    def __call__(self, x, positions, mask, cache_kv=None, flash_ok=True):
         """cache_kv: None or (k_cache, v_cache, index) with static shapes.
-        Returns (out, new_kv) where new_kv is None without cache."""
+        Returns (out, new_kv) where new_kv is None without cache.
+        ``flash_ok=False`` forces the einsum path for cached T>1 forwards
+        whose mask is NOT plain position-causal (tree verify)."""
         cfg = self.cfg
         H, KH, D = cfg.num_heads, cfg.kv_heads, cfg.dims_per_head
         B, T, _ = x.shape
@@ -573,6 +575,31 @@ class Attention(nn.Module):
             v = vq_mod(v)
 
         G = H // KH
+        if (cache_kv is not None and page_table is None and T > 1
+                and flash_ok and kmax is None
+                and cfg.attention_window is None
+                and cfg.attention_chunk is None
+                and not cfg.attention_sinks and not cfg.attn_logit_softcap):
+            # Cached-prefill flash: chunk queries against the whole cache
+            # slab without ever materializing [B, KH, G, T, S] scores in
+            # HBM (578 MB/layer f32 at bs48/T2176 — the einsum path OOMs
+            # the serving prefill and taxes its bandwidth).
+            from ..kernels.flash_attention import (
+                flash_prefill_attention,
+                flash_prefill_ok,
+            )
+
+            S_c = new_kv[0].shape[1]
+            if flash_prefill_ok(T, S_c, D, new_kv[0].dtype):
+                qg5 = q.reshape(B, T, KH, G, D)
+                out = flash_prefill_attention(
+                    qg5, new_kv[0], new_kv[1], positions_kv[:, 0],
+                    k_scale=(k_scale if real_fp8 else None),
+                    v_scale=(v_scale if real_fp8 else None),
+                    out_dtype=cfg.dtype,
+                )
+                out = out.reshape(B, T, H * D)
+                return dense(cfg.hidden_size, "o_proj")(out), new_kv
         if page_table is not None:
             # Paged decode: Pallas kernel routes DMAs through the page table
             # (no gather); fallback/prefill gathers the pages dense.
@@ -821,7 +848,8 @@ class Block(nn.Module):
     layer_index: int = 0
 
     @nn.compact
-    def __call__(self, x, positions, mask, cache_kv=None, valid=None):
+    def __call__(self, x, positions, mask, cache_kv=None, valid=None,
+                 flash_ok=True):
         cfg = self.cfg
         opts = cfg.layer_opts(self.layer_index)
         off = 1.0 if cfg.norm_style == "gemma" else 0.0
@@ -883,8 +911,10 @@ class Block(nn.Module):
                 attn_cls = MLAttention
             else:
                 attn_cls = Attention
+            attn_kw = {} if attn_cls is not Attention else {
+                "flash_ok": flash_ok}
             h, new_kv = attn_cls(attn_cfg, name="attn")(
-                norm("input_norm")(x), positions, mask, cache_kv
+                norm("input_norm")(x), positions, mask, cache_kv, **attn_kw
             )
             if cfg.norm_style == "gemma":
                 # Gemma sandwich: normalize the block OUTPUT before the
@@ -960,7 +990,23 @@ class Decoder(nn.Module):
             else:
                 S = cfg.max_position_embeddings  # pure-Mamba: no KV at all
             key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, :]  # [1,1,S]
-            causal = key_pos <= positions[:, :, None]
+            if "tree" in cache:
+                # tree-verify forward (speculative/tree.py): the T new
+                # tokens are DRAFT-TREE nodes written at cache rows
+                # [lengths, lengths+T). Query node q attends the whole
+                # prefix plus exactly its tree ancestors — positions here
+                # carry rope depths (siblings share one), so the usual
+                # position-causal rule would leak other branches.
+                tm = cache["tree"]                       # [T, T] bool
+                L0 = cache["lengths"][:, None, None]
+                rel = key_pos - L0
+                Mn = tm.shape[0]
+                t_ok = jnp.take_along_axis(
+                    jnp.broadcast_to(tm[None], (B, T, Mn)),
+                    jnp.clip(rel, 0, Mn - 1), axis=2)
+                causal = (key_pos < L0) | ((rel >= 0) & (rel < Mn) & t_ok)
+            else:
+                causal = key_pos <= positions[:, :, None]
         else:
             key_pos = positions[:, None, :]
             causal = key_pos <= positions[:, :, None]
@@ -1008,7 +1054,8 @@ class Decoder(nn.Module):
             w_i = opts_i.get("window", cfg.attention_window)
             c_i = opts_i.get("chunk", cfg.attention_chunk)
             x, new_kv = Block(cfg, layer_index=i, name=f"layers_{i}")(
-                x, positions, mask_for(w_i, c_i), cache_kv, valid=valid
+                x, positions, mask_for(w_i, c_i), cache_kv, valid=valid,
+                flash_ok=(cache is None or "tree" not in cache),
             )
             if new_kv is not None:
                 ks.append(new_kv[0])

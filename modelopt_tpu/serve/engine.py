@@ -117,6 +117,7 @@ class ServingEngine:
         max_admit: int = 2,
         multi_step: int = 1,
         spec_sampling: bool = False,
+        spec_tree=None,
         mesh=None,
         shard_rules=None,
     ):
@@ -124,6 +125,14 @@ class ServingEngine:
         eagle-, or dflash-converted bundles: every tick verifies k drafted tokens per
         slot in one forward (greedy-lossless; per-slot acceptance just moves
         the slot's cache length, so mixed acceptance needs no recompile).
+
+        ``spec_tree``: a ``speculative.tree.SpecTree`` (or its choices
+        tuple) switches drafting to a token TREE verified in one forward
+        with an ancestor attention mask; the deepest all-greedy path is
+        accepted and its KV rows are compacted in place
+        (speculative/tree.py; reference frame: hf_eagle.py:431 TTT masks /
+        medusa tree choices). Greedy-lossless like the chain. Medusa and
+        eagle bundles only; dense cache.
 
         ``paged=True`` switches to the paged KV cache; ``kv_pages`` sizes the
         pool (default: worst case + null page — pass less to oversubscribe).
@@ -242,6 +251,29 @@ class ServingEngine:
             "draft_proposed": 0, "draft_accepted": 0, "tokens_emitted": 0,
         }
         self.spec_k = int(speculative)
+        self.spec_tree = None
+        if spec_tree is not None:
+            from ..speculative.tree import SpecTree
+
+            if not self.spec_k:
+                raise ValueError("spec_tree requires speculative > 0")
+            if self.spec_sampling:
+                raise NotImplementedError(
+                    "tree drafts are greedy-verify only (spec_sampling "
+                    "needs multi-draft rejection rules)")
+            if paged:
+                raise NotImplementedError(
+                    "tree verify compacts dense cache rows; paged KV not "
+                    "supported yet")
+            for i in range(self.cfg.num_layers):
+                opts = self.cfg.layer_opts(i)
+                if (self.cfg.attention_window or self.cfg.attention_chunk
+                        or "window" in opts or "chunk" in opts):
+                    raise NotImplementedError(
+                        "tree verify masks don't compose with sliding-"
+                        "window/chunked attention yet")
+            self.spec_tree = (spec_tree if isinstance(spec_tree, SpecTree)
+                              else SpecTree(tuple(spec_tree)))
         if self.spec_k and any(self.cfg.is_mamba(i)
                                for i in range(self.cfg.num_layers)):
             # the verify forward irreversibly ingests all K+1 draft tokens
@@ -254,8 +286,14 @@ class ServingEngine:
                 "bundles: rejected draft tokens cannot be rolled out of "
                 "recurrent SSM/conv state")
         self._is_dflash = False
+        self._spec_reserve = self.spec_k  # cache rows a spec tick writes
         if self.spec_k:
             self._draft_fn = self._resolve_draft()  # may set _is_dflash
+            if self.spec_tree is not None:
+                # acceptance budget per tick = tree depth; the verify
+                # forward writes num_nodes rows before compaction
+                self.spec_k = self.spec_tree.max_depth
+                self._spec_reserve = self.spec_tree.num_nodes - 1
             if self._is_dflash:
                 # per-slot tapped-feature cache: row p holds the base model's
                 # (taps+final) hidden state at sequence position p — the
@@ -467,6 +505,11 @@ class ServingEngine:
         module = self.bundle.module
         K = self.spec_k
 
+        if self.spec_tree is not None and isinstance(module, DFlashModel):
+            raise NotImplementedError(
+                "dflash drafts whole blocks; tree drafting needs medusa "
+                "or eagle bundles")
+
         if isinstance(module, DFlashModel):
             self._is_dflash = True
             self.spec_k = K = min(K, module.dflash_cfg.block_size)
@@ -500,6 +543,36 @@ class ServingEngine:
             return draft_dflash_sampled if self.spec_sampling else draft_dflash
 
         if isinstance(module, MedusaModel):
+            if self.spec_tree is not None:
+                tree = self.spec_tree
+                if tree.max_depth > module.medusa_cfg.medusa_num_heads:
+                    raise ValueError(
+                        f"tree depth {tree.max_depth} exceeds the bundle's "
+                        f"{module.medusa_cfg.medusa_num_heads} medusa heads")
+                tb = tree._build()
+                depth, rank = tb["depth"], tb["rank"]
+                # widest rank drafted per depth (heads are depth-indexed)
+                kmax = {}
+                for j in range(1, tb["num_nodes"]):
+                    d = int(depth[j])
+                    kmax[d] = max(kmax.get(d, 0), int(rank[j]))
+
+                def draft_medusa_tree(variables, tokens, hidden):
+                    """Node tokens for the whole tree from ONE head pass:
+                    head d-1's top-k at the root hidden supplies every
+                    depth-d node (medusa heads are independent of the
+                    intermediate draft tokens by construction)."""
+                    with self.bundle.contexts():
+                        heads = module.apply(variables, hidden[:, None, :],
+                                             method=MedusaModel.medusa_logits)
+                    idx = {d: jax.lax.top_k(heads[d - 1][:, -1], k + 1)[1]
+                           for d, k in kmax.items()}
+                    cols = [idx[int(depth[j])][:, int(rank[j])]
+                            for j in range(1, tb["num_nodes"])]
+                    return jnp.stack(cols, axis=1).astype(jnp.int32)
+
+                return draft_medusa_tree
+
             self.spec_k = K = min(K, module.medusa_cfg.medusa_num_heads)
 
             def draft_medusa(variables, tokens, hidden):
@@ -530,6 +603,45 @@ class ServingEngine:
             return draft_medusa_sampled if self.spec_sampling else draft_medusa
 
         if isinstance(module, EagleModel):
+            if self.spec_tree is not None:
+                tree = self.spec_tree
+                tb = tree._build()
+                paths, depth, rank = tb["path"], tb["depth"], tb["rank"]
+                children = tb["children"]
+
+                def draft_eagle_tree(variables, tokens, hidden):
+                    """Level-order tree expansion: each node with children
+                    reruns the draft head over its ancestor path (token,
+                    draft-state) pairs; its top-k supplies the children's
+                    tokens, its last hidden their draft states. All loops
+                    are over the STATIC topology — one compiled program."""
+                    with self.bundle.contexts():
+                        g0 = module.apply(variables, hidden[:, None, :],
+                                          method=EagleModel.fuse_features)
+                    M = tb["num_nodes"]
+                    tok = [None] * M
+                    g = [None] * M
+                    tok[0], g[0] = tokens[:, 0], g0[:, 0]
+                    for p in range(M):
+                        ch = children[p]
+                        if not ch:
+                            continue
+                        pathp = [int(paths[p][d])
+                                 for d in range(int(depth[p]) + 1)]
+                        ids = jnp.stack([tok[i] for i in pathp], axis=1)
+                        gs = jnp.stack([g[i] for i in pathp], axis=1)
+                        with self.bundle.contexts():
+                            dl, dh = module.apply(variables, ids, gs,
+                                                  method=EagleModel.draft_fused)
+                        nch = max(int(rank[j]) for j in ch) + 1
+                        _, topi = jax.lax.top_k(dl[:, -1], nch)
+                        for j in ch:
+                            tok[j] = topi[:, int(rank[j])].astype(jnp.int32)
+                            g[j] = dh[:, -1]
+                    return jnp.stack(tok[1:], axis=1)
+
+                return draft_eagle_tree
+
             if self.spec_sampling:
                 def draft_eagle_sampled(variables, tokens, hidden, temps, key):
                     from ..speculative.sampling import tempered_probs
@@ -587,6 +699,47 @@ class ServingEngine:
         K = self.spec_k
         draft_fn = self._draft_fn
         is_dflash = self._is_dflash
+
+        if self.spec_tree is not None:
+            from ..speculative.tree import (
+                compact_accepted_rows,
+                tree_verify_greedy,
+            )
+
+            tree = self.spec_tree
+            tb = tree._build()
+            anc = tree.ancestor_mask()
+            depth_arr = jnp.asarray(tb["depth"])
+            width = tb["max_depth"] + 1
+
+            def spec_decode_tree(variables, cache, tokens, hidden, active):
+                """One tree tick: draft the token tree, verify all nodes in
+                one forward (ancestor mask, rope positions = length+depth,
+                KV rows written contiguously at the slot length), accept
+                the deepest all-greedy path and compact its rows over the
+                tree rows. Same return contract as the chain path."""
+                L = cache["lengths"]
+                draft = draft_fn(variables, tokens, hidden)  # [B, M-1]
+                ids = jnp.concatenate([tokens, draft], axis=1)  # [B, M]
+                pos = L[:, None] + depth_arr[None, :]
+                logits, cache2, hseq = self._apply(
+                    variables, ids, {**cache, "tree": anc}, positions=pos,
+                    output_hidden=True)
+                preds = jnp.argmax(logits, -1).astype(jnp.int32)
+                best, n_acc, emitted = tree_verify_greedy(preds, ids, tree)
+                prows = jnp.asarray(tb["path"])[best]        # [B, width]
+                cache2 = {
+                    **cache2,
+                    "k": tuple(compact_accepted_rows(s, L, prows, width)
+                               for s in cache2["k"]),
+                    "v": tuple(compact_accepted_rows(s, L, prows, width)
+                               for s in cache2["v"]),
+                    "lengths": L + (n_acc + 1) * active.astype(jnp.int32),
+                }
+                bidx = jnp.arange(preds.shape[0])
+                return cache2, emitted, n_acc, hseq[bidx, best]
+
+            return spec_decode_tree
 
         if self.spec_sampling:
             from ..speculative.sampling import rejection_sample, tempered_probs
@@ -980,7 +1133,7 @@ class ServingEngine:
         # early enough that the scatter can never run past max_seq_len
         # (out-of-bounds KV writes are dropped silently and the verify
         # forward would read garbage).
-        seq_cap = self.max_seq_len - self.spec_k
+        seq_cap = self.max_seq_len - self._spec_reserve
         if (
             len(req.out_tokens) >= req.max_new_tokens
             or hit_eos

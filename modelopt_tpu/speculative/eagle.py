@@ -47,21 +47,27 @@ class EagleConfig:
 
 class EagleHead(nn.Module):
     """fuse([emb; g]) -> draft decoder block(s) -> draft hidden (g is the
-    model-width draft state: fused base features or prior draft hidden)."""
+    model-width draft state: fused base features or prior draft hidden).
+    ``mask`` overrides the causal default — the TTT trainer passes the
+    multi-step block mask (see make_eagle_train_step)."""
 
     cfg: DecoderConfig
     num_layers: int = 1
 
     @nn.compact
-    def __call__(self, emb, g, positions):
+    def __call__(self, emb, g, positions, mask=None):
         cfg = self.cfg
         x = QuantDense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
                        param_dtype=cfg.param_dtype, name="fc")(
             jnp.concatenate([emb, g.astype(emb.dtype)], axis=-1)
         )
         B, T = positions.shape
-        k_pos = positions[:, None, :]
-        mask = jnp.where(k_pos <= positions[:, :, None], 0.0, -1e9).astype(jnp.float32)
+        if mask is None:
+            k_pos = positions[:, None, :]
+            mask = jnp.where(k_pos <= positions[:, :, None], 0.0,
+                             -1e9).astype(jnp.float32)
+        elif mask.ndim == 2:
+            mask = jnp.broadcast_to(mask[None], (B, T, T))
         for i in range(self.num_layers):
             x, _ = Block(cfg, name=f"layers_{i}")(x, positions, mask, None)
         return RMSNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="norm")(x)
@@ -112,7 +118,7 @@ class EagleModel(nn.Module):
             return features
         return self.fuse(features)
 
-    def draft_fused(self, input_ids, g, positions=None):
+    def draft_fused(self, input_ids, g, positions=None, mask=None):
         """Draft next-token logits from an H-wide draft-state sequence
         (fused base features at verified steps, the draft's own hidden at
         unverified steps)."""
@@ -120,7 +126,7 @@ class EagleModel(nn.Module):
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
         emb = self._embed(input_ids)
-        h = self.eagle(emb, g, positions)
+        h = self.eagle(emb, g, positions, mask)
         return self._lm_head(h), h
 
     def draft(self, input_ids, features, positions=None):
@@ -141,11 +147,40 @@ class EagleModel(nn.Module):
         return jnp.dot(x, k.astype(x.dtype))
 
 
-def make_eagle_train_step(bundle, tx):
+def _ttt_mask(s: int, T: int) -> jnp.ndarray:
+    """Additive [(s+1)T, (s+1)T] mask for TTT step ``s`` over the
+    CONCATENATED per-step draft sequences (block j = the draft's step-j
+    inputs). Implements the reference rule
+    (plugins/hf_eagle.py:551 _compute_ttt_attention_mask /
+    speculative/utils.py:539 get_ttt_msk_func): a step-j query at token t
+    attends step-0 keys up to t - j plus ONE diagonal key per intermediate
+    step i at token t - (j - i) — exactly the keys its inference-time
+    autoregression would have."""
+    import numpy as np
+
+    n = (s + 1) * T
+    q = np.arange(n)[:, None]
+    kv = np.arange(n)[None, :]
+    jq, tq = q // T, q % T
+    ik, tk = kv // T, kv % T
+    ok = (ik == 0) & (tk <= tq - jq)
+    ok |= (ik >= 1) & (ik <= jq) & (tk == tq - (jq - ik))
+    return jnp.asarray(np.where(ok, 0.0, -1e9), jnp.float32)
+
+
+def make_eagle_train_step(bundle, tx, ttt_steps: int = 1,
+                          ttt_decay: float = 0.9):
     """Draft-head training: frozen base produces hidden states; the draft
     learns to predict token t+1 from (token t's embedding, features t) — CE
     on shifted targets + hidden-state regression, the EAGLE recipe
-    (reference: eagle training loss in plugins/hf_eagle.py)."""
+    (reference: eagle training loss in plugins/hf_eagle.py).
+
+    ``ttt_steps > 1`` adds training-time-test steps (reference
+    hf_eagle.py:766 TTT loop): step s feeds the draft its OWN step-(s-1)
+    hidden states (rolled right one token) under the multi-step attention
+    mask, and its CE targets shift by 1+s with ``ttt_decay**s`` weighting —
+    the self-conditioning regime the draft actually faces at inference
+    depth s."""
     import optax
 
     module: EagleModel = bundle.module
@@ -154,22 +189,45 @@ def make_eagle_train_step(bundle, tx):
     def loss_fn(draft_params, frozen_params, batch):
         params = {**frozen_params, **draft_params}
         variables = {**bundle.variables, "params": params}
+        B, T = batch.shape
         with bundle.contexts():
             logits, _, features = module.apply(variables, batch, output_hidden=True)
-            draft_logits, draft_h = module.apply(
-                variables, batch, features, method=EagleModel.draft
-            )
-        # draft at position t predicts token t+1 (same target as base shift)
-        ce = lm_cross_entropy(draft_logits[:, :-1], batch[:, 1:])
-        # hidden regression: draft hidden t ~ base FINAL hidden t+1 (the
-        # last H slice of the feature vector when EAGLE-3 taps are on)
-        target = features[..., -H:]
-        hr = jnp.mean(
-            (draft_h[:, :-1].astype(jnp.float32) - jax.lax.stop_gradient(
-                target[:, 1:].astype(jnp.float32)
-            )) ** 2
-        )
-        return ce + 0.1 * hr
+            g0 = module.apply(variables, features,
+                              method=EagleModel.fuse_features)
+        positions = jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+        total = 0.0
+        gs = [g0]
+        h_prev = None
+        for s in range(ttt_steps):
+            if s > 0:
+                # step-s input state = previous step's hidden, rolled right
+                # (draft hidden of token t pairs with token t+1's embedding)
+                gs.append(jnp.concatenate(
+                    [jnp.zeros_like(h_prev[:, :1]), h_prev[:, :-1]], axis=1))
+            ids_cat = jnp.concatenate([batch] * (s + 1), axis=1)
+            g_cat = jnp.concatenate(gs, axis=1)
+            pos_cat = jnp.concatenate([positions] * (s + 1), axis=1)
+            with bundle.contexts():
+                dl, dh = module.apply(
+                    variables, ids_cat, g_cat, pos_cat, _ttt_mask(s, T),
+                    method=EagleModel.draft_fused)
+            dls, dhs = dl[:, s * T:], dh[:, s * T:]
+            h_prev = dhs
+            if T > s + 1:
+                # step-s logits at position p predict token p+1; the first
+                # s positions ride zero-padded rolled state — masked out
+                ce = lm_cross_entropy(dls[:, s:-1], batch[:, 1 + s:])
+                total = total + (ttt_decay ** s) * ce
+            if s == 0:
+                # hidden regression: draft hidden t ~ base FINAL hidden t+1
+                # (the last H slice of the feature vector under EAGLE-3 taps)
+                target = features[..., -H:]
+                hr = jnp.mean(
+                    (dhs[:, :-1].astype(jnp.float32) - jax.lax.stop_gradient(
+                        target[:, 1:].astype(jnp.float32))) ** 2)
+                total = total + 0.1 * hr
+        return total
 
     def _draft_params(params):
         return {k: v for k, v in params.items() if k != "base"}

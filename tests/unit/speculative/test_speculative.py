@@ -55,6 +55,39 @@ class TestEagle:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
 
+    def test_ttt_mask_structure(self):
+        """Pin the multi-step TTT mask rule (reference utils.py:539): a
+        step-j query at token t sees step-0 keys <= t-j plus one diagonal
+        key per intermediate step."""
+        from modelopt_tpu.speculative.eagle import _ttt_mask
+
+        m = np.asarray(_ttt_mask(2, 4))  # 3 blocks of T=4 -> [12, 12]
+        ok = m == 0.0
+        # step-0 block: plain causal
+        assert np.array_equal(ok[:4, :4], np.tril(np.ones((4, 4), bool)))
+        # step-2 query at t=3 (row 11): block-0 keys <= 1, diagonal key in
+        # block 1 at t=2 (col 6), block 2 at t=3 (col 11)
+        assert list(np.nonzero(ok[11])[0]) == [0, 1, 6, 11]
+        # step-1 query at t=0 (row 4): nothing in block 0 (t-1 < 0), own
+        # diagonal in block 1 (col 4)
+        assert list(np.nonzero(ok[4])[0]) == [4]
+
+    def test_ttt_training_reduces_loss(self, base_bundle):
+        """Multi-step (TTT) training runs end-to-end and converges; step-0
+        term equals the single-step recipe so the loss ladder is
+        comparable."""
+        e = mtsp.convert(base_bundle, [("eagle", {})])
+        init_state, step = mtsp.make_eagle_train_step(
+            e, optax.adam(3e-3), ttt_steps=3, ttt_decay=0.9)
+        state = init_state()
+        batches = synthetic_token_batches(256, 1, 4, 24)
+        losses = []
+        for _ in range(20):
+            state, loss = step(state, batches[0])
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
     def test_lossless_greedy(self, base_bundle):
         e = mtsp.convert(base_bundle, [("eagle", {})])
         prompt = [5, 9, 17, 3]
