@@ -418,14 +418,17 @@ def _w4a8_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
         return x_ref[:, pl.ds(col, size)]
 
     o_ref[:] = _w4a8_body(xs, p_ref, s_ref, x_ref.shape[0], p_ref.shape[1],
-                          block)
+                          block).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def w4a8_gemm(xq, packed, scale, block: int = 128):
-    """xq int8 [M, K] @ int4-packed W -> f32 [M, N] (per-token activation
+def w4a8_gemm(xq, packed, scale, block: int = 128,
+              out_dtype=jnp.float32):
+    """xq int8 [M, K] @ int4-packed W -> [M, N] (per-token activation
     scales applied by the caller). packed uint8 [K/2, N] hybrid nibbles,
-    scale f32 [K/block, N]."""
+    scale f32 [K/block, N]. ``out_dtype=bfloat16`` converts INSIDE the
+    kernel — at prefill M the f32 result tensor is an HBM-temp OOM hazard
+    (252 MB for one 8B gate_up at M=2304); decode keeps f32."""
     K2, N = packed.shape
     xq, M = _pad_m(xq)
     Mp = xq.shape[0]
@@ -455,7 +458,7 @@ def w4a8_gemm(xq, packed, scale, block: int = 128):
             ],
             out_specs=pl.BlockSpec((TM, TN), lambda m, n: (m, n),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel")),
             cost_estimate=cost,
@@ -479,7 +482,7 @@ def w4a8_gemm(xq, packed, scale, block: int = 128):
             out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
             cost_estimate=cost,
         )(xq, packed, scale)
-        return out[:M]
+        return out[:M].astype(out_dtype)
     TN = _pick_tn(N, K2, 1.5)
     out = pl.pallas_call(
         functools.partial(_w4a8_kernel, block=block),
@@ -494,7 +497,7 @@ def w4a8_gemm(xq, packed, scale, block: int = 128):
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
         cost_estimate=cost,
     )(xq, packed, scale)
-    return out[:M]
+    return out[:M].astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -119,6 +119,42 @@ def config_from_hf(hf_config) -> DecoderConfig:
             tie_word_embeddings=bool(get("tie_word_embeddings", False)),
             max_position_embeddings=get("max_position_embeddings", 4096),
         )
+    if mt == "nemotron_h":
+        # NVIDIA Nemotron-H (reference per-arch importer:
+        # modelopt/torch/export/plugins/mcore_nemotron.py:51
+        # nemotron_h_causal_lm_import): every layer holds ONE block under
+        # backbone.layers.{i}.mixer — Mamba2 ("M"), NoPE attention ("*"),
+        # or squared-ReLU MLP ("-") per hybrid_override_pattern. Maps to
+        # hybrid_pattern (M / *) + a layer_plan making each layer
+        # single-block (no_mlp for M and *, no_attn for -).
+        pattern = get("hybrid_override_pattern")
+        plan = tuple(
+            (("no_attn", True),) if c == "-" else (("no_mlp", True),)
+            for c in pattern
+        )
+        return DecoderConfig(
+            vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
+            num_layers=get("num_hidden_layers"),
+            num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads"),
+            head_dim=get("attention_head_dim") or get("head_dim"),
+            intermediate_size=get("intermediate_size"),
+            activation="relu2", positions="none",
+            hybrid_pattern="".join("M" if c == "M" else "*"
+                                   for c in pattern),
+            layer_plan=plan,
+            mamba_num_heads=get("mamba_num_heads"),
+            mamba_head_dim=get("mamba_head_dim", 64),
+            mamba_state_dim=get("ssm_state_size", 128),
+            mamba_groups=get("n_groups", 1),
+            mamba_conv_width=get("conv_kernel", 4),
+            mamba_chunk=get("chunk_size", 256),
+            norm_eps=get("rms_norm_eps", 1e-5),
+            attn_bias=bool(get("use_bias", False)),
+            mlp_bias=bool(get("use_bias", False)),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            max_position_embeddings=get("max_position_embeddings", 4096),
+        )
     if mt == "nemotron":
         return DecoderConfig(
             vocab_size=get("vocab_size"), hidden_size=get("hidden_size"),
@@ -828,6 +864,62 @@ def _bamba_params(sd, cfg: DecoderConfig, commit=None) -> dict:
     return params
 
 
+def _nemotron_h_params(sd, cfg: DecoderConfig, commit=None) -> dict:
+    """NVIDIA Nemotron-H (backbone.*) -> native hybrid decoder params: one
+    block per layer under ``backbone.layers.{i}.mixer`` whose kind follows
+    hybrid_override_pattern — Mamba2 mixers translate like _mamba2_params,
+    attention is q/k/v/o under mixer.*, MLP layers are up/down under
+    mixer.* and their pre-norm maps to ``post_attn_norm`` (the Decoder's
+    pre-MLP norm slot). Reference naming:
+    export/plugins/mcore_nemotron.py:51."""
+    params: dict = {}
+    params["embed_tokens"] = {"embedding": _np(sd["backbone.embeddings.weight"])}
+    for i in range(cfg.num_layers):
+        hp = f"backbone.layers.{i}."
+        mp = hp + "mixer."
+        if cfg.is_mamba(i):
+            layer = {
+                "input_norm": {"scale": _np(sd[hp + "norm.weight"])},
+                "mixer": {
+                    "in_proj": {"kernel": _np(sd[mp + "in_proj.weight"]).T},
+                    "out_proj": {"kernel": _np(sd[mp + "out_proj.weight"]).T},
+                    "conv_kernel": _np(sd[mp + "conv1d.weight"])[:, 0, :].T,
+                    "conv_bias": _np(sd[mp + "conv1d.bias"]),
+                    "A_log": _np(sd[mp + "A_log"]),
+                    "D": _np(sd[mp + "D"]),
+                    "dt_bias": _np(sd[mp + "dt_bias"]),
+                    "norm_scale": _np(sd[mp + "norm.weight"]),
+                },
+            }
+        elif "no_attn" in cfg.layer_opts(i):  # "-": MLP-only layer
+            mlp = {}
+            for n in ("up_proj", "down_proj"):
+                mlp[n] = {"kernel": _np(sd[mp + f"{n}.weight"]).T}
+                if mp + f"{n}.bias" in sd:
+                    mlp[n]["bias"] = _np(sd[mp + f"{n}.bias"])
+            layer = {
+                "post_attn_norm": {"scale": _np(sd[hp + "norm.weight"])},
+                "mlp": mlp,
+            }
+        else:  # "*": NoPE attention layer
+            attn = {}
+            for n in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                attn[n] = {"kernel": _np(sd[mp + f"{n}.weight"]).T}
+                if mp + f"{n}.bias" in sd:
+                    attn[n]["bias"] = _np(sd[mp + f"{n}.bias"])
+            layer = {
+                "input_norm": {"scale": _np(sd[hp + "norm.weight"])},
+                "attn": attn,
+            }
+        params[f"layers_{i}"] = layer
+        if commit is not None:
+            params[f"layers_{i}"] = commit(params[f"layers_{i}"])
+    params["final_norm"] = {"scale": _np(sd["backbone.norm_f.weight"])}
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": _np(sd["lm_head.weight"]).T}
+    return params
+
+
 def _gpt2_params(sd, cfg: DecoderConfig) -> dict:
     pre = "transformer." if any(k.startswith("transformer.") for k in sd) else ""
     p: dict = {
@@ -914,6 +1006,8 @@ def from_hf(model, hf_config=None, example_len: int = 8, commit=None) -> ModelBu
         example_inputs = (ids,)
     elif mt == "bamba":
         params = _bamba_params(sd, cfg, commit=commit)
+    elif mt == "nemotron_h":
+        params = _nemotron_h_params(sd, cfg, commit=commit)
         module = Decoder(cfg)
         example_inputs = (ids,)
     else:

@@ -64,6 +64,15 @@ DECODER_RULES: tuple = (
     # shared state, tiny next to the per-head tensors)
     (r".*/(q_b_proj|kv_b_proj)/kernel", P(None, "tp")),
     (r".*/(q_a_proj|kv_a_proj)/kernel", P(None, None)),
+    # Mamba2 mixers (hybrid Nemotron-H/Bamba class): column-parallel
+    # in_proj, row-parallel out_proj — the mcore sharding
+    # (reference: export/plugins/mcore_nemotron.py COL_TP in_proj /
+    # ROW_TP out_proj). The z/xBC/dt split and conv/SSM internals run on
+    # whatever sharding GSPMD propagates; the conv window and SSM state
+    # ride the cache slots (kv_cache_shardings: dp over slots, tp over
+    # the lane dim). A/dt/D/conv params are tiny and replicate.
+    (r".*/mixer/in_proj/kernel", P(None, "tp")),
+    (r".*/mixer/out_proj/kernel", P("tp", None)),
     # dense MLP: column-parallel in, row-parallel out (incl. fused gate_up
     # and nemotron's ungated up/down)
     (r".*/mlp/(gate_proj|up_proj|gate_up_proj|fc_in)/kernel", P(None, "tp")),

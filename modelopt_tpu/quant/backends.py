@@ -127,9 +127,15 @@ def qgemm(x2d, qt: dict, spec: QuantizerSpec, kn, out_dtype=None,
             xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
                              1e-12) / 127.0
             xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+            # prefill (large M): the kernel emits out_dtype directly so
+            # the f32 result tensor never lands in HBM (an OOM hazard at
+            # serving shapes); the per-token scale multiply then runs in
+            # out_dtype too. Decode keeps the f32 contract.
+            acc_dtype = out_dtype if xq.shape[0] > PALLAS_MAX_M \
+                else jnp.float32
             out = kq.w4a8_gemm(xq, qt["data"], qt["scale"],
-                               block=block_of(spec))
-            return (out * xs).astype(out_dtype)
+                               block=block_of(spec), out_dtype=acc_dtype)
+            return (out * xs.astype(acc_dtype)).astype(out_dtype)
         if fmt == "int4":
             return kq.w4a16_gemm(x2d, qt["data"], qt["scale"],
                                  block=block_of(spec), out_dtype=out_dtype)

@@ -312,3 +312,100 @@ def test_bamba_hybrid_hf_logit_parity():
     lg = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
     err = np.abs(lg - ref).max() / np.abs(ref).max()
     assert err < 2e-2, err
+
+
+def test_nemotron_h_hybrid_import_logit_parity():
+    """Nemotron-H import (backbone.layers.N.mixer holding a Mamba2 mixer,
+    a NoPE attention, or a squared-ReLU MLP per hybrid_override_pattern —
+    reference naming: export/plugins/mcore_nemotron.py:51). Torch parity
+    reference composed from HF's own Mamba2Mixer plus hand-built NoPE
+    GQA attention and relu^2 MLP, so the full hybrid stack is pinned
+    numerically, not just structurally."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from transformers.models.mamba2.configuration_mamba2 import Mamba2Config
+    from transformers.models.mamba2.modeling_mamba2 import Mamba2Mixer
+
+    from modelopt_tpu.models.hf_import import from_hf
+
+    H, V, I = 64, 128, 96
+    NH, KV, HD = 4, 2, 16
+    pattern = "M*-M"
+    m2cfg = Mamba2Config(
+        vocab_size=V, hidden_size=H, state_size=16, num_heads=8,
+        head_dim=16, n_groups=2, expand=2, conv_kernel=4, chunk_size=8,
+    )
+
+    def rms(x, w, eps=1e-5):
+        v = x.float().pow(2).mean(-1, keepdim=True)
+        return (x.float() * torch.rsqrt(v + eps) * w.float())
+
+    class Attn(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.q_proj = torch.nn.Linear(H, NH * HD, bias=False)
+            self.k_proj = torch.nn.Linear(H, KV * HD, bias=False)
+            self.v_proj = torch.nn.Linear(H, KV * HD, bias=False)
+            self.o_proj = torch.nn.Linear(NH * HD, H, bias=False)
+
+        def forward(self, x):
+            B, T, _ = x.shape
+            q = self.q_proj(x).view(B, T, NH, HD).transpose(1, 2)
+            k = self.k_proj(x).view(B, T, KV, HD).transpose(1, 2)
+            v = self.v_proj(x).view(B, T, KV, HD).transpose(1, 2)
+            k = k.repeat_interleave(NH // KV, dim=1)
+            v = v.repeat_interleave(NH // KV, dim=1)
+            s = (q @ k.transpose(-1, -2)) / (HD ** 0.5)
+            mask = torch.triu(torch.full((T, T), float("-inf")), 1)
+            p = torch.softmax(s + mask, dim=-1)
+            return self.o_proj((p @ v).transpose(1, 2).reshape(B, T, -1))
+
+    class Mlp(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.up_proj = torch.nn.Linear(H, I, bias=False)
+            self.down_proj = torch.nn.Linear(I, H, bias=False)
+
+        def forward(self, x):
+            return self.down_proj(torch.relu(self.up_proj(x)) ** 2)
+
+    torch.manual_seed(0)
+    blocks, norms = [], []
+    for i, c in enumerate(pattern):
+        blocks.append(Mamba2Mixer(m2cfg, layer_idx=i) if c == "M"
+                      else Attn() if c == "*" else Mlp())
+        norms.append(torch.nn.Parameter(torch.rand(H) * 0.5 + 0.75))
+    emb = torch.nn.Embedding(V, H)
+    norm_f = torch.nn.Parameter(torch.rand(H) * 0.5 + 0.75)
+    head = torch.nn.Linear(H, V, bias=False)
+
+    ids_t = torch.tensor([[5, 3, 7, 2, 9, 1, 4, 8, 11, 6]])
+    with torch.no_grad():
+        x = emb(ids_t)
+        for blk, w in zip(blocks, norms):
+            x = x + blk(rms(x, w).to(x.dtype))
+        ref = head(rms(x, norm_f).to(x.dtype)).numpy()
+
+    sd = {"backbone.embeddings.weight": emb.weight,
+          "backbone.norm_f.weight": norm_f, "lm_head.weight": head.weight}
+    for i, blk in enumerate(blocks):
+        sd[f"backbone.layers.{i}.norm.weight"] = norms[i]
+        for n, p in blk.state_dict().items():
+            sd[f"backbone.layers.{i}.mixer.{n}"] = p
+
+    hf_cfg = {
+        "model_type": "nemotron_h", "vocab_size": V, "hidden_size": H,
+        "num_hidden_layers": len(pattern), "num_attention_heads": NH,
+        "num_key_value_heads": KV, "attention_head_dim": HD,
+        "intermediate_size": I, "hybrid_override_pattern": pattern,
+        "mamba_num_heads": 8, "mamba_head_dim": 16, "ssm_state_size": 16,
+        "n_groups": 2, "conv_kernel": 4, "chunk_size": 8,
+        "rms_norm_eps": 1e-5, "tie_word_embeddings": False,
+    }
+    b = from_hf(sd, hf_cfg)
+    assert b.module.cfg.hybrid_pattern == "M**M"
+    assert "no_attn" in b.module.cfg.layer_opts(2)
+    out = b.apply(jnp.asarray(ids_t.numpy()))
+    lg = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
+    err = np.abs(lg - ref).max() / np.abs(ref).max()
+    assert err < 2e-2, err

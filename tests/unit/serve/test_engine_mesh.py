@@ -63,6 +63,37 @@ class TestMeshEngine:
         got = _generate(qb, mesh=mesh, kv_dtype=jnp.float8_e4m3fn)
         assert got == want
 
+    def test_hybrid_mamba_parity(self):
+        """Hybrid (Mamba2 + attention) bundle under a dp x tp mesh: the
+        mixer in/out projections shard (mcore COL/ROW rules), conv/SSM
+        state slots shard over dp slots + tp lanes via kv_cache_shardings,
+        and decode tokens match the single-device engine exactly."""
+        from modelopt_tpu.models import tiny_hybrid_test_config
+
+        cfg = tiny_hybrid_test_config(dtype=jnp.float32,
+                                      param_dtype=jnp.float32,
+                                      max_position_embeddings=128)
+        m = Decoder(cfg)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        v = m.init(jax.random.PRNGKey(0), ids)
+        bundle = ModelBundle(module=m, variables=dict(v),
+                             example_inputs=(ids,))
+        want = _generate(bundle)
+        mesh = make_mesh({"dp": 4, "tp": 2})
+        got = _generate(bundle, mesh=mesh)
+        assert got == want
+        # the mixer weights really shard
+        eng = ServingEngine(bundle, max_batch=4, max_seq_len=64,
+                            prefill_buckets=(16,), mesh=mesh)
+        mix = None
+        for i in range(cfg.num_layers):
+            lp = eng._vars["params"].get(f"layers_{i}", {})
+            if "mixer" in lp:
+                mix = lp["mixer"]
+                break
+        assert mix is not None
+        assert "tp" in str(mix["in_proj"]["kernel"].sharding.spec)
+
     def test_weights_actually_sharded(self):
         bundle = _bundle()
         mesh = make_mesh({"dp": 2, "tp": 4})
