@@ -21,7 +21,49 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cache_ddim_sample"]
+__all__ = ["cache_ddim_sample", "cache_unet_ddim_sample"]
+
+
+def cache_unet_ddim_sample(bundle, key, num_steps: int = 8, batch: int = 1,
+                           context=None, cache_interval: int = 3):
+    """DeepCache sampling for the UNet family (models/unet.py): every
+    ``cache_interval``-th step runs the full UNet and caches the DEEP
+    feature (input of the top up-level); intermediate steps recompute only
+    conv_in + the top down/up level and splice the cached deep feature in.
+    Same two-compiled-programs shape as the DiT variant (reference:
+    examples/diffusers/cache_diffusion applied to UNet pipelines).
+
+    Returns ``(x, stats)`` with ``stats["deep_runs"]`` / ``stats["steps"]``
+    for the compute-saved report."""
+    cfg = bundle.module.cfg
+    shape = (batch, cfg.image_size, cfg.image_size, cfg.in_channels)
+    x = jax.random.normal(key, shape, jnp.float32)
+
+    apply_fn = bundle.make_fn()
+    refresh = jax.jit(
+        lambda v, x, t, c: apply_fn(v, x, t, None, c, shallow=1))
+    cached = jax.jit(
+        lambda v, x, t, c, d: apply_fn(v, x, t, None, c, deep_feats=d))
+
+    ts = jnp.linspace(999, 0, num_steps).astype(jnp.int32)
+    alphas = jnp.linspace(0.999, 0.01, 1000)
+    deep = None
+    deep_runs = 0
+    for i in range(num_steps):
+        t = jnp.full((batch,), ts[i], jnp.int32)
+        if deep is None or i % cache_interval == 0:
+            eps, deep = refresh(bundle.variables, x.astype(cfg.dtype), t,
+                                context)
+            deep_runs += 1
+        else:
+            eps = cached(bundle.variables, x.astype(cfg.dtype), t, context,
+                         deep)
+        eps = eps.astype(jnp.float32)
+        a_t = alphas[ts[i]]
+        a_prev = alphas[ts[i + 1]] if i + 1 < num_steps else jnp.float32(1.0)
+        x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        x = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps
+    return x, {"deep_runs": deep_runs, "steps": num_steps}
 
 
 def cache_ddim_sample(bundle, key, num_steps: int = 8, batch: int = 2,

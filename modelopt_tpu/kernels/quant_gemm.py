@@ -421,7 +421,7 @@ def _w4a8_kernel(x_ref, p_ref, s_ref, o_ref, *, block: int):
                           block).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
+@functools.partial(jax.jit, static_argnames=("block", "out_dtype"))
 def w4a8_gemm(xq, packed, scale, block: int = 128,
               out_dtype=jnp.float32):
     """xq int8 [M, K] @ int4-packed W -> [M, N] (per-token activation

@@ -267,3 +267,19 @@ def test_grouped_w4a8_combine_parity(rng, interp):
     )
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=1e-4, atol=1e-2)
+
+
+def test_w4a8_explicit_out_dtype_kwarg(rng, interp):
+    """out_dtype must be jit-STATIC: an explicitly passed dtype kwarg once
+    TypeError'd every backend call on chip (CPU tests used the default and
+    missed it)."""
+    K, N = 512, 256
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    packed = qt.quantize_int4(w, block=128)
+    xq = jnp.asarray(rng.integers(-127, 128, (300, K)), jnp.int8)
+    y = kq.w4a8_gemm(xq, packed["data"], packed["scale"], block=128,
+                     out_dtype=jnp.bfloat16)
+    assert y.dtype == jnp.bfloat16 and y.shape == (300, N)
+    y2 = kq.w4a8_gemm(xq[:8], packed["data"], packed["scale"], block=128,
+                      out_dtype=jnp.float32)
+    assert y2.dtype == jnp.float32
