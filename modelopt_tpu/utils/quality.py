@@ -37,6 +37,7 @@ DEFAULT_LADDER = (
     ("INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "w4a16_rtn"),
     ("INT4_AWQ_CFG", "w4a16_awq"),
     ("GPTQ", "w4a16_gptq"),  # INT4 blockwise + gptq algorithm
+    ("NVFP4_SVDQUANT_CFG", "nvfp4_svdquant"),  # low-rank absorb recovery
 )
 
 
@@ -158,7 +159,7 @@ def eval_ppl(bundle: ModelBundle, batches, ref_logits=None):
 
 
 def qat_recovery(steps=400, seed=0, preset="MXFP4_DEFAULT_CFG",
-                 qat_steps=120, lr=5e-4, log=False):
+                 qat_steps=120, lr=5e-4, log=False, **model_kw):
     """PTQ-damage -> QAT-recovery measurement (the reference's QAT
     val-loss table shape: PTQ 3.321 -> QAT 1.294 for INT4w/INT8a on
     Llama2-7B, benchmark.md:58-63). Quantize with an aggressive format,
@@ -170,7 +171,8 @@ def qat_recovery(steps=400, seed=0, preset="MXFP4_DEFAULT_CFG",
     import modelopt_tpu.quant as mtq
     from ..quant.qat import qat_finetune
 
-    bundle, _, calib, evalb = train_tiny_lm(steps=steps, seed=seed, log=log)
+    bundle, _, calib, evalb = train_tiny_lm(steps=steps, seed=seed, log=log,
+                                            **model_kw)
     bf16_ppl, _, _ = eval_ppl(bundle, evalb)
 
     def forward_loop(fn):
@@ -180,7 +182,8 @@ def qat_recovery(steps=400, seed=0, preset="MXFP4_DEFAULT_CFG",
     q = mtq.quantize(bundle, getattr(mtq, preset), forward_loop)
     ptq_ppl, _, _ = eval_ppl(q, evalb)
     # fresh trajectories from the SAME chain train_tiny_lm used
-    ft_batches = make_markov_batches(seed=seed + 100, traj_seed=seed + 777,
+    ft_batches = make_markov_batches(vocab=model_kw.get("vocab", 256),
+                                     seed=seed + 100, traj_seed=seed + 777,
                                      n_batches=qat_steps)
     qat, losses = qat_finetune(q, ft_batches, learning_rate=lr)
     qat_ppl, _, _ = eval_ppl(qat, evalb)
@@ -198,11 +201,15 @@ def qat_recovery(steps=400, seed=0, preset="MXFP4_DEFAULT_CFG",
     return out
 
 
-def quality_ladder(steps=400, seed=0, ladder=DEFAULT_LADDER, log=False):
-    """Returns {"bf16_ppl": float, "rungs": {label: {ppl, delta_ppl, kl}}}."""
+def quality_ladder(steps=400, seed=0, ladder=DEFAULT_LADDER, log=False,
+                   **model_kw):
+    """Returns {"bf16_ppl": float, "rungs": {label: {ppl, delta_ppl, kl}}}.
+    ``model_kw`` (vocab/hidden/layers) scales the trained LM — the
+    committed artifact uses a larger on-chip profile (see quality.py)."""
     import modelopt_tpu.quant as mtq
 
-    bundle, _, calib, evalb = train_tiny_lm(steps=steps, seed=seed, log=log)
+    bundle, _, calib, evalb = train_tiny_lm(steps=steps, seed=seed, log=log,
+                                            **model_kw)
     bf16_ppl, _, ref_logits = eval_ppl(bundle, evalb)
 
     def forward_loop(fn):

@@ -173,3 +173,157 @@ def test_puzzle_search_memory_and_latency_budgets():
     ids = bundle.example_inputs[0]
     logits, _ = sewed.apply(ids)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+# ---------------------------------------------------------------------------
+# round-5 depth: family-aware libraries, local activation scoring, stats
+# pipeline (reference: puzzletron/build_library_and_stats.py + mip/run_puzzle)
+# ---------------------------------------------------------------------------
+def hybrid_bundle(**over):
+    from modelopt_tpu.models import tiny_hybrid_test_config
+
+    kw = dict(dtype=jnp.float32, param_dtype=jnp.float32)
+    kw.update(over)
+    cfg = tiny_hybrid_test_config(**kw)
+    m = Decoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 24)),
+                      jnp.int32)
+    variables = m.init(jax.random.PRNGKey(0), ids)
+    return ModelBundle(module=m, variables=dict(variables),
+                       example_inputs=(ids,))
+
+
+def test_layer_libraries_family_aware():
+    b = hybrid_bundle()
+    cfg = b.module.cfg
+    libs = mtn.build_layer_libraries(cfg)
+    assert len(libs) == cfg.num_layers
+    for i in range(cfg.num_layers):
+        assert libs[i][0] == ()  # keep first
+        if cfg.is_mamba(i):
+            # mamba layers: keep | bypass only
+            assert (("bypass", True),) in libs[i]
+            assert all("ffn" not in dict(e) for e in libs[i])
+        else:
+            assert any("no_attn" in dict(e) for e in libs[i])
+    # MoE config: no ffn-slicing knobs on routed layers
+    moe = lm_bundle(num_experts=4, experts_per_token=2)
+    mlibs = mtn.build_layer_libraries(moe.module.cfg)
+    for lib in mlibs:
+        assert all("ffn" not in dict(e) for e in lib)
+        assert (("no_mlp", True),) in lib
+
+
+def test_moe_layer_plan_not_dropped_by_sew():
+    """Regression: MoE params live under 'moe', not 'mlp' — deriving
+    no_mlp for them silently dropped every expert block."""
+    b = lm_bundle(num_experts=4, experts_per_token=2)
+    ids = b.example_inputs[0]
+    base, _ = b.apply(ids)
+    sewed = mtn.sew(b, tuple(() for _ in range(b.module.cfg.num_layers)))
+    for opts in sewed.module.cfg.layer_plan:
+        assert ("no_mlp", True) not in opts
+    got, _ = sewed.apply(ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stats_pipeline_roundtrip(tmp_path):
+    b = lm_bundle()
+    path = str(tmp_path / "stats.json")
+    stats = mtn.build_library_and_stats(b, {"params_ratio": 0.8}, path=path)
+    assert stats["scoring"] == "local_block_mse"
+    L = b.module.cfg.num_layers
+    for i in range(L):
+        assert stats["scores"][i][0] == 0.0  # keep is free
+        assert all(s >= 0 for s in stats["scores"][i])
+    sewed, info = mtn.puzzle_search(b, {"params_ratio": 0.8}, stats=path)
+    assert info["params_after"] <= 0.8 * info["params_before"] * 1.001
+    logits, _ = sewed.apply(b.example_inputs[0])
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_hybrid_local_puzzle_runs_and_updates_pattern():
+    b = hybrid_bundle()
+    sewed, info = mtn.puzzle_search(b, {"params_ratio": 0.6},
+                                    scoring="local")
+    cfg2 = sewed.module.cfg
+    logits, _ = sewed.apply(b.example_inputs[0])
+    assert np.isfinite(np.asarray(logits)).all()
+    # any bypassed mamba layer must flip its pattern char
+    for i in range(cfg2.num_layers):
+        if cfg2.hybrid_pattern[i] == "M":
+            assert "mixer" in sewed.variables["params"][f"layers_{i}"]
+
+
+def _scale_layer_out(variables, i, factor):
+    p = dict(variables["params"])
+    layer = jax.tree.map(lambda x: x, p[f"layers_{i}"])
+    for blk, name in (("attn", "o_proj"), ("mlp", "down_proj"),
+                      ("mixer", "out_proj")):
+        if blk in layer and name in layer[blk]:
+            layer[blk][name] = {
+                **layer[blk][name],
+                "kernel": layer[blk][name]["kernel"] * factor}
+    p[f"layers_{i}"] = layer
+    return {**variables, "params": p}
+
+
+def test_puzzle_beats_uniform_minitron_at_equal_memory():
+    """End-to-end on a ~100M-param synthetic HYBRID with genuinely
+    heterogeneous layer importance (several near-identity blocks):
+    puzzle's per-layer selection at a params budget must lose less
+    output-KL than UNIFORM Minitron pruning at the same budget —
+    the Puzzletron premise (reference: mip/run_puzzle.py:764)."""
+    from modelopt_tpu.models import DecoderConfig
+    from modelopt_tpu.prune import minitron_prune
+
+    cfg = DecoderConfig(
+        vocab_size=24576, hidden_size=512, num_layers=12, num_heads=8,
+        num_kv_heads=4, head_dim=64, intermediate_size=3584,
+        hybrid_pattern="M*M*M*M*M*M*", mamba_num_heads=8, mamba_head_dim=64,
+        mamba_state_dim=64, mamba_groups=2, mamba_chunk=16,
+        positions="none", tie_word_embeddings=False,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+        max_position_embeddings=64,
+    )
+    m = Decoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 24576, (2, 32)),
+                      jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), ids)
+    total = sum(x.size for x in jax.tree.leaves(v["params"]))
+    assert total >= 100e6, total
+    variables = dict(v)
+    # four near-identity layers: realistic depth redundancy for the
+    # selector to find (uniform pruning can't exploit it)
+    for i in (2, 5, 8, 11):
+        variables = _scale_layer_out(variables, i, 0.01)
+    bundle = ModelBundle(module=m, variables=variables,
+                         example_inputs=(ids,))
+    base, _ = bundle.apply(ids)
+    base_lp = jax.nn.log_softmax(np.asarray(base, np.float32), -1)
+
+    def kl_of(b):
+        lg, _ = b.apply(ids)
+        lp = jax.nn.log_softmax(np.asarray(lg, np.float32), -1)
+        return float(np.mean(np.sum(np.exp(base_lp) * (base_lp - lp), -1)))
+
+    ratio = 0.72
+    sewed, info = mtn.puzzle_search(bundle, {"params_ratio": ratio},
+                                    scoring="local")
+    puzzle_kl = kl_of(sewed)
+    assert info["params_after"] <= ratio * info["params_before"] * 1.001
+
+    # uniform Minitron at (approximately) the same per-layer budget:
+    # shrink every FFN + halve KV groups to land at <= the same params
+    uni = minitron_prune(bundle, {
+        "intermediate_size": 1792, "num_kv_heads": 2,
+    })
+    uni_params = sum(
+        x.size
+        for i in range(cfg.num_layers)
+        for x in jax.tree.leaves(uni.variables["params"][f"layers_{i}"])
+    )
+    assert uni_params <= ratio * info["params_before"] * 1.05
+    uniform_kl = kl_of(uni)
+    assert puzzle_kl < uniform_kl, (puzzle_kl, uniform_kl)

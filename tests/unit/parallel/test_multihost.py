@@ -96,3 +96,98 @@ def test_two_process_dcn_mesh(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"MULTIHOST_OK {i}" in out, out
+
+
+CALIB_WORKER = textwrap.dedent(
+    """
+    import sys, os
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+
+    from modelopt_tpu.parallel import hybrid_mesh, initialize
+    initialize()
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import modelopt_tpu.quant as mtq
+    from modelopt_tpu.core import ModelBundle
+    from modelopt_tpu.models import Decoder, tiny_test_config
+    from modelopt_tpu.parallel import shard_variables
+
+    assert jax.process_count() == 4, jax.process_count()
+    mesh = hybrid_mesh({{"tp": 4}}, {{"dp": 4}})  # dp spans HOSTS (DCN)
+
+    cfg = tiny_test_config(hidden_size=64, intermediate_size=128,
+                           vocab_size=512, dtype=jnp.float32)
+    m = Decoder(cfg)
+    # DETERMINISTIC batch: the global amax is known in closed form, so a
+    # per-shard (non-global) calibration reduction would be caught on any
+    # process (the invariant the reference keeps with explicit
+    # all-reduces — model_calib.py:390-498; here GSPMD owns it across DCN)
+    ids_host = (np.arange(8 * 16).reshape(8, 16) % cfg.vocab_size)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(ids_host[:1], jnp.int32))
+    bundle = ModelBundle(module=m, variables=dict(v),
+                         example_inputs=(jnp.asarray(ids_host, jnp.int32),))
+    with mesh:
+        bundle = bundle.replace(
+            variables=shard_variables(bundle.variables, mesh))
+        from jax.experimental import multihost_utils as mhu
+        gids = mhu.host_local_array_to_global_array(
+            np.asarray(ids_host[jax.process_index() * 2:
+                                jax.process_index() * 2 + 2], np.int32),
+            mesh, P("dp", None))
+        q = mtq.quantize(bundle, mtq.INT8_DEFAULT_CFG, lambda fn: fn(gids))
+
+    # every process sees the SAME (replicated) global amax
+    amax = q.variables["quant"]["layers_0"]["attn"]["q_proj"][
+        "weight_quantizer"]["amax"]
+    wa = float(jnp.max(jnp.abs(
+        q.variables["params"]["layers_0"]["attn"]["q_proj"]["kernel"])))
+    got = float(jnp.max(amax))
+    assert abs(got - wa) / wa < 1e-5, (got, wa)
+    print("CALIB_DCN_OK", jax.process_index(), round(got, 6), flush=True)
+    """
+)
+
+
+def test_four_process_dcn_calibration_invariance(tmp_path):
+    """4 REAL processes, dp over DCN x tp over each host's devices:
+    calibration amax must be the GLOBAL statistic on every host (per-shard
+    reductions would differ across processes)."""
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    script = tmp_path / "calib_worker.py"
+    script.write_text(CALIB_WORKER.format(repo=repo))
+    port = _free_port()
+    env = {
+        **os.environ,
+        "MODELOPT_COORD": f"localhost:{port}",
+        "MODELOPT_NUM_PROCS": "4",
+        "JAX_PLATFORMS": "cpu",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script)],
+            env={**env, "MODELOPT_PROC_ID": str(i)},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(4)
+    ]
+    try:
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=10)
+    amaxes = set()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        line = next(l for l in out.splitlines() if "CALIB_DCN_OK" in l)
+        amaxes.add(line.split()[-1])
+    assert len(amaxes) == 1, amaxes  # identical global amax on every host
