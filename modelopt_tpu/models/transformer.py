@@ -759,11 +759,9 @@ class MoEBlock(nn.Module):
             # (not the output — the swiglu nonlinearity makes these differ);
             # unselected experts see a zero input and contribute nothing
             _, sel = jax.lax.top_k(logits, K)
-            neg = jnp.full_like(logits, -jnp.inf)
-            sel_logits = neg.at[
-                jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None],
-                sel
-            ].set(jnp.take_along_axis(logits, sel, -1))
+            selmask = jnp.sum(jax.nn.one_hot(sel, E, dtype=logits.dtype),
+                              axis=-2) > 0  # [B,T,E], no TPU scatter
+            sel_logits = jnp.where(selmask, logits, -jnp.inf)
             s_in = jax.nn.sigmoid(sel_logits).astype(cfg.dtype)  # [B,T,E]
             gates = jnp.ones_like(logits)
         elif cfg.router_score == "sigmoid":
@@ -796,10 +794,13 @@ class MoEBlock(nn.Module):
                 weights = weights / (jnp.sum(weights, -1, keepdims=True)
                                      + 1e-20)
             weights = weights * cfg.routed_scaling_factor
-            gates = jnp.zeros_like(logits).at[
-                jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None],
-                sel
-            ].set(weights)  # [B,T,E] sparse gate matrix
+            # one-hot contraction, NOT .at[].set: TPU scatter lowering cost
+            # ~54 us/layer at Qwen3-MoE decode shapes (1.3 ms/step of the
+            # 13.2 ms profile) for an 8-entry-per-token update
+            gates = jnp.einsum(
+                "btke,btk->bte",
+                jax.nn.one_hot(sel, E, dtype=weights.dtype), weights
+            )  # [B,T,E] sparse gate matrix
 
         from ..nn.layers import QuantEinsum
 
