@@ -1006,6 +1006,8 @@ def from_hf(model, hf_config=None, example_len: int = 8, commit=None) -> ModelBu
         example_inputs = (ids,)
     elif mt == "bamba":
         params = _bamba_params(sd, cfg, commit=commit)
+        module = Decoder(cfg)
+        example_inputs = (ids,)
     elif mt == "nemotron_h":
         params = _nemotron_h_params(sd, cfg, commit=commit)
         module = Decoder(cfg)

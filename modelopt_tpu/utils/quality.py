@@ -69,7 +69,7 @@ def make_markov_batches(vocab=256, batch=32, seqlen=64, n_batches=12, seed=0,
 
 
 def train_tiny_lm(steps=400, seed=0, vocab=256, hidden=128, layers=4,
-                  lr=3e-3, log=False):
+                  lr=3e-3, log=False, batch=32):
     """Train a tiny Llama-style decoder on the Markov language; returns the
     trained ModelBundle plus (train, calib, eval) batch lists.
 
@@ -87,7 +87,7 @@ def train_tiny_lm(steps=400, seed=0, vocab=256, hidden=128, layers=4,
     # fresh batch every step: the model must learn the chain's transition
     # structure, not memorize sequences (memorization inverts the ladder —
     # quantization noise then *helps* held-out ppl)
-    batches = make_markov_batches(vocab=vocab, seed=seed + 100,
+    batches = make_markov_batches(vocab=vocab, batch=batch, seed=seed + 100,
                                   n_batches=steps + 4)
     train, calib, evalb = batches[:steps], batches[steps:steps + 2], \
         batches[steps + 2:]

@@ -26,7 +26,8 @@ LADDER = (
 
 @pytest.fixture(scope="module")
 def ladder():
-    return quality_ladder(steps=200, seed=0, ladder=LADDER)
+    # batch 16 halves the CI fixture cost; orderings unchanged
+    return quality_ladder(steps=200, seed=0, ladder=LADDER, batch=16)
 
 
 class TestQualityLadder:
@@ -76,6 +77,6 @@ def test_qat_recovers_ptq_damage():
     recover most of the ppl delta."""
     from modelopt_tpu.utils.quality import qat_recovery
 
-    r = qat_recovery(steps=200, seed=0, qat_steps=80)
+    r = qat_recovery(steps=200, seed=0, qat_steps=60, batch=16)
     assert r["ptq_delta_ppl"] > 0.05          # PTQ caused real damage
     assert r["qat_delta_ppl"] < r["ptq_delta_ppl"] * 0.6
