@@ -8,6 +8,10 @@ synthetic image classification, then PTQ'd to INT8 and QAT-recovered.
     python examples/cnn_qat.py --steps 60
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 
 import flax.linen as nn

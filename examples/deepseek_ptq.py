@@ -12,6 +12,10 @@ fp8.
     python examples/deepseek_ptq.py --model /path/to/deepseek_checkpoint
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 
 import jax

@@ -5,6 +5,10 @@ Quantize a DiT and compare sampled outputs across formats.
     python examples/diffusion_ptq.py --preset FP8_DEFAULT_CFG --steps 8
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 
 import jax

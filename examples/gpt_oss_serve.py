@@ -16,6 +16,10 @@ Two modes:
     python examples/gpt_oss_serve.py --requests 6
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 import time
 

@@ -3,6 +3,10 @@
     python examples/llm_autoquant.py --effective-bits 6.0
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 
 from examples.llm_ptq import build_model

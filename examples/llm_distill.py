@@ -9,6 +9,10 @@ export_student to drop the distillation records.
     python examples/llm_distill.py --steps 30 --feature-pairs
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 import dataclasses
 

@@ -11,6 +11,10 @@ meaningful — same data both sides); pass --eval-text/--mmlu-dir +
         --eval-text corpus.txt --tokenizer /path/to/tok --mmlu-dir /mmlu
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 
 from examples.llm_ptq import build_model

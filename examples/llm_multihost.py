@@ -19,6 +19,10 @@ Mesh policy (see parallel/multihost.py): dp and pp ride DCN (one gradient
 reduction / one activation hop per step); tp rides ICI.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 import os
 

@@ -11,6 +11,10 @@ Examples:
     python examples/llm_ptq.py --preset NVFP4_DEFAULT_CFG --compress
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 import time
 

@@ -7,6 +7,10 @@ loss recovery.
     python examples/llm_qat.py --preset NVFP4_DEFAULT_CFG --steps 50 --qad
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 
 import jax

@@ -5,6 +5,10 @@ the engine built in).
     python examples/llm_serve.py --preset FP8_KV_CFG --fp8-kv --requests 8
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 import time
 

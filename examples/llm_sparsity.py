@@ -3,6 +3,10 @@
     python examples/llm_sparsity.py --mode sparsegpt --finetune-steps 50
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 
 from examples.llm_ptq import build_model

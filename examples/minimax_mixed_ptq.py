@@ -7,6 +7,10 @@ high precision).
     python examples/minimax_mixed_ptq.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,6 +14,10 @@ Two modes:
     python examples/model_hub_serve.py --preset W4A8_INT8_DYNAMIC_CFG
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 import tempfile
 import time

@@ -4,6 +4,10 @@ minitron/ + llm_distill).
     python examples/pruning_minitron.py --ffn 96 --layers 1 --distill-steps 50
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 
 import jax

@@ -5,6 +5,10 @@ replacement library -> MIP -> sewing -> bypassed-training recovery).
     python examples/puzzletron.py --donor tinyllama-small   # anymodel graft
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 
 import jax.numpy as jnp

@@ -5,6 +5,10 @@
     python examples/speculative_decoding.py --compare   # engine AL/AR table
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 
 import optax
@@ -68,12 +72,11 @@ def main():
         state, loss = step(state, b)
     print(f"draft training final loss: {float(loss):.4f}")
 
-    # graft trained draft params back
+    # graft trained draft params back (every trainer's state[0] is the
+    # flat non-frozen param subtree: {"eagle": ..., "fuse": ...} for
+    # eagle, head_* for medusa, draft params for dflash)
     params = dict(spec.variables["params"])
-    if args.mode == "eagle":
-        params["eagle"] = state[0]
-    else:  # medusa heads / dflash draft params live at the top level
-        params.update(state[0])
+    params.update(state[0])
     spec = spec.replace(variables={**spec.variables, "params": params})
 
     prompt = [1, 2, 3, 4, 5]

@@ -15,6 +15,10 @@ the metric driving stacks actually gate on) between bf16 and quantized.
     python examples/vla_ptq.py --preset FP8_DEFAULT_CFG
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 
 import flax.linen as nn

@@ -8,6 +8,10 @@ model's output drift on image+text batches.
     python examples/vlm_ptq.py --model /ckpts/llava-1.5-7b --preset FP8_DEFAULT_CFG
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # repo-checkout import path
+
 import argparse
 import os
 

@@ -42,8 +42,13 @@ CASES = FAST + (EXTRA if os.environ.get("MODELOPT_EXAMPLES_ALL") == "1"
 
 
 def _run(script, args):
-    env = {**os.environ, "JAX_PLATFORMS": "cpu",
-           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    # 8 virtual devices only where the example needs a mesh — splitting
+    # the CPU threadpool 8 ways makes single-device examples ~10x slower
+    if script in ("llm_multihost.py",):
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    else:
+        env.pop("XLA_FLAGS", None)
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", script), *args],
         env=env, capture_output=True, text=True, timeout=600, cwd=REPO,
