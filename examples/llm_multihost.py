@@ -9,7 +9,7 @@ torchrun launches, e.g. examples/llm_qat's distributed training):
     MODELOPT_PROC_ID=0 \\                     MODELOPT_PROC_ID=1 \\
     python examples/llm_multihost.py          python examples/llm_multihost.py
 
-On Cloud TPU pods the env vars are unnecessary — jax.distributed
+On Cloud TPU pods set ``MODELOPT_COORD=auto`` — jax.distributed
 auto-detects the pod topology. Local 2-process simulation on CPU:
 
     MODELOPT_SIM_CPU=1 MODELOPT_COORD=localhost:8476 MODELOPT_NUM_PROCS=2 \\
@@ -28,6 +28,33 @@ import os
 
 
 def main():
+    if ("MODELOPT_PROC_ID" not in os.environ
+            and "MODELOPT_COORD" not in os.environ):
+        # (on a Cloud TPU pod, set MODELOPT_COORD=auto to use JAX's
+        # pod auto-detection instead of the local simulation)
+        # bare launch (no coordination configured): self-orchestrate the
+        # 2-process CPU simulation so the example is runnable anywhere —
+        # spawn two copies of this script wired together on a free port
+        import socket
+        import subprocess
+        import sys
+
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        env = {**os.environ, "MODELOPT_SIM_CPU": "1",
+               "MODELOPT_COORD": f"localhost:{port}",
+               "MODELOPT_NUM_PROCS": "2"}
+        print(f"(no MODELOPT_COORD set: running the 2-process CPU "
+              f"simulation on localhost:{port})")
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+            env={**env, "MODELOPT_PROC_ID": str(i)})
+            for i in range(2)]
+        rcs = [p.wait(timeout=560) for p in procs]
+        sys.exit(max(rcs))
+
     if os.environ.get("MODELOPT_SIM_CPU"):
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
@@ -40,7 +67,10 @@ def main():
     # BEFORE any backend use
     from modelopt_tpu.parallel import initialize
 
-    initialize()
+    if os.environ.get("MODELOPT_COORD") == "auto":
+        initialize(coordinator_address=None)
+    else:
+        initialize()
 
     import jax.numpy as jnp
     import numpy as np

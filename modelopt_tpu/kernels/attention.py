@@ -355,10 +355,15 @@ def dense_kv_write(cache, vals, start):
     B, T, KHD = vals.shape
     # Mosaic can only slice tiled (sublane, lane) dims at tile granularity:
     # the lane dim must fill 128-lane tiles or the memref_slice fails to
-    # lower (observed on v5e with D=16 test models). Small models take the
-    # XLA path — their caches are tiny, so the scatter pathology doesn't
-    # bite.
-    if jax.default_backend() != "tpu" or KHD % 128 or _pallas_attn_disabled():
+    # lower (observed on v5e with D=16 test models), AND the 4-D view's
+    # row-of-tiles dim (KHD//128) must fill the dtype's packed sublane
+    # tile — 4 for <=2-byte dtypes (v5e probe: nsub 4/8 lower for
+    # bf16/int8/e4m3, nsub 1/2/3 all fail, e.g. the 128-wide MLA latent
+    # slab of tiny test models). Small models take the XLA path — their
+    # caches are tiny, so the scatter pathology doesn't bite.
+    sub_tile = 4 if cache.dtype.itemsize <= 2 else 8
+    if (jax.default_backend() != "tpu" or KHD % 128
+            or (KHD // 128) % sub_tile or _pallas_attn_disabled()):
         return jax.vmap(
             lambda c, u, s: jax.lax.dynamic_update_slice(c, u, (s, 0))
         )(cache, vals.astype(cache.dtype), start)

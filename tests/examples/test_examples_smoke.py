@@ -49,8 +49,18 @@ def _run(script, args):
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     else:
         env.pop("XLA_FLAGS", None)
+    # this machine's sitecustomize overrides the JAX_PLATFORMS env var —
+    # force CPU through jax.config (which wins) via a runpy launcher, or
+    # the whole tier silently burns TPU-tunnel startup per example
+    launcher = (
+        "import jax, runpy, sys; "
+        "jax.config.update('jax_platforms', 'cpu'); "
+        "sys.argv = sys.argv[1:]; "
+        "runpy.run_path(sys.argv[0], run_name='__main__')"
+    )
     p = subprocess.run(
-        [sys.executable, os.path.join(REPO, "examples", script), *args],
+        [sys.executable, "-c", launcher,
+         os.path.join(REPO, "examples", script), *args],
         env=env, capture_output=True, text=True, timeout=600, cwd=REPO,
     )
     assert p.returncode == 0, (
