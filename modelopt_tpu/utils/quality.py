@@ -187,17 +187,28 @@ def qat_recovery(steps=400, seed=0, preset="MXFP4_DEFAULT_CFG",
                                      n_batches=qat_steps)
     qat, losses = qat_finetune(q, ft_batches, learning_rate=lr)
     qat_ppl, _, _ = eval_ppl(qat, evalb)
+    # CONTROL: finetune the unquantized model on the SAME batches — on an
+    # undertrained base, extra steps improve ppl by themselves, and the
+    # honest recovery question is "how close does QAT land to the bf16
+    # model given the same extra training", not "to the frozen baseline"
+    bf16_ft, _ = qat_finetune(bundle, ft_batches, learning_rate=lr)
+    bf16_ft_ppl, _, _ = eval_ppl(bf16_ft, evalb)
     ptq_d, qat_d = ptq_ppl - bf16_ppl, qat_ppl - bf16_ppl
+    qat_vs_ft = qat_ppl - bf16_ft_ppl
     out = {
         "preset": preset,
         "bf16_ppl": round(bf16_ppl, 4),
         "ptq_delta_ppl": round(ptq_d, 4),
         "qat_delta_ppl": round(qat_d, 4),
+        "bf16_finetuned_ppl": round(bf16_ft_ppl, 4),
+        # the controlled gap: quantized-QAT vs equally-finetuned bf16
+        "qat_delta_vs_finetuned_bf16": round(qat_vs_ft, 4),
         "recovery_frac": round(1.0 - qat_d / ptq_d, 4) if ptq_d > 0 else None,
     }
     if log:
         print(f"qat recovery [{preset}]: ptq Δ{ptq_d:+.4f} -> "
-              f"qat Δ{qat_d:+.4f}")
+              f"qat Δ{qat_d:+.4f} (vs equally-finetuned bf16: "
+              f"{qat_vs_ft:+.4f})")
     return out
 
 

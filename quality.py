@@ -52,8 +52,11 @@ def main():
         "summary": {
             "bf16_ppl": result["bf16_ppl"],
             **{k: v["delta_ppl"] for k, v in result["rungs"].items()},
-            "mxfp4_qat_recovered": recovery["qat_delta_ppl"],
-            "nvfp4_qat_recovered": recovery_nvfp4["qat_delta_ppl"],
+            # controlled: quantized-QAT vs an EQUALLY-finetuned bf16
+            # model (extra training improves an undertrained base by
+            # itself; the frozen-baseline delta would read negative)
+            "mxfp4_qat_recovered": recovery["qat_delta_vs_finetuned_bf16"],
+            "nvfp4_qat_recovered": recovery_nvfp4["qat_delta_vs_finetuned_bf16"],
         },
         "rungs": result["rungs"],
         # the reference's QAT-recovery table shape (benchmark.md:58-63)

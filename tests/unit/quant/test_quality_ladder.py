@@ -21,6 +21,7 @@ LADDER = (
     ("INT4_BLOCKWISE_WEIGHT_ONLY_CFG", "w4a16_rtn"),
     ("INT4_AWQ_CFG", "w4a16_awq"),
     ("GPTQ", "w4a16_gptq"),
+    ("NVFP4_SVDQUANT_CFG", "nvfp4_svdquant"),
 )
 
 
@@ -63,6 +64,12 @@ class TestQualityLadder:
         assert int8 < ladder["rungs"]["nvfp4"]["kl_vs_bf16"]
         assert int8 < ladder["rungs"]["w4a16_rtn"]["kl_vs_bf16"]
 
+    def test_svdquant_recovers_nvfp4(self, ladder):
+        # the low-rank 16-bit branch absorbs outliers the e2m1 grid
+        # cannot represent (reference: SVDQuant positioning)
+        assert (ladder["rungs"]["nvfp4_svdquant"]["kl_vs_bf16"]
+                < ladder["rungs"]["nvfp4"]["kl_vs_bf16"])
+
     def test_nvfp4_not_worse_than_mxfp4(self, ladder):
         # two-level e4m3 block-16 scales recover more than pow2 e8m0
         # block-32 (the reference's own nvfp4-vs-mxfp4 positioning)
@@ -80,3 +87,7 @@ def test_qat_recovers_ptq_damage():
     r = qat_recovery(steps=200, seed=0, qat_steps=60, batch=16)
     assert r["ptq_delta_ppl"] > 0.05          # PTQ caused real damage
     assert r["qat_delta_ppl"] < r["ptq_delta_ppl"] * 0.6
+    # the CONTROLLED gap (vs an equally-finetuned bf16 model) must also
+    # land well inside the PTQ damage — extra training alone doesn't
+    # explain the recovery
+    assert r["qat_delta_vs_finetuned_bf16"] < r["ptq_delta_ppl"] * 0.8
