@@ -794,12 +794,14 @@ class MoEBlock(nn.Module):
                 weights = weights / (jnp.sum(weights, -1, keepdims=True)
                                      + 1e-20)
             weights = weights * cfg.routed_scaling_factor
-            # one-hot contraction, NOT .at[].set: TPU scatter lowering cost
-            # ~54 us/layer at Qwen3-MoE decode shapes (1.3 ms/step of the
-            # 13.2 ms profile) for an 8-entry-per-token update
-            gates = jnp.einsum(
-                "btke,btk->bte",
-                jax.nn.one_hot(sel, E, dtype=weights.dtype), weights
+            # compare-and-sum, NOT .at[].set (TPU scatter cost ~54 us/layer
+            # at Qwen3-MoE decode shapes) and NOT a one-hot einsum (XLA
+            # lowers the tiny K-dim contraction as a convolution fusion,
+            # ~39 us/layer): pure VPU elementwise over [B,T,K,E]
+            eids = jnp.arange(E, dtype=sel.dtype)
+            gates = jnp.sum(
+                jnp.where(sel[..., None] == eids, weights[..., None], 0.0),
+                axis=-2,
             )  # [B,T,E] sparse gate matrix
 
         from ..nn.layers import QuantEinsum
