@@ -192,3 +192,81 @@ def test_w4a16_straddle_on_hw(rng):
     rel = float(jnp.linalg.norm(y - ref.astype(jnp.float32))
                 / jnp.linalg.norm(ref.astype(jnp.float32)))
     assert rel < 5e-3, rel
+
+
+def test_w4a8_prefill_mtiled_on_hw(rng):
+    """Large-M (prefill) grid of the int4 kernels: 2-D (M, N) parallel
+    grid with whole-K tiles must lower on real Mosaic and match the exact
+    integer reference (round-5 serving prefill path)."""
+    from modelopt_tpu.kernels import quant_gemm as kq
+    from modelopt_tpu.quant import qtensor as qt
+
+    K, N, M = 1024, 512, 600  # two m-tiles after padding
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.02, jnp.float32)
+    xq = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    p = qt.quantize_int4(w, block=128)
+    y = kq.w4a8_gemm(xq, p["data"], p["scale"], block=128,
+                     out_dtype=jnp.float32)
+
+    def ref(xq, p):
+        q = qt.unpack_int4(p["data"])
+        out = jnp.zeros((M, N), jnp.float32)
+        for b in range(K // 128):
+            d = jax.lax.dot_general(
+                xq[:, b * 128:(b + 1) * 128].astype(jnp.int32),
+                q[b * 128:(b + 1) * 128],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            out = out + d.astype(jnp.float32) * p["scale"][b][None, :]
+        return out
+
+    r = jax.jit(ref)(xq, p)
+    rel = float(jnp.max(jnp.abs(y - r)) / (jnp.max(jnp.abs(r)) + 1e-9))
+    assert rel < 1e-5, rel
+
+
+def test_flash_prefill_cached_on_hw(rng):
+    """Cached-prefill flash attention (chunk queries vs the whole int8 KV
+    slab, per-slot start offsets) vs the einsum reference."""
+    from modelopt_tpu.kernels.flash_attention import flash_prefill_attention
+
+    B, T, KH, G, D, S = 2, 256, 4, 2, 128, 512
+    q = jnp.asarray(rng.standard_normal((B, T, KH, G, D)), jnp.bfloat16)
+    ck = jnp.asarray(rng.integers(-127, 128, (B, S, KH * D)), jnp.int8)
+    cv = jnp.asarray(rng.integers(-127, 128, (B, S, KH * D)), jnp.int8)
+    ks, vs = jnp.float32(0.012), jnp.float32(0.008)
+    start = jnp.asarray([0, 256], jnp.int32)
+    out = jax.jit(lambda q: flash_prefill_attention(
+        q, ck, cv, start, k_scale=ks, v_scale=vs,
+        out_dtype=jnp.float32))(q)
+
+    def ref(q):
+        k4 = ((ck.astype(jnp.float32) * ks).astype(jnp.bfloat16)
+              .reshape(B, S, KH, D).astype(jnp.float32))
+        v4 = ((cv.astype(jnp.float32) * vs).astype(jnp.bfloat16)
+              .reshape(B, S, KH, D).astype(jnp.float32))
+        sc = jnp.einsum("btkgd,bskd->bkgts", q.astype(jnp.float32), k4) \
+            / jnp.sqrt(D)
+        qpos = start[:, None, None, None, None] \
+            + jnp.arange(T)[None, None, None, :, None]
+        kpos = jnp.arange(S)[None, None, None, None, :]
+        sc = jnp.where(kpos <= qpos, sc, -1e9)
+        pr = jax.nn.softmax(sc, axis=-1)
+        return jnp.einsum("bkgts,bskd->btkgd", pr, v4)
+
+    r = jax.jit(ref)(q)
+    err = float(jnp.max(jnp.abs(out - r)))
+    assert err < 0.02, err  # bf16 dot tolerance
+
+
+def test_dense_kv_write_narrow_slab_on_hw(rng):
+    """Narrow cache slabs (KHD//128 below the packed sublane tile) must
+    take the XLA fallback, not fail Mosaic lowering (round-5 regression:
+    the 128-wide fp8 MLA latent slab)."""
+    from modelopt_tpu.kernels.attention import dense_kv_write
+
+    for W, dtype in ((128, jnp.float8_e4m3fn), (256, jnp.int8),
+                     (128, jnp.bfloat16)):
+        cache = jax.jit(lambda: jnp.zeros((2, 16, W), dtype))()
+        vals = jax.jit(lambda: jnp.ones((2, 4, W), jnp.float32).astype(dtype))()
+        out = dense_kv_write(cache, vals, jnp.asarray([0, 8], jnp.int32))
+        assert float(jnp.sum(out.astype(jnp.float32))) == 2 * 4 * W
