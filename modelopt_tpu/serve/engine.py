@@ -183,6 +183,21 @@ class ServingEngine:
                         "each prefill bucket must divide every larger one "
                         "(chunked-prefill starts must stay bucket-aligned)"
                     )
+        if kv_dtype == jnp.float8_e4m3fn and jax.devices():
+            kind = getattr(jax.devices()[0], "device_kind", "") or ""
+            if "v5 lite" in kind or "v5e" in kind.lower():
+                import warnings
+
+                # measured on v5e (docs/benchmarks.md): fp8-KV decode
+                # 4520 tok/s vs int8-KV 5685 on the same model — no
+                # hardware e4m3 convert, codes are bit-assembled on the VPU
+                warnings.warn(
+                    "fp8 (e4m3) KV cache on TPU v5e costs ~20% decode "
+                    "throughput vs int8 KV codes (no hardware fp8 "
+                    "convert); prefer kv_dtype=jnp.int8 with a calibrated "
+                    "INT8_KV_CFG / W4A8_INT8KV_CFG bundle",
+                    stacklevel=2,
+                )
         self.paged = paged
         if paged:
             if max_seq_len % page_size:
