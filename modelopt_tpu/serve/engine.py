@@ -384,7 +384,12 @@ class ServingEngine:
                 variables, cache, counts, ids, slot, start, true_len, temp,
                 tk, tp, mp, key
             )
-            return cache, counts, tok, hidden[0, true_len - 1], lp
+            # (token, logprob) packed into ONE f32 pair: the host loop
+            # fetches it in a single round trip (~30 ms saved per prefill
+            # over the tunnel; token ids are exact in f32 below 2^24)
+            packed = jnp.stack([tok.astype(jnp.float32),
+                                lp.astype(jnp.float32)])
+            return cache, counts, packed, hidden[0, true_len - 1]
 
         def prefill_dflash_fn(variables, cache, features, counts, ids, slot,
                               start, true_len, temp, tk, tp, mp, key):
@@ -398,7 +403,9 @@ class ServingEngine:
             features = jax.lax.dynamic_update_slice(
                 features, hidden.astype(features.dtype), (slot, start, 0)
             )
-            return cache, features, counts, tok, lp
+            packed = jnp.stack([tok.astype(jnp.float32),
+                                lp.astype(jnp.float32)])
+            return cache, features, counts, packed
 
         def decode_fn(variables, cache, tokens, temps, topk, topp, minp,
                       rep, pres, freq, all_counts, out_counts, active, key):
@@ -429,7 +436,9 @@ class ServingEngine:
             )
             filt = _filter_batch(penalized, topk, topp, minp, temps)
             toks, lps = jax.vmap(_sample_lp)(last, temps, keys, filt)
-            return cache, all_counts, out_counts, toks, lps
+            packed = jnp.stack([toks.astype(jnp.float32),
+                                lps.astype(jnp.float32)], axis=1)
+            return cache, all_counts, out_counts, toks, packed
 
         def burst_fn(variables, cache, tokens, temps, topk, topp, minp,
                      rep, pres, freq, all_counts, out_counts, active, eos,
@@ -471,16 +480,18 @@ class ServingEngine:
                 new_len = cache["lengths"]
                 active = (active & (toks != eos) & (remaining > 0)
                           & (new_len < S))
+                packed = jnp.stack([toks.astype(jnp.float32),
+                                    lps.astype(jnp.float32),
+                                    emit.astype(jnp.float32)], axis=1)
                 return ((cache, all_c, out_c, toks[:, None], active,
                          remaining, key),
-                        (toks, lps, emit))
+                        packed)
 
             carry = (cache, all_counts, out_counts, tokens, active,
                      remaining, key)
-            carry, (toks, lps, emits) = jax.lax.scan(tick, carry, None,
-                                                     length=n)
+            carry, packed = jax.lax.scan(tick, carry, None, length=n)
             cache, all_counts, out_counts, tokens, active, _, _ = carry
-            return cache, all_counts, out_counts, tokens, toks, lps, emits
+            return cache, all_counts, out_counts, tokens, packed
 
         if self._is_dflash:
             self._prefill = jax.jit(prefill_dflash_fn, donate_argnums=(1, 2, 3))
@@ -939,7 +950,7 @@ class ServingEngine:
         final = start + len(chunk) >= len(req.prompt)
         self.stats["prefill_chunks"] += 1
         if self._is_dflash:
-            self.cache, self._features, self._all_counts, tok, lp = \
+            self.cache, self._features, self._all_counts, packed = \
                 self._prefill(
                     self._vars, self.cache, self._features, self._all_counts,
                     jnp.asarray(ids), slot, start, len(chunk),
@@ -948,7 +959,7 @@ class ServingEngine:
                     jnp.float32(req.min_p), self._next_key(),
                 )
         else:
-            self.cache, self._all_counts, tok, hid, lp = self._prefill(
+            self.cache, self._all_counts, packed, hid = self._prefill(
                 self._vars, self.cache, self._all_counts, jnp.asarray(ids),
                 slot, start, len(chunk), jnp.float32(req.temperature),
                 jnp.int32(req.top_k), jnp.float32(req.top_p),
@@ -960,6 +971,11 @@ class ServingEngine:
         self._prefilling.discard(slot)
         if self.spec_k and not self._is_dflash:
             self._hidden = self._hidden.at[slot].set(hid)
+        # ONE host fetch for (token, logprob): each scalar materialized
+        # separately costs an extra ~30 ms tunnel round trip per prefill
+        packed_h = np.asarray(packed)
+        tok = int(packed_h[0])
+        lp = float(packed_h[1])
         self._tokens = self._tokens.at[slot, 0].set(tok)
         self._temps = self._temps.at[slot].set(req.temperature)
         self._topk = self._topk.at[slot].set(req.top_k)
@@ -970,8 +986,8 @@ class ServingEngine:
         self._rep = self._rep.at[slot].set(req.repetition_penalty)
         self._pres = self._pres.at[slot].set(req.presence_penalty)
         self._freq = self._freq.at[slot].set(req.frequency_penalty)
-        req.out_tokens.append(int(tok))
-        req.out_logprobs.append(float(lp))
+        req.out_tokens.append(tok)
+        req.out_logprobs.append(lp)
         self.stats["prefill_tokens"] += 1
         self._finish_if_done(req)
         return 1
@@ -1045,16 +1061,17 @@ class ServingEngine:
                  max(0, r.max_new_tokens - len(r.out_tokens))
                  for r in self._slots], jnp.int32)
             (self.cache, self._all_counts, self._out_counts, self._tokens,
-             toks, lps, emits) = self._burst(
+             packed) = self._burst(
                 self._vars, self.cache, self._tokens, self._temps,
                 self._topk, self._topp, self._minp, self._rep, self._pres,
                 self._freq, self._all_counts, self._out_counts,
                 active > 0, self._eos, remaining, self._next_key(),
             )
             self.stats["decode_forwards"] += n
-            toks_host = np.asarray(toks)        # [n, B]
-            lps_host = np.asarray(lps)
-            emits_host = np.asarray(emits)
+            packed_h = np.asarray(packed)       # [n, B, 3] — ONE fetch
+            toks_host = packed_h[:, :, 0].astype(np.int64)
+            lps_host = packed_h[:, :, 1]
+            emits_host = packed_h[:, :, 2] > 0
             decoded = 0
             for i in range(n):
                 for slot, req in enumerate(self._slots):
@@ -1067,7 +1084,7 @@ class ServingEngine:
             self.stats["tokens_emitted"] += decoded
             self.stats["decode_slot_steps"] += decoded
             return produced + decoded
-        self.cache, self._all_counts, self._out_counts, toks, lps = \
+        self.cache, self._all_counts, self._out_counts, toks, packed = \
             self._decode(
                 self._vars, self.cache, self._tokens, self._temps,
                 self._topk, self._topp, self._minp, self._rep, self._pres,
@@ -1076,8 +1093,10 @@ class ServingEngine:
             )
         self.stats["decode_forwards"] += 1
         self._tokens = toks[:, None]
-        toks_host = np.asarray(toks)
-        lps_host = np.asarray(lps)
+        # one fetch: token ids ride exactly in f32 (vocab << 2^24)
+        packed_h = np.asarray(packed)
+        toks_host = packed_h[:, 0].astype(np.int64)
+        lps_host = packed_h[:, 1]
         decoded = 0
         for slot, req in enumerate(self._slots):
             if req is None or slot in self._prefilling:
