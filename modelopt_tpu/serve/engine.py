@@ -236,6 +236,7 @@ class ServingEngine:
         self._key = jax.random.PRNGKey(seed)
         self._slots: list[Optional[Request]] = [None] * max_batch
         self._queue: deque[Request] = deque()
+        self._pending_prefills: list = []  # (req, packed) awaiting fetch
         self._prefilling: set[int] = set()  # slots mid-chunked-prefill
         self._ids = itertools.count()
         self._tokens = jnp.zeros((max_batch, 1), jnp.int32)  # last token per slot
@@ -971,12 +972,13 @@ class ServingEngine:
         self._prefilling.discard(slot)
         if self.spec_k and not self._is_dflash:
             self._hidden = self._hidden.at[slot].set(hid)
-        # ONE host fetch for (token, logprob): each scalar materialized
-        # separately costs an extra ~30 ms tunnel round trip per prefill
-        packed_h = np.asarray(packed)
-        tok = int(packed_h[0])
-        lp = float(packed_h[1])
-        self._tokens = self._tokens.at[slot, 0].set(tok)
+        # device-side bookkeeping only: the slot's fed-back token comes
+        # straight from the packed pair WITHOUT a host fetch, so the
+        # decode dispatch can chain on-device; the host materializes
+        # ``packed`` later (see _drain_prefills), overlapping its tunnel
+        # round trip with the decode compute (~30 ms/tick on serving)
+        self._tokens = self._tokens.at[slot, 0].set(
+            packed[0].astype(jnp.int32))
         self._temps = self._temps.at[slot].set(req.temperature)
         self._topk = self._topk.at[slot].set(req.top_k)
         self._topp = self._topp.at[slot].set(req.top_p)
@@ -986,11 +988,19 @@ class ServingEngine:
         self._rep = self._rep.at[slot].set(req.repetition_penalty)
         self._pres = self._pres.at[slot].set(req.presence_penalty)
         self._freq = self._freq.at[slot].set(req.frequency_penalty)
-        req.out_tokens.append(tok)
-        req.out_logprobs.append(lp)
-        self.stats["prefill_tokens"] += 1
-        self._finish_if_done(req)
+        self._pending_prefills.append((req, packed))
         return 1
+
+    def _drain_prefills(self) -> None:
+        """Materialize deferred prefill (token, logprob) pairs and run the
+        host-side emission bookkeeping (stop checks, slot release)."""
+        for req, packed in self._pending_prefills:
+            packed_h = np.asarray(packed)
+            req.out_tokens.append(int(packed_h[0]))
+            req.out_logprobs.append(float(packed_h[1]))
+            self.stats["prefill_tokens"] += 1
+            self._finish_if_done(req)
+        self._pending_prefills.clear()
 
     def _active_mask(self):
         return jnp.asarray(
@@ -1043,8 +1053,10 @@ class ServingEngine:
             admitted += 1
         # 3) decode every tick for fully-prefilled slots
         if self.num_decoding == 0:
+            self._drain_prefills()
             return produced
         if self.spec_k:
+            self._drain_prefills()
             if self.paged:
                 self._grow_pages()
             return produced + self._step_speculative()
@@ -1052,6 +1064,10 @@ class ServingEngine:
         # interleave: n ticks per host dispatch
         n = self.multi_step if (self._burst is not None and not self._queue
                                 and not self._prefilling) else 1
+        if n > 1:
+            # burst 'remaining' counts host-side emissions — settle any
+            # deferred prefill tokens first
+            self._drain_prefills()
         if self.paged:
             self._grow_pages(lookahead=n)
         active = self._active_mask()
@@ -1093,13 +1109,16 @@ class ServingEngine:
             )
         self.stats["decode_forwards"] += 1
         self._tokens = toks[:, None]
+        # deferred prefill fetches ride the decode's compute window: the
+        # decode above is already dispatched, so these round trips overlap
+        self._drain_prefills()
         # one fetch: token ids ride exactly in f32 (vocab << 2^24)
         packed_h = np.asarray(packed)
         toks_host = packed_h[:, 0].astype(np.int64)
         lps_host = packed_h[:, 1]
         decoded = 0
         for slot, req in enumerate(self._slots):
-            if req is None or slot in self._prefilling:
+            if req is None or req.done or slot in self._prefilling:
                 continue
             req.out_tokens.append(int(toks_host[slot]))
             req.out_logprobs.append(float(lps_host[slot]))
