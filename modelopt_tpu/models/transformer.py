@@ -954,7 +954,11 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, cache=None, positions=None, output_hidden=False,
-                 prefix_embeds=None):
+                 prefix_embeds=None, logits_index=None):
+        """``logits_index`` [B] (optional): compute logits ONLY at that
+        position per row — returns [B, V] instead of [B, T, V]. A serving
+        prefill needs one row; the full-chunk lm_head on a 2176-token
+        bucket costs ~2.3 TFLOP + a 558 MB logits tensor per request."""
         cfg = self.cfg
         B, T = input_ids.shape
 
@@ -1097,6 +1101,8 @@ class Decoder(nn.Module):
         if cfg.hidden_taps is not None:
             # EAGLE-3 feature vector: tapped mid-layer states + final hidden
             hidden = jnp.concatenate([*taps, x], axis=-1)
+        if logits_index is not None:
+            x = x[jnp.arange(B), logits_index]  # [B, H]
         if cfg.tie_word_embeddings:
             logits = embed.attend(x)
         else:

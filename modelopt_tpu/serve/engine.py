@@ -349,8 +349,12 @@ class ServingEngine:
                     # length must not enter the SSM/conv state
                     "valid_to": jnp.full((1,), start + true_len, jnp.int32),
                 }
-            logits, new_sub, hidden = self._apply(variables, ids, sub,
-                                                  output_hidden=True)
+            # logits only at the chunk's last true token: the full-bucket
+            # lm_head costs ~2.3 TFLOP + a 558 MB logits tensor per
+            # 2176-token prefill and every row but one is discarded
+            logits, new_sub, hidden = self._apply(
+                variables, ids, sub, output_hidden=True,
+                logits_index=jnp.full((1,), true_len - 1, jnp.int32))
             if self.paged:
                 cache = {**cache, "k": new_sub["k"], "v": new_sub["v"]}
             else:
@@ -369,7 +373,7 @@ class ServingEngine:
             # beyond true_len masked out)
             valid = (jnp.arange(ids.shape[1]) < true_len).astype(jnp.int32)
             counts = counts.at[slot, ids[0]].add(valid)
-            last = logits[0, true_len - 1]
+            last = logits[0]
             filt = jax.lax.cond(
                 (tk > 0) | (tp < 1.0) | (mp > 0.0),
                 lambda l: _filter_logits(l, tk, tp, mp, temp),

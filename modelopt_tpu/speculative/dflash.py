@@ -174,8 +174,10 @@ class DFlashModel(nn.Module):
         # taps + final hidden (Decoder.output_hidden concatenation)
         return self.cfg.hidden_size * (len(self.resolved_taps()) + 1)
 
-    def __call__(self, input_ids, cache=None, positions=None, output_hidden=False):
-        return self.base(input_ids, cache, positions, output_hidden=output_hidden)
+    def __call__(self, input_ids, cache=None, positions=None, output_hidden=False,
+                 logits_index=None):
+        return self.base(input_ids, cache, positions,
+                         output_hidden=output_hidden, logits_index=logits_index)
 
     def init_all(self, input_ids):
         logits, _, features = self(input_ids, output_hidden=True)

@@ -102,8 +102,10 @@ class EagleModel(nn.Module):
         taps = self.eagle_cfg.feature_layers
         return self.cfg.hidden_size * (1 + (len(taps) if taps else 0))
 
-    def __call__(self, input_ids, cache=None, positions=None, output_hidden=False):
-        return self.base(input_ids, cache, positions, output_hidden=output_hidden)
+    def __call__(self, input_ids, cache=None, positions=None, output_hidden=False,
+                 logits_index=None):
+        return self.base(input_ids, cache, positions,
+                         output_hidden=output_hidden, logits_index=logits_index)
 
     def init_all(self, input_ids):
         """Init helper touching both base and draft params."""

@@ -54,8 +54,10 @@ class MedusaModel(nn.Module):
             for k in range(self.medusa_cfg.medusa_num_heads)
         ]
 
-    def __call__(self, input_ids, cache=None, positions=None, output_hidden=False):
-        return self.base(input_ids, cache, positions, output_hidden=output_hidden)
+    def __call__(self, input_ids, cache=None, positions=None, output_hidden=False,
+                 logits_index=None):
+        return self.base(input_ids, cache, positions,
+                         output_hidden=output_hidden, logits_index=logits_index)
 
     def init_all(self, input_ids):
         """Init helper touching base and all medusa heads."""
