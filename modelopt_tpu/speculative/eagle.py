@@ -33,6 +33,12 @@ class EagleConfig:
     # states are concatenated with the final hidden as draft features
     # (None = EAGLE-1, final hidden only)
     feature_layers: Optional[tuple] = None
+    # reduced DRAFT vocabulary (reference: hf_eagle.py d2t buffer +
+    # utils.py:43 calibrate_frequent_vocab): the draft head scores only
+    # the ``draft_vocab_size`` most frequent tokens and a d2t offset
+    # buffer maps draft indices back to target ids. None = full vocab
+    # (shared base lm_head).
+    draft_vocab_size: Optional[int] = None
 
     def __post_init__(self):
         if isinstance(self.feature_layers, list):
@@ -97,6 +103,21 @@ class EagleModel(nn.Module):
                 self.cfg.hidden_size, use_bias=False, dtype=self.cfg.dtype,
                 param_dtype=self.cfg.param_dtype, name="fuse",
             )
+        vd = self.eagle_cfg.draft_vocab_size
+        if vd is not None and vd < self.cfg.vocab_size:
+            # reduced draft vocab: own head + d2t offset buffer
+            # (d2t[i] = target_id - i, the reference's convention)
+            self.draft_head = QuantDense(
+                vd, use_bias=False, dtype=self.cfg.dtype,
+                param_dtype=self.cfg.param_dtype, name="draft_head",
+            )
+            self.d2t = self.variable(
+                "buffers", "d2t", lambda: jnp.zeros((vd,), jnp.int32))
+
+    @property
+    def reduced_vocab(self) -> bool:
+        vd = self.eagle_cfg.draft_vocab_size
+        return vd is not None and vd < self.cfg.vocab_size
 
     def feature_width(self) -> int:
         taps = self.eagle_cfg.feature_layers
@@ -120,16 +141,19 @@ class EagleModel(nn.Module):
             return features
         return self.fuse(features)
 
-    def draft_fused(self, input_ids, g, positions=None, mask=None):
+    def draft_fused(self, input_ids, g, positions=None, mask=None,
+                    full_vocab: bool = True):
         """Draft next-token logits from an H-wide draft-state sequence
         (fused base features at verified steps, the draft's own hidden at
-        unverified steps)."""
+        unverified steps). With a reduced draft vocab the logits come back
+        in TARGET-id space (-inf outside the draft support) unless
+        ``full_vocab=False`` (the trainer's draft-space view)."""
         B, T = input_ids.shape
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
         emb = self._embed(input_ids)
         h = self.eagle(emb, g, positions, mask)
-        return self._lm_head(h), h
+        return self._lm_head(h, full_vocab=full_vocab), h
 
     def draft(self, input_ids, features, positions=None):
         """Draft next-token logits for each position: token t's embedding is
@@ -141,7 +165,20 @@ class EagleModel(nn.Module):
         emb = self.base.get_variable("params", "embed_tokens")["embedding"]
         return jnp.take(emb, ids, axis=0).astype(self.cfg.dtype)
 
-    def _lm_head(self, x):
+    def _lm_head(self, x, full_vocab: bool = True):
+        if self.reduced_vocab:
+            dl = self.draft_head(x)  # [..., Vd] draft-vocab logits
+            if not full_vocab:
+                return dl
+            # scatter into target-id space (-inf elsewhere): every
+            # downstream consumer — greedy argmax, tree top_k, even the
+            # rejection-sampling q (support a subset of p) — works
+            # unchanged on the full-vocab view
+            vd = dl.shape[-1]
+            tgt = jnp.arange(vd, dtype=jnp.int32) + self.d2t.value
+            out = jnp.full((*dl.shape[:-1], self.cfg.vocab_size), -1e9,
+                           dl.dtype)
+            return out.at[..., tgt].set(dl)
         if self.cfg.tie_word_embeddings:
             emb = self.base.get_variable("params", "embed_tokens")["embedding"]
             return jnp.dot(x, emb.T.astype(x.dtype))
@@ -187,6 +224,30 @@ def make_eagle_train_step(bundle, tx, ttt_steps: int = 1,
 
     module: EagleModel = bundle.module
     H = module.cfg.hidden_size
+    V = module.cfg.vocab_size
+    vd = module.eagle_cfg.draft_vocab_size
+    reduced = vd is not None and vd < V
+    if reduced:
+        # target->draft lookup built from the calibrated d2t offsets
+        # (calibrate_draft_vocab); targets outside the draft vocabulary
+        # are MASKED out of the CE (the reference's convention)
+        d2t = bundle.variables["buffers"]["d2t"]
+        t2d = jnp.full((V,), -1, jnp.int32).at[
+            jnp.arange(vd, dtype=jnp.int32) + d2t
+        ].set(jnp.arange(vd, dtype=jnp.int32))
+
+    def draft_ce(dls, labels):
+        """CE of draft logits vs TARGET-id labels (draft-space mapping +
+        out-of-vocab masking when the draft vocab is reduced)."""
+        import optax
+
+        if not reduced:
+            return lm_cross_entropy(dls, labels)
+        ld = t2d[labels]
+        valid = (ld >= 0).astype(jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            dls, jnp.maximum(ld, 0))
+        return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
     def loss_fn(draft_params, frozen_params, batch):
         params = {**frozen_params, **draft_params}
@@ -213,13 +274,13 @@ def make_eagle_train_step(bundle, tx, ttt_steps: int = 1,
             with bundle.contexts():
                 dl, dh = module.apply(
                     variables, ids_cat, g_cat, pos_cat, _ttt_mask(s, T),
-                    method=EagleModel.draft_fused)
+                    False, method=EagleModel.draft_fused)
             dls, dhs = dl[:, s * T:], dh[:, s * T:]
             h_prev = dhs
             if T > s + 1:
                 # step-s logits at position p predict token p+1; the first
                 # s positions ride zero-padded rolled state — masked out
-                ce = lm_cross_entropy(dls[:, s:-1], batch[:, 1 + s:])
+                ce = draft_ce(dls[:, s:-1], batch[:, 1 + s:])
                 total = total + (ttt_decay ** s) * ce
             if s == 0:
                 # hidden regression: draft hidden t ~ base FINAL hidden t+1
@@ -250,3 +311,34 @@ def make_eagle_train_step(bundle, tx, ttt_steps: int = 1,
         return (draft_params, opt_state), loss
 
     return init_state, step
+
+
+def calibrate_draft_vocab(bundle, token_batches):
+    """Build the d2t draft->target offset buffer from calibration token
+    frequencies (reference: speculative/utils.py:43
+    calibrate_frequent_vocab): draft index i maps to the i-th most common
+    token, stored as the offset ``d2t[i] = target_id - i``. Returns the
+    bundle with ``variables['buffers']['d2t']`` set."""
+    import numpy as np
+
+    module: EagleModel = bundle.module
+    vd = module.eagle_cfg.draft_vocab_size
+    V = module.cfg.vocab_size
+    if vd is None or vd >= V:
+        return bundle
+    counts = np.zeros(V, np.int64)
+    for b in token_batches:
+        counts += np.bincount(np.asarray(b).ravel(), minlength=V)
+    if int((counts > 0).sum()) < vd:
+        import warnings
+
+        warnings.warn(
+            f"calibration data covers only {(counts > 0).sum()} distinct "
+            f"tokens < draft_vocab_size={vd}; the tail of the draft vocab "
+            "is arbitrary — use more calibration data")
+    order = np.argsort(-counts, kind="stable")[:vd]
+    d2t = (order - np.arange(vd)).astype(np.int32)
+    buffers = {**bundle.variables.get("buffers", {}),
+               "d2t": jnp.asarray(d2t)}
+    return bundle.replace(
+        variables={**bundle.variables, "buffers": buffers})

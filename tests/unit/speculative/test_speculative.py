@@ -208,3 +208,67 @@ class TestDFlash:
         cfg = json.load(open(tmp_path / "config.json"))
         assert cfg["dflash_config"]["block_size"] == 4
         assert len(cfg["dflash_config"]["target_layer_ids"]) >= 1
+
+
+class TestDraftVocab:
+    """Reduced DRAFT vocabulary (reference: hf_eagle.py d2t buffer +
+    utils.py:43 calibrate_frequent_vocab): the draft head scores only the
+    most frequent tokens; a d2t offset buffer maps back to target ids."""
+
+    def _reduced(self, base_bundle, vd=64):
+        e = mtsp.convert(base_bundle,
+                         [("eagle", {"draft_vocab_size": vd})])
+        # skewed calibration stream: tokens [64, 128) dominate, so the
+        # most-common set is unambiguous (uniform data is all ties)
+        rng = np.random.default_rng(3)
+        reps = np.tile(np.arange(64, 128, dtype=np.int32), 8)
+        batches = [jnp.asarray(rng.permutation(reps).reshape(8, 64))
+                   for _ in range(3)]
+        return mtsp.calibrate_draft_vocab(e, batches), batches
+
+    def test_d2t_maps_most_common(self, base_bundle):
+        e, batches = self._reduced(base_bundle)
+        d2t = np.asarray(e.variables["buffers"]["d2t"])
+        mapped = {int(i + d2t[i]) for i in range(64)}
+        # the dominant band must fill the draft vocabulary
+        assert mapped == set(range(64, 128))
+
+    def test_draft_logits_confined_to_draft_vocab(self, base_bundle):
+        e, _ = self._reduced(base_bundle)
+        ids = jnp.asarray([[5, 9, 17, 3]], jnp.int32)
+        _, _, hidden = e.apply(ids, output_hidden=True)
+        dl, _ = e.apply(ids, hidden, method=mtsp.EagleModel.draft)
+        d2t = np.asarray(e.variables["buffers"]["d2t"])
+        support = {int(i + d2t[i]) for i in range(64)}
+        finite = np.asarray(dl[0, -1]) > -1e8
+        assert set(np.nonzero(finite)[0].tolist()) <= support
+        assert int(np.argmax(np.asarray(dl[0, -1]))) in support
+
+    def test_training_and_lossless_decode(self, base_bundle):
+        e, batches = self._reduced(base_bundle)
+        init_state, step = mtsp.make_eagle_train_step(
+            e, optax.adam(3e-3), ttt_steps=2)
+        state = init_state()
+        losses = []
+        for _ in range(10):
+            state, loss = step(state, batches[0])
+            losses.append(float(loss))
+        assert np.isfinite(losses).all() and losses[-1] < losses[0]
+        # verification keeps greedy LOSSLESS regardless of draft vocab
+        prompt = [5, 9, 17, 3]
+        ref = plain_greedy(e, prompt, 7)
+        out, stats = mtsp.speculative_decode(e, prompt, max_new_tokens=7,
+                                             draft_len=3)
+        assert out == ref
+
+    def test_engine_tree_with_draft_vocab(self, base_bundle):
+        from modelopt_tpu.serve import ServingEngine
+        from modelopt_tpu.speculative.tree import tree_from_branching
+
+        e, _ = self._reduced(base_bundle)
+        eng = ServingEngine(e, max_batch=1, max_seq_len=64,
+                            prefill_buckets=(16,), speculative=2,
+                            spec_tree=tree_from_branching((2, 1)))
+        req = eng.submit([5, 9, 17, 3], max_new_tokens=6)
+        eng.run()
+        assert req.out_tokens == plain_greedy(e, [5, 9, 17, 3], 6)
