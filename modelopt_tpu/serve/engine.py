@@ -199,6 +199,17 @@ class ServingEngine:
                     stacklevel=2,
                 )
         self.paged = paged
+        if paged and any(self.cfg.is_mamba(i)
+                         for i in range(self.cfg.num_layers)):
+            # the paged pool assumes uniform per-layer KV slabs; mamba
+            # layers carry O(1) conv/SSM state per slot — nothing to page.
+            # The right hybrid design (dense state slots + paged attention
+            # layers) is future work; fail clearly instead of a shape error
+            raise NotImplementedError(
+                "paged KV is not supported for hybrid (mamba) bundles: "
+                "recurrent conv/SSM state is per-slot, not per-page — use "
+                "the dense cache (mamba layers keep O(1) state per slot "
+                "regardless)")
         if paged:
             if max_seq_len % page_size:
                 raise ValueError("max_seq_len must be a page_size multiple")

@@ -5,6 +5,8 @@ from .magnitude import create_nm_mask
 from .sparsification import export_sparse, sparsify
 from . import attention_sparsity  # noqa: F401
 from . import skip_softmax  # noqa: F401
+from .ruler import (RULER_TASKS, RulerDatasetBuilder, RulerTask,
+                    calibrate_with_ruler)
 from . import vsa  # noqa: F401
 from .attention_sparsity import sparsify_attention_vsa
 from .vsa import VSAConfig, video_sparse_attention, vsa_stats
@@ -23,6 +25,10 @@ __all__ = [
     "create_nm_mask",
     "export_sparse",
     "ruler_needle_batches",
+    "RULER_TASKS",
+    "RulerDatasetBuilder",
+    "RulerTask",
+    "calibrate_with_ruler",
     "skip_softmax",
     "sparsify",
     "sparsify_attention_dynamic",

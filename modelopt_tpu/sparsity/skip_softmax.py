@@ -217,6 +217,11 @@ def calibrate_skip_softmax(bundle, token_batches, recall_target: float = 0.99,
             _CAPTURE_FILTER.reset(tok)
 
     recalls = {tau: 1.0 for tau in tau_grid}
+    # per-(layer, head) retained-mass minima over the calibration stream —
+    # the reference's per-softmax stats collection (calibration/
+    # calibrate.py); the shared block table is governed by the WORST head,
+    # and this report shows which one that is
+    head_stats: dict = {}
     for ids in token_batches:
         with _filter("*attn/[qk]_quantizer"):
             _, state = bundle.apply(ids, phase=PHASE_CAPTURE,
@@ -231,9 +236,14 @@ def calibrate_skip_softmax(bundle, token_batches, recall_target: float = 0.99,
             D = qx.shape[-1]
             q = np.asarray(qx, np.float32).reshape(B, T, -1, D)
             k = np.asarray(kx, np.float32).reshape(B, T, -1, D)
-            r = _tail_recall_curve(q, k, block_size, tau_grid)
+            r, heads = _tail_recall_curve(q, k, block_size, tau_grid,
+                                          return_heads=True)
+            hs = head_stats.setdefault(lname, {})
             for tau in tau_grid:
                 recalls[tau] = min(recalls[tau], r[tau])
+                prev = hs.get(tau)
+                hs[tau] = (heads[tau] if prev is None
+                           else np.minimum(prev, heads[tau]))
     chosen = None
     for tau in sorted(tau_grid):
         if recalls[tau] >= recall_target:
@@ -241,18 +251,39 @@ def calibrate_skip_softmax(bundle, token_batches, recall_target: float = 0.99,
             break
     if chosen is None:
         chosen = max(tau_grid)
+    worst = None
+    if head_stats:
+        worst = min(
+            ((ln, int(np.argmin(hs[chosen])), float(hs[chosen].min()))
+             for ln, hs in head_stats.items() if chosen in hs),
+            key=lambda t: t[2], default=None)
     b = sparsify_attention_dynamic(bundle, block_size=block_size, tau=chosen,
                                    budget=budget)
-    return b, {"tau": chosen, "recalls": {str(t): float(r) for t, r in recalls.items()}}
+    return b, {
+        "tau": chosen,
+        "recalls": {str(t): float(r) for t, r in recalls.items()},
+        "per_head_recalls": {
+            ln: {str(t): [float(x) for x in hs[t]] for t in tau_grid}
+            for ln, hs in head_stats.items()
+        },
+        "worst_head": (None if worst is None else
+                       {"layer": worst[0], "head": worst[1],
+                        "recall": worst[2]}),
+    }
 
 
-def _tail_recall_curve(q, k, block_size, tau_grid):
+def _tail_recall_curve(q, k, block_size, tau_grid, return_heads=False):
     """Retained softmax mass for the LAST query position (the decode
-    regime) per tau, averaged over batch/heads. q/k [B, T, H(kv), D]."""
+    regime) per tau. q/k [B, T, H(kv), D]. With ``return_heads`` also
+    returns per-HEAD minima over the batch ({tau: [H] array})."""
     B, T, KH, D = k.shape
     nb = T // block_size
     if nb < 2:
-        return {tau: 1.0 for tau in tau_grid}
+        flat = {tau: 1.0 for tau in tau_grid}
+        if return_heads:
+            H = q.shape[2]
+            return flat, {tau: np.ones(H) for tau in tau_grid}
+        return flat
     Tb = nb * block_size
     kb = k[:, :Tb].reshape(B, nb, block_size, KH, D)
     kmax = kb.max(axis=2)
@@ -273,8 +304,12 @@ def _tail_recall_curve(q, k, block_size, tau_grid):
     pb = p.reshape(B, KH * G, nb, block_size).sum(-1)  # [B, H, nb]
     m = ub.max(axis=1, keepdims=True)  # [B, 1]
     out = {}
+    heads = {}
     for tau in tau_grid:
         keep = ub >= m - tau  # [B, nb]
         kept_mass = (pb * keep[:, None, :]).sum(-1)  # [B, H]
         out[tau] = float(kept_mass.min())
+        heads[tau] = kept_mass.min(axis=0)  # [H] worst over batch
+    if return_heads:
+        return out, heads
     return out

@@ -216,6 +216,15 @@ class TestHybridServing:
             ServingEngine(bundle, max_batch=1, max_seq_len=64,
                           prefill_buckets=(16,), speculative=2)
 
+    def test_paged_refused_for_hybrid(self, bundle):
+        # uniform per-layer page pools can't hold mamba conv/SSM state;
+        # must refuse clearly, not die on a concat shape error
+        from modelopt_tpu.serve import ServingEngine
+
+        with pytest.raises(NotImplementedError, match="paged KV"):
+            ServingEngine(bundle, max_batch=2, max_seq_len=64, paged=True,
+                          page_size=16, prefill_buckets=(16,))
+
     def test_padded_prefill_matches_naive(self, bundle):
         from modelopt_tpu.serve import ServingEngine
 
