@@ -25,7 +25,6 @@ Task taxonomy (mirrors RULER_TASKS):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
 
 import jax.numpy as jnp
 import numpy as np
